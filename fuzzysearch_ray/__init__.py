@@ -1,0 +1,19 @@
+"""fuzzysearch_ray — a Ray-Data-native near-duplicate detection engine.
+
+Re-expresses the query/data-processing capabilities of taleinat/fuzzysearch
+(approximate substring search) as the verification core of a distributed
+MinHash/SimHash/LSH dedup + clustering pipeline over Parquet corpora.
+
+Layers:
+
+- ``kernels``   — pure Python/numpy fuzzy-search kernels (no Ray);
+- ``functions`` — vectorized hashing / shingling / text-stat primitives;
+- ``sources``   — corpus readers + the deterministic synthetic corpus;
+- ``stages``    — Ray Data ``map_batches`` / ``groupby`` building blocks;
+- ``pipelines`` — end-to-end dedup / search pipelines + single-process oracle;
+- ``state``     — checkpoint manifests for resumable runs.
+"""
+
+from .kernels import Match, SearchParams, find_near_matches  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,52 @@
+"""Pure (Ray-free) fuzzy-search kernels re-derived from taleinat/fuzzysearch.
+
+Unit-testable against the reference's golden tables; reused inside the
+distributed verify stages and the single-process oracle.
+"""
+
+from .match import (
+    Match,
+    SearchParams,
+    UNLIMITED,
+    clamp,
+    consolidate_overlapping_matches,
+    count_capped_mismatches,
+    get_best_match_in_group,
+    group_matches,
+)
+from .exact import iter_exact_matches, search_exact
+from .substitutions import (
+    find_near_matches_substitutions,
+    find_near_matches_substitutions_lp,
+    find_near_matches_substitutions_ngrams,
+    hamming_window_distances,
+    has_near_match_substitutions,
+    has_near_match_substitutions_lp,
+    has_near_match_substitutions_ngrams,
+)
+from .levenshtein import (
+    expand_prefix,
+    find_near_matches_levenshtein,
+    find_near_matches_levenshtein_lp,
+    find_near_matches_levenshtein_ngrams,
+)
+from .generic import (
+    find_near_matches_generic,
+    find_near_matches_generic_lp,
+    find_near_matches_generic_ngrams,
+    has_near_match_generic_ngrams,
+)
+from .no_deletions import expand_no_deletions, find_near_matches_no_deletions_ngrams
+from .dispatch import (
+    EXACT,
+    GENERIC,
+    LEVENSHTEIN,
+    SUBSTITUTIONS,
+    choose_search_family,
+    extra_items_for_chunked_search,
+    find_near_matches,
+    search_with_family,
+)
+from .bounded_distance import bounded_levenshtein
+
+__all__ = [name for name in dir() if not name.startswith("_")]

@@ -1,0 +1,78 @@
+"""Capped whole-string Levenshtein distance (the pair-verify kernel).
+
+The dedup pipeline verifies candidate pairs with a *whole-document* bounded
+edit distance, which is the prefix-anchored DP of levenshtein_ngram.py:77-143
+generalized to both strings: a banded O(k * max(n, m)) computation that bails
+as soon as the entire band exceeds the cap.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def bounded_levenshtein(a: str, b: str, cap: int) -> Optional[int]:
+    """Edit distance of ``a`` and ``b`` if it is <= ``cap``, else None.
+
+    Banded Ukkonen-style DP: only diagonals within ``cap`` of the main
+    diagonal are computed.
+    """
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return None
+    if la == 0:
+        return lb if lb <= cap else None
+    if lb == 0:
+        return la if la <= cap else None
+    # keep b as the inner (shorter or equal) dimension
+    if lb > la:
+        a, b = b, a
+        la, lb = lb, la
+
+    # strip common prefix/suffix — cheap and very effective on near-dups
+    pre = 0
+    while pre < lb and a[pre] == b[pre]:
+        pre += 1
+    suf = 0
+    while suf < lb - pre and a[la - 1 - suf] == b[lb - 1 - suf]:
+        suf += 1
+    a = a[pre : la - suf]
+    b = b[pre : lb - suf]
+    la, lb = len(a), len(b)
+    if lb == 0:
+        return la if la <= cap else None
+
+    arr_a = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    arr_b = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+
+    big = cap + 1
+    prev = np.arange(lb + 1, dtype=np.int64)
+    prev[prev > big] = big
+    cur = np.empty(lb + 1, dtype=np.int64)
+    for i in range(1, la + 1):
+        lo = max(1, i - cap)
+        hi = min(lb, i + cap)
+        cur[:] = big
+        cur[0] = i if i <= cap else big
+        seg_prev = prev[lo - 1 : hi]  # diagonal neighbours
+        sub_cost = (arr_b[lo - 1 : hi] != arr_a[i - 1]).astype(np.int64)
+        diag = seg_prev + sub_cost
+        up = prev[lo : hi + 1] + 1
+        best = np.minimum(diag, up)
+        # left-dependency needs a sequential pass, but only over the band
+        left = cur[lo - 1]
+        for j_off in range(hi - lo + 1):
+            val = best[j_off]
+            if left + 1 < val:
+                val = left + 1
+            cur[lo + j_off] = val
+            left = val
+        if cur[lo : hi + 1].min() > cap:
+            return None
+        prev, cur = cur, prev
+    dist = int(prev[lb])
+    return dist if dist <= cap else None

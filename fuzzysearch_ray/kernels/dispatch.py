@@ -1,0 +1,96 @@
+"""Top-level planner: pick a search family from the edit budgets and run it.
+
+Behavioral parity target: /root/reference/src/fuzzysearch/__init__.py:35-83.
+The rule table is a pure function so it can be unit-tested for parity
+(reference pins it in tests/test_find_near_matches.py:76-199).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from .exact import iter_exact_matches
+from .generic import find_near_matches_generic
+from .levenshtein import find_near_matches_levenshtein
+from .match import Match, SearchParams, UNLIMITED, consolidate_overlapping_matches
+from .substitutions import find_near_matches_substitutions
+
+#: Family names (the engine's kernel registry keys).
+EXACT = "exact"
+SUBSTITUTIONS = "substitutions"
+LEVENSHTEIN = "levenshtein"
+GENERIC = "generic"
+
+#: Per-family consolidation policy and chunk-overlap sizing, mirroring each
+#: search class (search_exact.py:80-89, substitutions_only.py:288-308,
+#: levenshtein.py:151-164, generic_search.py:256-273).
+FAMILY_CONSOLIDATES = {EXACT: False, SUBSTITUTIONS: False, LEVENSHTEIN: True, GENERIC: True}
+
+
+def choose_search_family(params: SearchParams) -> str:
+    """The reference's physical-operator selection rules (__init__.py:60-83):
+
+    1. ``max_l_dist == 0`` → exact;
+    2. no insertions and no deletions allowed → substitutions-only;
+    3. ``max_l_dist`` at most every per-kind cap → Levenshtein;
+    4. otherwise → generic.
+    """
+    subs, ins, dels, total = params.unpacked
+    if total == 0:
+        return EXACT
+    if ins == 0 and dels == 0:
+        return SUBSTITUTIONS
+    if total <= min(
+        subs if subs is not None else UNLIMITED,
+        ins if ins is not None else UNLIMITED,
+        dels if dels is not None else UNLIMITED,
+    ):
+        return LEVENSHTEIN
+    return GENERIC
+
+
+def extra_items_for_chunked_search(family: str, params: SearchParams) -> int:
+    """Overlap tail needed when scanning a haystack in chunks."""
+    if family in (EXACT, SUBSTITUTIONS):
+        return 0
+    if family == LEVENSHTEIN:
+        return params.max_l_dist
+    return max(
+        x for x in (params.max_l_dist, params.max_insertions) if x is not None
+    )
+
+
+def search_with_family(
+    family: str, needle: Sequence, haystack: Sequence, params: SearchParams
+) -> List[Match]:
+    if family == EXACT:
+        return list(iter_exact_matches(needle, haystack))
+    if family == SUBSTITUTIONS:
+        cap = min(
+            x
+            for x in (params.max_l_dist, params.max_substitutions)
+            if x is not None
+        )
+        return find_near_matches_substitutions(needle, haystack, cap)
+    if family == LEVENSHTEIN:
+        matches = find_near_matches_levenshtein(needle, haystack, params.max_l_dist)
+        return consolidate_overlapping_matches(matches)
+    if family == GENERIC:
+        matches = find_near_matches_generic(needle, haystack, params)
+        return consolidate_overlapping_matches(matches)
+    raise ValueError("unknown search family: %r" % family)
+
+
+def find_near_matches(
+    needle: Sequence,
+    haystack: Sequence,
+    max_substitutions: Optional[int] = None,
+    max_insertions: Optional[int] = None,
+    max_deletions: Optional[int] = None,
+    max_l_dist: Optional[int] = None,
+) -> List[Match]:
+    """Search for near-matches of ``needle`` in ``haystack`` within the given
+    edit budgets; consolidated output (reference __init__.py:35-57)."""
+    params = SearchParams(max_substitutions, max_insertions, max_deletions, max_l_dist)
+    family = choose_search_family(params)
+    return search_with_family(family, needle, haystack, params)

@@ -1,0 +1,68 @@
+"""Exact subsequence search (the engine's ``memmem`` layer).
+
+Parity target: /root/reference/src/fuzzysearch/search_exact.py:22-89.
+Uses CPython's tuned ``str.find`` / ``bytes.find`` (a two-way algorithm) for
+find-capable types and an ``.index`` + verify scan for list/tuple — no custom
+C needed at our granularity; whole-corpus exact dedup goes through the sha256
+groupby path instead (see stages/exact_dedup.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence
+
+from .match import Match, clamp
+
+FIND_CAPABLE = (str, bytes, bytearray)
+INDEX_CAPABLE = (list, tuple)
+
+
+def search_exact(
+    needle: Sequence,
+    haystack: Sequence,
+    start_index: int = 0,
+    end_index: Optional[int] = None,
+) -> List[int]:
+    """All start offsets of exact occurrences of ``needle`` within
+    ``haystack[start_index:end_index]`` (the full occurrence must fit in the
+    index range). Overlapping occurrences are found (step = 1 past each hit).
+    """
+    if not needle:
+        raise ValueError("subsequence must not be empty")
+    n = len(haystack)
+    if end_index is None:
+        end_index = n
+    lo = clamp(start_index, 0, n)
+    hi = clamp(end_index, lo, n)
+
+    hits: List[int] = []
+    if isinstance(haystack, FIND_CAPABLE):
+        if isinstance(haystack, str) != isinstance(needle, str):
+            raise TypeError("needle and haystack must both be str or both bytes-like")
+        pos = haystack.find(needle, lo, hi)
+        while pos >= 0:
+            hits.append(pos)
+            pos = haystack.find(needle, pos + 1, hi)
+    elif isinstance(haystack, INDEX_CAPABLE):
+        head = needle[0]
+        m = len(needle)
+        last_head_index = hi - (m - 1)
+        pos = lo
+        while True:
+            try:
+                cand = haystack.index(head, pos, last_head_index)
+            except ValueError:
+                break
+            pos = cand + 1
+            if all(haystack[cand + j] == needle[j] for j in range(1, m)):
+                hits.append(cand)
+    else:
+        raise TypeError("unsupported sequence type: %s" % type(haystack))
+    return hits
+
+
+def iter_exact_matches(needle: Sequence, haystack: Sequence) -> Iterator[Match]:
+    """Exact occurrences as dist-0 ``Match`` records (search_exact.py:80-89)."""
+    m = len(needle)
+    for idx in search_exact(needle, haystack):
+        yield Match(idx, idx + m, 0, haystack[idx : idx + m])

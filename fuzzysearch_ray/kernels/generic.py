@@ -1,0 +1,155 @@
+"""Generic fuzzy substring search with independent sub/ins/del budgets.
+
+Behavioral parity targets:
+
+- dispatcher: /root/reference/src/fuzzysearch/generic_search.py:25-54
+- candidate-automaton scan: generic_search.py:57-177 (including its edge
+  quirks: deletion-skip matches end at the *current* index, and a candidate
+  is seeded at every haystack offset)
+- pigeonhole + windowed re-scan: generic_search.py:198-237
+- boolean early-exit: generic_search.py:240-253
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence
+
+from .exact import search_exact
+from .match import Match, SearchParams, consolidate_overlapping_matches
+
+
+def find_near_matches_generic_lp(
+    needle: Sequence, haystack: Sequence, params: SearchParams
+) -> Iterator[Match]:
+    """Automaton scan with per-edit-kind budgets.
+
+    State tuples are ``(start, pos, l_dist, n_subs, n_ins, n_dels)``.
+    """
+    if not needle:
+        raise ValueError("Given subsequence is empty!")
+
+    max_subs, max_ins, max_dels, max_total = params.unpacked
+    m = len(needle)
+    n = len(haystack)
+
+    states: list = []
+    for idx in range(n):
+        ch = haystack[idx]
+        states.append((idx, 0, 0, 0, 0, 0))
+        nxt = []
+
+        for state in states:
+            start, pos, l_dist, n_subs, n_ins, n_dels = state
+            if ch == needle[pos]:
+                if pos + 1 == m:
+                    yield Match(start, idx + 1, l_dist, haystack[start : idx + 1])
+                else:
+                    nxt.append((start, pos + 1, l_dist, n_subs, n_ins, n_dels))
+                continue
+
+            if l_dist == max_total:
+                continue
+
+            if n_ins < max_ins:
+                # consume the haystack char as an insertion
+                nxt.append((start, pos, l_dist + 1, n_subs, n_ins + 1, n_dels))
+
+            if pos + 1 < m:
+                if n_subs < max_subs:
+                    # substitution: consume both
+                    nxt.append((start, pos + 1, l_dist + 1, n_subs + 1, n_ins, n_dels))
+                elif n_dels < max_dels and n_ins < max_ins:
+                    # emulate a substitution as insertion + deletion
+                    nxt.append(
+                        (start, pos + 1, l_dist + 1, n_subs, n_ins + 1, n_dels + 1)
+                    )
+            else:
+                # at the last needle char: a substitution (or ins+del pair)
+                # completes a match
+                if n_subs < max_subs or (n_dels < max_dels and n_ins < max_ins):
+                    yield Match(start, idx + 1, l_dist + 1, haystack[start : idx + 1])
+
+            # deletions: skip needle chars until re-syncing on ch
+            max_skip = min(max_dels - n_dels, max_total - l_dist)
+            for skip in range(1, max_skip + 1):
+                if pos + skip == m:
+                    yield Match(start, idx, l_dist + skip, haystack[start:idx])
+                    break
+                if needle[pos + skip] == ch:
+                    if pos + skip + 1 == m:
+                        yield Match(start, idx, l_dist + skip, haystack[start:idx])
+                    else:
+                        nxt.append(
+                            (start, pos + 1 + skip, l_dist + skip, n_subs, n_ins, n_dels + skip)
+                        )
+                    break
+
+        states = nxt
+
+    for start, pos, l_dist, n_subs, n_ins, n_dels in states:
+        remaining = m - pos
+        if n_dels + remaining <= max_dels and l_dist + remaining <= max_total:
+            yield Match(start, n, l_dist + remaining, haystack[start:n])
+
+
+def find_near_matches_generic_ngrams(
+    needle: Sequence, haystack: Sequence, params: SearchParams
+) -> Iterator[Match]:
+    """Pigeonhole candidates, then re-run the automaton on a ±k window around
+    each exact piece hit, rebasing spans (generic_search.py:198-237)."""
+    if not needle:
+        raise ValueError("Given subsequence is empty!")
+
+    k = params.max_l_dist
+    m = len(needle)
+    n = len(haystack)
+    piece_len = m // (k + 1)
+    if piece_len == 0:
+        raise ValueError("the subsequence length must be greater than max_l_dist")
+
+    for piece_start in range(0, m - piece_len + 1, piece_len):
+        piece_end = piece_start + piece_len
+        lo = max(0, piece_start - k)
+        hi = min(n, n - m + piece_end + k)
+        if hi <= lo:
+            continue
+        for hit in search_exact(needle[piece_start:piece_end], haystack, lo, hi):
+            window_start = max(0, hit - piece_start - k)
+            window_end = hit - piece_start + m + k
+            window = haystack[window_start:window_end]
+            for match in find_near_matches_generic_lp(needle, window, params):
+                yield match.shifted(window_start)
+
+
+def has_near_match_generic_ngrams(
+    needle: Sequence, haystack: Sequence, params: SearchParams
+) -> bool:
+    for _ in find_near_matches_generic_ngrams(needle, haystack, params):
+        return True
+    return False
+
+
+def find_near_matches_generic(
+    needle: Sequence, haystack: Sequence, params: SearchParams
+) -> List[Match]:
+    """Dispatcher (generic_search.py:25-54): exact / ngrams / automaton."""
+    if not needle:
+        raise ValueError("Given subsequence is empty!")
+
+    if params.max_l_dist == 0:
+        m = len(needle)
+        return [
+            Match(i, i + m, 0, haystack[i : i + m])
+            for i in search_exact(needle, haystack)
+        ]
+    if len(needle) // (params.max_l_dist + 1) >= 3:
+        return list(find_near_matches_generic_ngrams(needle, haystack, params))
+    return list(find_near_matches_generic_lp(needle, haystack, params))
+
+
+def find_near_matches_generic_consolidated(
+    needle: Sequence, haystack: Sequence, params: SearchParams
+) -> List[Match]:
+    return consolidate_overlapping_matches(
+        find_near_matches_generic(needle, haystack, params)
+    )

@@ -1,0 +1,213 @@
+"""Levenshtein-bounded fuzzy substring search.
+
+Re-derivation (behavioral parity, independent implementation) of the
+reference's Levenshtein family:
+
+- dispatcher: /root/reference/src/fuzzysearch/levenshtein.py:9-38
+- ngram pigeonhole search: levenshtein_ngram.py:159-198
+- prefix-anchored banded DP expansion: levenshtein_ngram.py:22-143
+- candidate-automaton ("linear programming") scan: levenshtein.py:52-148
+
+The pigeonhole principle: a match within distance k must contain at least one
+of the k+1 equal slices of the needle verbatim; each exact slice hit is then
+expanded right and left with a prefix-anchored edit-distance DP.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+from .exact import search_exact
+from .match import Match, consolidate_overlapping_matches
+
+
+def expand_prefix(
+    needle: Sequence, window: Sequence, max_dist: int
+) -> Tuple[Optional[int], Optional[int]]:
+    """Best prefix-anchored fuzzy occurrence of ``needle`` at the start of
+    ``window``.
+
+    Returns ``(dist, consumed)`` where ``window[:consumed]`` matches
+    ``needle`` at edit distance ``dist`` (minimal; among equal distances the
+    longest ``consumed`` wins), or ``(None, None)`` if no occurrence within
+    ``max_dist`` exists. Parity target: levenshtein_ngram.py:22-74 — a
+    column-major DP over the needle with an early bail once no cell can beat
+    the best score seen.
+    """
+    m = len(needle)
+    if m == 0:
+        return (0, 0)
+
+    # row[j] = edit distance of needle[:j+1] vs the window prefix consumed so
+    # far; initialised to pure-deletion costs.
+    row = list(range(1, m + 1))
+    best = m
+    best_len = 0
+
+    for i, ch in enumerate(window):
+        diag = i  # distance of needle[:0] vs window[:i]
+        left = i + 1  # distance of needle[:0] vs window[:i+1]
+        for j in range(m):
+            up = row[j]
+            cost = min(
+                diag + (ch != needle[j]),
+                up + 1,
+                left + 1,
+            )
+            row[j] = cost
+            left = cost
+            diag = up
+        if left <= best:
+            best = left
+            best_len = i + 1
+        elif min(row) >= best:
+            break
+
+    if best > max_dist:
+        return (None, None)
+    return (best, best_len)
+
+
+def find_near_matches_levenshtein_ngrams(
+    needle: Sequence, haystack: Sequence, max_l_dist: int
+) -> Iterator[Match]:
+    """Pigeonhole candidate generation + bidirectional DP verification.
+
+    Parity target: levenshtein_ngram.py:159-198. Yields possibly-overlapping
+    matches; callers consolidate.
+    """
+    m = len(needle)
+    n = len(haystack)
+    k = max_l_dist
+    piece_len = m // (k + 1)
+    if piece_len == 0:
+        raise ValueError("the subsequence length must be greater than max_l_dist")
+
+    for piece_start in range(0, m - piece_len + 1, piece_len):
+        piece_end = piece_start + piece_len
+        prefix_reversed = needle[:piece_start][::-1]
+        suffix = needle[piece_end:]
+        lo = max(0, piece_start - k)
+        hi = min(n, n - m + piece_end + k)
+        for hit in search_exact(needle[piece_start:piece_end], haystack, lo, hi):
+            # grow rightwards: match the needle suffix against the haystack
+            # right of the hit, with the full budget
+            right_window = haystack[hit + piece_len : hit - piece_start + m + k]
+            dist_r, len_r = expand_prefix(suffix, right_window, k)
+            if dist_r is None:
+                continue
+            # grow leftwards with whatever budget remains (both reversed so
+            # the DP stays prefix-anchored)
+            budget_l = k - dist_r
+            left_window = haystack[max(0, hit - piece_start - budget_l) : hit][::-1]
+            dist_l, len_l = expand_prefix(prefix_reversed, left_window, budget_l)
+            if dist_l is None:
+                continue
+            start = hit - len_l
+            end = hit + piece_len + len_r
+            yield Match(start, end, dist_l + dist_r, haystack[start:end])
+
+
+def find_near_matches_levenshtein_lp(
+    needle: Sequence, haystack: Sequence, max_l_dist: int
+) -> Iterator[Match]:
+    """Candidate-automaton scan for tiny needles (len//(k+1) < 3).
+
+    States are ``(start, needle_pos, dist)`` triples advanced per haystack
+    character, branching on substitution / insertion / deletion within the
+    remaining budget. Parity target: levenshtein.py:52-148 (including its
+    seeding rule: a new candidate may begin wherever the character equals one
+    of the first ``k+1`` needle characters, charged the skipped prefix as
+    deletions).
+    """
+    if not needle:
+        raise ValueError("Given subsequence is empty!")
+
+    m = len(needle)
+    k = max_l_dist
+
+    if k >= m:
+        # the whole needle can be deleted: a zero-width match at every offset
+        for pos in range(len(haystack) + 1):
+            yield Match(pos, pos, m, haystack[pos:pos])
+        return
+
+    # earliest needle index (within the first k+1) holding each character
+    seed_index = {}
+    for j in range(min(k + 1, m) - 1, -1, -1):
+        seed_index[needle[j]] = j
+
+    states: List[Tuple[int, int, int]] = []  # (start, needle_pos, dist)
+    idx = -1
+    for idx, ch in enumerate(haystack):
+        nxt: List[Tuple[int, int, int]] = []
+
+        j0 = seed_index.get(ch)
+        if j0 is not None:
+            if j0 + 1 == m:
+                yield Match(idx, idx + 1, j0, haystack[idx : idx + 1])
+            else:
+                nxt.append((idx, j0 + 1, j0))
+
+        for start, pos, dist in states:
+            if needle[pos] == ch:
+                if pos + 1 == m:
+                    yield Match(start, idx + 1, dist, haystack[start : idx + 1])
+                else:
+                    nxt.append((start, pos + 1, dist))
+                continue
+            if dist == k:
+                continue
+            # insertion: consume the haystack char, needle stays
+            nxt.append((start, pos, dist + 1))
+            # substitution: consume both
+            if idx + 1 < len(haystack) and pos + 1 < m:
+                nxt.append((start, pos + 1, dist + 1))
+            # deletions: skip 1..budget needle chars to re-sync on ch
+            for skip in range(1, k - dist + 1):
+                if pos + skip == m:
+                    yield Match(start, idx + 1, dist + skip, haystack[start : idx + 1])
+                    break
+                if needle[pos + skip] == ch:
+                    if pos + skip + 1 == m:
+                        yield Match(start, idx + 1, dist + skip, haystack[start : idx + 1])
+                    else:
+                        nxt.append((start, pos + 1 + skip, dist + skip))
+                    break
+
+        states = nxt
+
+    seq_len = len(haystack)
+    for start, pos, dist in states:
+        total = dist + (m - pos)
+        if total <= k:
+            yield Match(start, seq_len, total, haystack[start:seq_len])
+
+
+def find_near_matches_levenshtein(
+    needle: Sequence, haystack: Sequence, max_l_dist: int
+) -> List[Match]:
+    """Family dispatcher (levenshtein.py:9-38): exact / ngrams / automaton."""
+    if not needle:
+        raise ValueError("Given subsequence is empty!")
+    if max_l_dist < 0:
+        raise ValueError("Maximum Levenshtein distance must be >= 0!")
+
+    if max_l_dist == 0:
+        m = len(needle)
+        return [
+            Match(i, i + m, 0, haystack[i : i + m])
+            for i in search_exact(needle, haystack)
+        ]
+    if len(needle) // (max_l_dist + 1) >= 3:
+        return list(find_near_matches_levenshtein_ngrams(needle, haystack, max_l_dist))
+    return list(find_near_matches_levenshtein_lp(needle, haystack, max_l_dist))
+
+
+def find_near_matches_levenshtein_consolidated(
+    needle: Sequence, haystack: Sequence, max_l_dist: int
+) -> List[Match]:
+    """Search then collapse overlapping hits to the best per group."""
+    return consolidate_overlapping_matches(
+        find_near_matches_levenshtein(needle, haystack, max_l_dist)
+    )

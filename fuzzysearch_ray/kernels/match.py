@@ -1,0 +1,192 @@
+"""Core data types and match post-processing for the fuzzy-search kernels.
+
+Re-derives (behavior-for-behavior, not line-for-line) the reference's
+``Match`` record, ``LevenshteinSearchParams`` normalization, capped Hamming
+counting and overlap consolidation:
+
+- Match record + invariants: /root/reference/src/fuzzysearch/common.py:15-32
+- params validation/normalization: common.py:35-116
+- capped diff count: common.py:119-126
+- group/best/consolidate: common.py:145-189
+
+These kernels are pure Python/numpy with no Ray dependency so they can be
+unit-tested against the reference's golden tables and reused both inside
+distributed verify stages and in the single-process oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, List, Optional, Sequence
+
+#: Sentinel for "unlimited" — same magnitude the reference uses (1 << 29) so
+#: normalization arithmetic (sums, clamps) produces identical numbers.
+UNLIMITED = 1 << 29
+
+
+@dataclass(frozen=True, order=True)
+class Match:
+    """A fuzzy match: half-open span [start, end) at edit distance ``dist``.
+
+    ``matched`` (the matched slice) is excluded from equality, hashing and
+    ordering, mirroring the reference record (common.py:15-20).
+    """
+
+    start: int
+    end: int
+    dist: int
+    matched: object = field(compare=False, default=None)
+
+    def __post_init__(self) -> None:
+        if not (isinstance(self.start, int) and self.start >= 0):
+            raise ValueError("start must be a non-negative integer")
+        if not (isinstance(self.end, int) and self.end >= self.start):
+            raise ValueError("end must be an integer no smaller than start")
+        if not (isinstance(self.dist, int) and self.dist >= 0):
+            raise ValueError("dist must be a non-negative integer")
+        if self.matched is None:
+            raise ValueError("matched must be supplied")
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Match):
+            return NotImplemented
+        return (self.start, self.end, self.dist) == (other.start, other.end, other.dist)
+
+    def __hash__(self) -> int:
+        return hash((self.start, self.end, self.dist))
+
+    def shifted(self, offset: int) -> "Match":
+        """Rebase the span by ``offset`` (the reference uses attr.evolve)."""
+        return Match(self.start + offset, self.end + offset, self.dist, self.matched)
+
+
+class SearchParams:
+    """Validated + normalized edit-budget configuration.
+
+    Semantics match the reference's ``LevenshteinSearchParams``
+    (common.py:35-116):
+
+    * all values must be non-negative ints or None (TypeError otherwise);
+    * if ``max_l_dist`` is None, all three per-kind caps must be given
+      (ValueError naming the first missing one, in subs→ins→dels order);
+    * normalization: with ``max_l_dist`` given, each per-kind cap is clamped
+      to it (None → max_l_dist) and ``max_l_dist`` itself is clamped to the
+      sum of the caps (None counted as 1<<29); with ``max_l_dist`` None it
+      becomes that sum and the caps pass through unchanged (possibly None).
+    """
+
+    __slots__ = ("max_substitutions", "max_insertions", "max_deletions", "max_l_dist")
+
+    def __init__(
+        self,
+        max_substitutions: Optional[int] = None,
+        max_insertions: Optional[int] = None,
+        max_deletions: Optional[int] = None,
+        max_l_dist: Optional[int] = None,
+    ) -> None:
+        given = (max_substitutions, max_insertions, max_deletions, max_l_dist)
+        for value in given:
+            if value is not None and not (isinstance(value, int) and value >= 0):
+                raise TypeError("All limits must be positive integers or None.")
+
+        if max_l_dist is None:
+            n_given = sum(v is not None for v in given[:3])
+            if n_given < 3:
+                if n_given == 0:
+                    raise ValueError("No limitations given!")
+                if max_substitutions is None:
+                    raise ValueError("# substitutions must be limited!")
+                if max_insertions is None:
+                    raise ValueError("# insertions must be limited!")
+                raise ValueError("# deletions must be limited!")
+
+        cap_sum = sum(v if v is not None else UNLIMITED for v in given[:3])
+        if max_l_dist is None:
+            subs, ins, dels, total = max_substitutions, max_insertions, max_deletions, cap_sum
+        else:
+            subs = max_l_dist if max_substitutions is None else min(max_substitutions, max_l_dist)
+            ins = max_l_dist if max_insertions is None else min(max_insertions, max_l_dist)
+            dels = max_l_dist if max_deletions is None else min(max_deletions, max_l_dist)
+            total = min(max_l_dist, cap_sum)
+
+        self.max_substitutions = subs
+        self.max_insertions = ins
+        self.max_deletions = dels
+        self.max_l_dist = total
+
+    @property
+    def unpacked(self):
+        return (self.max_substitutions, self.max_insertions, self.max_deletions, self.max_l_dist)
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return "SearchParams(subs=%r, ins=%r, dels=%r, l_dist=%r)" % self.unpacked
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, SearchParams):
+            return NotImplemented
+        return self.unpacked == other.unpacked
+
+    def __hash__(self) -> int:
+        return hash(self.unpacked)
+
+
+def count_capped_mismatches(seq_a: Sequence, seq_b: Sequence, cap: int) -> int:
+    """Hamming distance of two (aligned) windows, stopping once ``cap`` is hit.
+
+    Parity target: common.py:119-126.
+    """
+    n = 0
+    for a, b in zip(seq_a, seq_b):
+        if a != b:
+            n += 1
+            if n == cap:
+                break
+    return n
+
+
+def group_matches(matches: Iterable[Match]) -> List[set]:
+    """Partition matches into connected components of the span-overlap graph.
+
+    Two matches overlap iff their half-open spans intersect with positive
+    length (touching endpoints do NOT overlap) — parity with
+    common.py:145-177. Implemented as a sorted interval sweep, which yields
+    the same components as the reference's incremental group merging because
+    a connected set of intervals covers a contiguous range.
+    """
+    ordered = sorted(matches, key=lambda m: (m.start, m.end))
+    groups: List[set] = []
+    cur: set = set()
+    cur_start = cur_end = None
+    for m in ordered:
+        if cur and m.start < cur_end and m.end > cur_start:
+            cur.add(m)
+            cur_end = max(cur_end, m.end)
+            cur_start = min(cur_start, m.start)
+        else:
+            if cur:
+                groups.append(cur)
+            cur = {m}
+            cur_start, cur_end = m.start, m.end
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def get_best_match_in_group(group: Iterable[Match]) -> Match:
+    """Smallest distance wins; ties broken by longest span (common.py:180-182).
+
+    Deliberate divergence: when (dist, length) still ties, the reference's
+    pick depends on set iteration order (an implementation accident); we pick
+    the smallest (start, end) so results are deterministic under retry.
+    """
+    return min(group, key=lambda m: (m.dist, -(m.end - m.start), m.start, m.end))
+
+
+def consolidate_overlapping_matches(matches: Iterable[Match]) -> List[Match]:
+    """Collapse each overlap group to its best match, sorted (common.py:185-189)."""
+    best = [get_best_match_in_group(g) for g in group_matches(matches)]
+    return sorted(best)
+
+
+def clamp(value, lo, hi):
+    return max(lo, min(value, hi))

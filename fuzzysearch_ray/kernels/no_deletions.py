@@ -1,0 +1,128 @@
+"""Substitutions + insertions (no deletions) fuzzy substring search.
+
+Behavioral parity target: /root/reference/src/fuzzysearch/no_deletions.py.
+Note: the reference's top-level dispatcher never selects this family
+(__init__.py:60-83 has no no-deletions branch); it is implemented for API
+parity and is reachable only by direct call — matching reference behavior.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from .exact import search_exact
+from .match import Match, SearchParams
+
+
+def expand_no_deletions(
+    needle: Sequence,
+    window: Sequence,
+    max_substitutions: int,
+    max_insertions: int,
+    max_l_dist: int,
+) -> List[Tuple[int, int]]:
+    """Pareto frontier of ``(n_subs, n_ins)`` costs for matching ``needle``
+    at the start of ``window`` allowing only substitutions and insertions.
+
+    For each insertion count 0..max_insertions, computes the minimal number
+    of substitutions (DP over the needle), then filters to within-budget,
+    strictly-improving entries (no_deletions.py:13-39).
+    """
+    if not needle:
+        return (0, 0)  # parity quirk: a bare tuple, not a list of tuples
+
+    subs_for_ins = [0] * (max_insertions + 1)
+    for j, ch in enumerate(needle):
+        subs_for_ins[0] += ch != window[j]
+        for ins in range(1, max_insertions + 1):
+            subs_for_ins[ins] = min(
+                subs_for_ins[ins] + (ch != window[j + ins]),
+                subs_for_ins[ins - 1],
+            )
+
+    in_budget = [
+        (subs, ins)
+        for ins, subs in enumerate(subs_for_ins)
+        if subs <= max_substitutions and ins + subs <= max_l_dist
+    ]
+    frontier = []
+    for i, pair in enumerate(in_budget):
+        if i == 0 or pair[0] < in_budget[i - 1][0]:
+            frontier.append(pair)
+    return frontier
+
+
+def find_near_matches_no_deletions_ngrams(
+    needle: Sequence, haystack: Sequence, params: SearchParams
+) -> List[Match]:
+    """Pigeonhole over ``max_subs + max_ins + 1`` pieces; flanks expanded with
+    the Pareto DP, all cost combinations within budget emitted
+    (no_deletions.py:42-129)."""
+    if not needle:
+        raise ValueError("Given subsequence is empty!")
+
+    max_subs, max_ins, _max_dels, max_total = params.unpacked
+    max_subs = min(max_subs, max_total)
+    max_ins = min(max_ins, max_total)
+
+    m = len(needle)
+    n = len(haystack)
+    piece_len = m // (max_subs + max_ins + 1)
+    if piece_len == 0:
+        raise ValueError("The subsequence's length must be greater than max_subs + max_ins!")
+
+    matches: List[Match] = []
+    claimed_starts = set()
+
+    for piece_start in range(0, m - piece_len + 1, piece_len):
+        piece_end = piece_start + piece_len
+        before = needle[:piece_start]
+        before_reversed = before[::-1]
+        after = needle[piece_end:]
+        lo = max(0, piece_start - max_ins)
+        hi = min(n, n - (m - piece_end) + max_ins)
+
+        for hit in search_exact(needle[piece_start:piece_end], haystack, lo, hi):
+            base = hit - piece_start
+            if base in claimed_starts:
+                continue
+
+            window_after = haystack[hit + piece_len : base + m + max_ins]
+            if window_after[: len(after)] == after:
+                costs_after = [(0, 0)]
+            else:
+                costs_after = expand_no_deletions(
+                    after, window_after, max_subs, max_ins, max_total
+                )
+                if not costs_after:
+                    continue
+
+            rem_subs = max_subs - min(c[0] for c in costs_after)
+            rem_ins = max_ins - min(c[1] for c in costs_after)
+            rem_total = max_total - min(c[0] + c[1] for c in costs_after)
+            window_before = haystack[base - rem_ins : hit]
+            if piece_start == 0 or window_before[-len(before) :] == before:
+                costs_before = [(0, 0)]
+            else:
+                costs_before = expand_no_deletions(
+                    before_reversed, window_before[::-1], rem_subs, rem_ins, rem_total
+                )
+
+            for subs_b, ins_b in costs_before:
+                for subs_a, ins_a in costs_after:
+                    total_subs = subs_b + subs_a
+                    total_ins = ins_b + ins_a
+                    if (
+                        total_subs <= max_subs
+                        and total_ins <= max_ins
+                        and total_subs + total_ins <= max_total
+                    ):
+                        start = base - ins_b
+                        end = base + m + ins_a
+                        matches.append(
+                            Match(start, end, total_subs + total_ins, haystack[start:end])
+                        )
+                        claimed_starts |= set(range(start, start + max_ins + 1))
+
+    matches.sort(key=lambda mt: mt.start)
+    return matches

@@ -1,0 +1,155 @@
+"""Substitutions-only (Hamming-style) fuzzy substring search.
+
+Behavioral parity targets:
+
+- dispatcher: /root/reference/src/fuzzysearch/substitutions_only.py:37-63
+- all-alignments scan ("lp"): substitutions_only.py:82-136
+- pigeonhole ngram variant: substitutions_only.py:148-215
+- boolean early-exit variants: substitutions_only.py:18-34,139-145,218-233
+
+Instead of the reference's rotated ring of per-alignment counters (a Python
+loop per character), the all-alignments scan here is a vectorized numpy
+sliding-window mismatch count over code points — the batch-friendly shape for
+``map_batches``. Outputs are identical: every alignment whose Hamming
+distance is within budget, in start order.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from .exact import search_exact
+from .match import Match, count_capped_mismatches
+
+
+def _as_codepoints(seq: Sequence) -> np.ndarray:
+    """A 1-D integer view of a str/bytes sequence (uint32 code points)."""
+    if isinstance(seq, str):
+        return np.frombuffer(seq.encode("utf-32-le"), dtype=np.uint32)
+    if isinstance(seq, (bytes, bytearray)):
+        return np.frombuffer(bytes(seq), dtype=np.uint8).astype(np.uint32)
+    raise TypeError("unsupported sequence type: %s" % type(seq))
+
+
+def _check_args(needle: Sequence, max_substitutions) -> None:
+    if not needle:
+        raise ValueError("Given subsequence is empty!")
+    if max_substitutions is None or max_substitutions < 0:
+        raise ValueError("Maximum number of substitutions must be >= 0!")
+
+
+def hamming_window_distances(needle: Sequence, haystack: Sequence) -> np.ndarray:
+    """Hamming distance of ``needle`` against every alignment of ``haystack``.
+
+    Vectorized over all ``len(haystack) - len(needle) + 1`` windows.
+    """
+    nd = _as_codepoints(needle)
+    hs = _as_codepoints(haystack)
+    m, n = len(nd), len(hs)
+    if n < m:
+        return np.empty(0, dtype=np.int64)
+    windows = np.lib.stride_tricks.sliding_window_view(hs, m)
+    return (windows != nd).sum(axis=1)
+
+
+def find_near_matches_substitutions_lp(
+    needle: Sequence, haystack: Sequence, max_substitutions: int
+) -> List[Match]:
+    """All alignments within ``max_substitutions`` mismatches, by start order."""
+    _check_args(needle, max_substitutions)
+    m = len(needle)
+    if isinstance(haystack, (str, bytes, bytearray)) and isinstance(needle, type(haystack)):
+        dists = hamming_window_distances(needle, haystack)
+        return [
+            Match(int(i), int(i) + m, int(d), haystack[int(i) : int(i) + m])
+            for i, d in enumerate(dists)
+            if d <= max_substitutions
+        ]
+    # generic sequences (list/tuple): plain capped scan per alignment
+    out = []
+    for i in range(len(haystack) - m + 1):
+        window = haystack[i : i + m]
+        d = count_capped_mismatches(window, needle, max_substitutions + 1)
+        if d <= max_substitutions:
+            out.append(Match(i, i + m, d, window))
+    return out
+
+
+def find_near_matches_substitutions_ngrams(
+    needle: Sequence, haystack: Sequence, max_substitutions: int
+) -> List[Match]:
+    """Pigeonhole variant: one of the ``max_substitutions + 1`` needle slices
+    must occur verbatim; flanks are verified with capped mismatch counting.
+    Deduplicated by start offset, sorted by start — same output set as the
+    all-alignments scan.
+    """
+    _check_args(needle, max_substitutions)
+    m = len(needle)
+    n = len(haystack)
+    piece_len = m // (max_substitutions + 1)
+    if piece_len == 0:
+        raise ValueError("The subsequence's length must be greater than max_substitutions!")
+
+    seen_starts = set()
+    out: List[Match] = []
+    for piece_start in range(0, m - piece_len + 1, piece_len):
+        piece_end = piece_start + piece_len
+        before = needle[:piece_start]
+        after = needle[piece_end:]
+        for hit in search_exact(
+            needle[piece_start:piece_end], haystack, piece_start, n - (m - piece_end)
+        ):
+            start = hit - piece_start
+            if start in seen_starts:
+                continue
+            budget = max_substitutions
+            d = count_capped_mismatches(haystack[start:hit], before, budget + 1)
+            if d > budget:
+                continue
+            budget -= d
+            d2 = count_capped_mismatches(
+                haystack[hit + piece_len : start + m], after, budget + 1
+            )
+            if d2 > budget:
+                continue
+            seen_starts.add(start)
+            out.append(Match(start, start + m, d + d2, haystack[start : start + m]))
+    out.sort(key=lambda mt: mt.start)
+    return out
+
+
+def find_near_matches_substitutions(
+    needle: Sequence, haystack: Sequence, max_substitutions: int
+) -> List[Match]:
+    """Dispatcher (substitutions_only.py:37-63): exact / ngrams / scan."""
+    _check_args(needle, max_substitutions)
+    if max_substitutions == 0:
+        m = len(needle)
+        return [
+            Match(i, i + m, 0, haystack[i : i + m])
+            for i in search_exact(needle, haystack)
+        ]
+    if len(needle) // (max_substitutions + 1) >= 3:
+        return find_near_matches_substitutions_ngrams(needle, haystack, max_substitutions)
+    return find_near_matches_substitutions_lp(needle, haystack, max_substitutions)
+
+
+def has_near_match_substitutions_lp(needle, haystack, max_substitutions) -> bool:
+    _check_args(needle, max_substitutions)
+    return bool(find_near_matches_substitutions_lp(needle, haystack, max_substitutions))
+
+
+def has_near_match_substitutions_ngrams(needle, haystack, max_substitutions) -> bool:
+    _check_args(needle, max_substitutions)
+    return bool(find_near_matches_substitutions_ngrams(needle, haystack, max_substitutions))
+
+
+def has_near_match_substitutions(needle, haystack, max_substitutions) -> bool:
+    _check_args(needle, max_substitutions)
+    if max_substitutions == 0:
+        return bool(search_exact(needle, haystack))
+    if len(needle) // (max_substitutions + 1) >= 3:
+        return has_near_match_substitutions_ngrams(needle, haystack, max_substitutions)
+    return has_near_match_substitutions_lp(needle, haystack, max_substitutions)

