@@ -1,0 +1,56 @@
+"""Engine configuration.
+
+``DedupConfig`` plays the role the reference's ``LevenshteinSearchParams``
+plays for a single search (/root/reference/src/fuzzysearch/common.py:35-116):
+one frozen, validated bundle that every stage derives its behavior from, so a
+pipeline is a pure function of (input, config).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- signature scheme -------------------------------------------------
+    shingle_k: int = 5            # char (UTF-8 byte) n-gram size
+    num_perm: int = 128           # MinHash permutations
+    num_bands: int = 32           # LSH bands (rows per band = num_perm // num_bands)
+    seed: int = 42
+
+    # --- dup decision ------------------------------------------------------
+    jaccard_threshold: float = 0.8
+    # annotate verified pairs with a capped edit distance (ratio of max len);
+    # the Levenshtein kernel is exercised on every verified pair but is not a
+    # gate (recall is then purely an LSH property: P(miss) ≈ (1-s^r)^b)
+    lev_cap_ratio: float = 0.2
+    min_exact_run: int = 256      # long-run exact-dup annotation (suffix hash probe)
+
+    # --- skew / scale knobs -------------------------------------------------
+    bucket_cap: int = 64          # max bucket size before windowed-chain pairing
+    chain_window: int = 3         # neighbors linked per node in capped buckets
+    max_content_bytes_for_lsh: int = 1 << 20  # truncate signature input beyond 1 MiB
+    broadcast_limit_rows: int = 300_000       # content map broadcast vs shuffle join
+    num_join_partitions: int = 32
+
+    # --- execution ----------------------------------------------------------
+    signature_batch_size: int = 512
+    verify_batch_size: int = 1024
+    signature_concurrency: tuple = (2, 8)
+    verify_concurrency: tuple = (2, 8)
+
+    @property
+    def band_rows(self) -> int:
+        return self.num_perm // self.num_bands
+
+    def __post_init__(self):
+        if self.num_perm % self.num_bands:
+            raise ValueError("num_perm must be divisible by num_bands")
+        if not (0.0 < self.jaccard_threshold <= 1.0):
+            raise ValueError("jaccard_threshold must be in (0, 1]")
+        if self.shingle_k <= 0 or self.bucket_cap < 2:
+            raise ValueError("invalid shingle_k / bucket_cap")
+
+
+DEFAULT_CONFIG = DedupConfig()

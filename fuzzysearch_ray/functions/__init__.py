@@ -1,0 +1,24 @@
+from .hashing import (
+    DEFAULT_NUM_PERM,
+    DEFAULT_SHINGLE_K,
+    band_hashes,
+    exact_jaccard,
+    longest_common_run_at_least,
+    md5_hex,
+    minhash_coefficients,
+    minhash_signature,
+    rolling_fingerprint,
+    sha256_hex,
+    shingle_hashes,
+    simhash64,
+    simhash_hamming,
+)
+from .text_stats import (
+    bpe_ish_token_count,
+    count_char_classes,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+__all__ = [name for name in dir() if not name.startswith("_")]

@@ -1,0 +1,181 @@
+"""Vectorized, seeded hashing primitives for the dedup pipeline.
+
+All hashing is deterministic and stateless per row (seeded coefficient
+matrices, no wall-clock / process randomness) so Ray task retries replay to
+identical results.
+
+Design notes for scale: every function here is numpy-vectorized per document;
+the per-batch Python loop is over *documents* (thousands of inner ops each),
+so interpreter overhead is negligible relative to the vector work.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional, Tuple
+
+import numpy as np
+
+# Multiply-shift universal-ish hashing constants (Knuth/splitmix-style odd
+# multipliers). uint64 arithmetic wraps mod 2^64 by design.
+_POLY_P = np.uint64(1099511628211)  # FNV-64 prime as the rolling base
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_MIX_B = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C = np.uint64(0x94D049BB133111EB)
+
+DEFAULT_NUM_PERM = 128
+DEFAULT_SHINGLE_K = 5
+MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def sha256_hex(text: str) -> str:
+    """Content fingerprint used for the exact-dup groupby and the end-to-end
+    content-integrity invariant (BASELINE.json: per-row sha256 equality)."""
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def md5_hex(text: str) -> str:
+    """MD5 hex digest — chosen for the oracle because DuckDB's ``md5()``
+    computes the identical value, making exact dedup SQL-checkable."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Finalizing bit mixer (splitmix64), vectorized over uint64 arrays."""
+    x = (x + _MIX_A).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(30))) * _MIX_B).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(27))) * _MIX_C).astype(np.uint64)
+    return (x ^ (x >> np.uint64(31))).astype(np.uint64)
+
+
+def shingle_hashes(text: str, k: int = DEFAULT_SHINGLE_K) -> np.ndarray:
+    """Unique uint64 hashes of all k-byte shingles of ``text`` (UTF-8 bytes).
+
+    Vectorized polynomial accumulation: k shifted adds over the byte array,
+    then a splitmix64 finalizer. A document shorter than k yields a single
+    hash of the whole text (so empty/near-empty docs still compare).
+    """
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = data.size
+    if n < k:
+        h = np.zeros(1, dtype=np.uint64)
+        for j in range(n):
+            h = (h * _POLY_P + np.uint64(data[j])).astype(np.uint64)
+        return _splitmix64(h)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = (acc * _POLY_P + data[j : n - k + 1 + j].astype(np.uint64)).astype(np.uint64)
+    return np.unique(_splitmix64(acc))
+
+
+def minhash_coefficients(num_perm: int = DEFAULT_NUM_PERM, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) coefficient vectors for ``num_perm`` permutations.
+
+    Built once per actor (stages load this in ``__init__``), never per batch.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    shingles: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """128-perm MinHash signature: ``min_i((a_j * x_i + b_j) mod 2^64)``.
+
+    Outer-product formulation; chunks the shingle axis so the temporary stays
+    under ~16 MiB regardless of document size.
+    """
+    num_perm = a.size
+    if shingles.size == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    chunk = max(1, (2 * 1024 * 1024) // num_perm)  # 2M cells ≈ 16 MiB temp
+    for off in range(0, shingles.size, chunk):
+        part = shingles[off : off + chunk]
+        hashed = (a[:, None] * part[None, :] + b[:, None]).astype(np.uint64)
+        np.minimum(sig, hashed.min(axis=1), out=sig)
+    return sig
+
+
+def simhash64(shingles: np.ndarray) -> int:
+    """64-bit SimHash over the shingle hash multiset (sign of per-bit sums)."""
+    if shingles.size == 0:
+        return 0
+    bits = (shingles[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - shingles.size
+    word = np.uint64(0)
+    for j in range(64):
+        if votes[j] >= 0:
+            word |= np.uint64(1) << np.uint64(j)
+    return int(word)
+
+
+def band_hashes(signature: np.ndarray, num_bands: int) -> np.ndarray:
+    """Collapse a MinHash signature into ``num_bands`` per-band uint64 keys.
+
+    Row count per band = len(signature) // num_bands; each band is reduced by
+    the same polynomial+mix scheme used for shingles.
+    """
+    rows = signature.size // num_bands
+    bands = signature[: num_bands * rows].reshape(num_bands, rows)
+    acc = np.zeros(num_bands, dtype=np.uint64)
+    for j in range(rows):
+        acc = (acc * _POLY_P + bands[:, j]).astype(np.uint64)
+    return _splitmix64(acc)
+
+
+def simhash_hamming(x: int, y: int) -> int:
+    return bin(x ^ y).count("1")
+
+
+def exact_jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
+    """Exact Jaccard similarity of two unique-shingle-hash arrays."""
+    if sh_a.size == 0 and sh_b.size == 0:
+        return 1.0
+    inter = np.intersect1d(sh_a, sh_b, assume_unique=True).size
+    union = sh_a.size + sh_b.size - inter
+    return inter / union if union else 1.0
+
+
+def rolling_fingerprint(text: str, window: int = 64, keep: int = 8) -> np.ndarray:
+    """Winnowing-style document fingerprint: the ``keep`` smallest distinct
+    hashes of ``window``-byte shingles (a compact containment sketch)."""
+    hashes = shingle_hashes(text, k=min(window, max(1, len(text))))
+    hashes.sort()
+    return hashes[:keep]
+
+
+def longest_common_run_at_least(a: str, b: str, min_run: int) -> bool:
+    """True iff ``a`` and ``b`` share a common substring of >= min_run chars.
+
+    Hash-based screen + exact verify: collect min_run-gram hashes of the
+    smaller string, probe the larger; verifies candidate hits with the exact
+    substring to rule out collisions. This is the engine's exact long-run
+    dedup check (supersedes the reference's memmem layer at document scale —
+    see SURVEY.md §2.3).
+    """
+    if min_run <= 0:
+        return True
+    if len(a) < min_run or len(b) < min_run:
+        return False
+    if len(a) > len(b):
+        a, b = b, a
+    probe = shingle_hashes(a, min_run)  # unique, sorted
+    b_bytes = b.encode("utf-8")
+    a_bytes = a.encode("utf-8")
+    data = np.frombuffer(b_bytes, dtype=np.uint8)
+    n = data.size
+    if n < min_run:
+        return False
+    acc = np.zeros(n - min_run + 1, dtype=np.uint64)
+    for j in range(min_run):
+        acc = (acc * _POLY_P + data[j : n - min_run + 1 + j].astype(np.uint64)).astype(np.uint64)
+    window_hashes = _splitmix64(acc)
+    candidate_offsets = np.nonzero(np.isin(window_hashes, probe))[0]
+    # collision guard: confirm one candidate window really occurs in `a`
+    for off in candidate_offsets[:256]:
+        if a_bytes.find(b_bytes[off : off + min_run]) >= 0:
+            return True
+    return False

@@ -1,0 +1,84 @@
+"""Text-analysis primitives for training-data pipelines.
+
+Language-ID (stopword n-gram heuristic), quality scoring (char-class
+counters + ratios), token counting and document fingerprinting. Each is
+deterministic and defined so its SQL equivalent (DuckDB) computes identical
+values where one exists (see __ray_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+# ASCII-scoped character classes so the SQL oracle (regexp_replace with the
+# same patterns) counts identically.
+_RE_ALPHA = re.compile(r"[A-Za-z]")
+_RE_DIGIT = re.compile(r"[0-9]")
+_RE_SPACE = re.compile(r"[ \t\n\r]")
+_RE_PUNCT = re.compile(r"[.,;:!?]")
+_RE_TOKEN = re.compile(r"\S+")
+# BPE-ish word/number/symbol splitter for subword-flavoured token counts
+_RE_BPE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+_STOPWORDS: Dict[str, frozenset] = {
+    "en": frozenset("the of and to in a is that it for on with as are was be this".split()),
+    "de": frozenset("der die und das ist von zu mit den nicht ein eine auf für sich".split()),
+    "fr": frozenset("le la les de des et un une est que pour dans qui pas sur".split()),
+    "es": frozenset("el la los las de y que en un una es por para con del no".split()),
+}
+
+
+def count_char_classes(text: str) -> Tuple[int, int, int, int]:
+    """(n_alpha, n_digit, n_space, n_punct) with ASCII class definitions."""
+    return (
+        len(_RE_ALPHA.findall(text)),
+        len(_RE_DIGIT.findall(text)),
+        len(_RE_SPACE.findall(text)),
+        len(_RE_PUNCT.findall(text)),
+    )
+
+
+def token_count(text: str) -> int:
+    """Whitespace token count (Python ``str.split`` semantics)."""
+    return len(_RE_TOKEN.findall(text))
+
+
+def bpe_ish_token_count(text: str) -> int:
+    """Count of alpha-runs, digit-runs and single symbols — a cheap proxy for
+    a BPE tokenizer's pre-tokenization."""
+    return len(_RE_BPE.findall(text))
+
+
+def quality_score(text: str) -> float:
+    """Heuristic quality score in [0, 1]: length, alpha ratio, mean word
+    length sanity, whitespace sanity. Deterministic, branch-free arithmetic."""
+    n = len(text)
+    if n == 0:
+        return 0.0
+    n_alpha, n_digit, n_space, _ = count_char_classes(text)
+    n_tokens = token_count(text)
+    alpha_ratio = n_alpha / n
+    space_ratio = n_space / n
+    length_term = min(n, 2000) / 2000.0
+    mean_tok = (n - n_space) / n_tokens if n_tokens else 0.0
+    tok_sanity = 1.0 if 2.0 <= mean_tok <= 12.0 else 0.5
+    space_sanity = 1.0 if 0.05 <= space_ratio <= 0.5 else 0.5
+    return round(0.4 * alpha_ratio + 0.3 * length_term + 0.15 * tok_sanity + 0.15 * space_sanity, 6)
+
+
+def language_id(text: str) -> str:
+    """Stopword-vote language heuristic over a fixed 4-language table.
+
+    Returns the language with the most stopword hits among the first 200
+    whitespace tokens, or 'und' (undetermined) when nothing scores.
+    """
+    tokens = [t.lower().strip(".,;:!?\"'()") for t in text.split()[:200]]
+    if not tokens:
+        return "und"
+    best_lang, best_hits = "und", 0
+    for lang in ("en", "de", "fr", "es"):  # fixed order → deterministic ties
+        hits = sum(1 for t in tokens if t in _STOPWORDS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang

@@ -1,9 +1,11 @@
 """Capped whole-string Levenshtein distance (the pair-verify kernel).
 
-The dedup pipeline verifies candidate pairs with a *whole-document* bounded
-edit distance, which is the prefix-anchored DP of levenshtein_ngram.py:77-143
-generalized to both strings: a banded O(k * max(n, m)) computation that bails
-as soon as the entire band exceeds the cap.
+The dedup pipeline annotates candidate pairs with a whole-document bounded
+edit distance. Uses Ukkonen's diagonal cut-off algorithm (the same
+"only diagonals within the budget" insight behind the reference's banded
+expansion, levenshtein_ngram.py:77-143, applied to whole strings): cost is
+O(d²) diagonal cells where d is the ACTUAL distance — near-identical
+documents verify in ~d² vectorized snake extensions regardless of length.
 """
 
 from __future__ import annotations
@@ -12,67 +14,99 @@ from typing import Optional
 
 import numpy as np
 
+_NEG = -(1 << 30)
 
-def bounded_levenshtein(a: str, b: str, cap: int) -> Optional[int]:
+
+def _codepoints(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+
+def bounded_levenshtein(
+    a: str, b: str, cap: int, max_cells: int = 200_000
+) -> Optional[int]:
     """Edit distance of ``a`` and ``b`` if it is <= ``cap``, else None.
 
-    Banded Ukkonen-style DP: only diagonals within ``cap`` of the main
-    diagonal are computed.
+    ``max_cells`` bounds total diagonal-cell work (≈ distance²); pairs whose
+    distance needs more work than that report None ("above cap") — the cap
+    annotation is best-effort by definition, and near-dup pairs cost ~d².
     """
     if a == b:
         return 0
+    if cap <= 0:
+        return None
     la, lb = len(a), len(b)
     if abs(la - lb) > cap:
         return None
-    if la == 0:
-        return lb if lb <= cap else None
-    if lb == 0:
-        return la if la <= cap else None
-    # keep b as the inner (shorter or equal) dimension
-    if lb > la:
-        a, b = b, a
-        la, lb = lb, la
-
-    # strip common prefix/suffix — cheap and very effective on near-dups
+    # strip common prefix/suffix — near-dup pairs shrink dramatically
+    lim = min(la, lb)
     pre = 0
-    while pre < lb and a[pre] == b[pre]:
+    while pre < lim and a[pre] == b[pre]:
         pre += 1
     suf = 0
-    while suf < lb - pre and a[la - 1 - suf] == b[lb - 1 - suf]:
+    while suf < lim - pre and a[la - 1 - suf] == b[lb - 1 - suf]:
         suf += 1
     a = a[pre : la - suf]
     b = b[pre : lb - suf]
-    la, lb = len(a), len(b)
-    if lb == 0:
-        return la if la <= cap else None
+    if not a:
+        return len(b) if len(b) <= cap else None
+    if not b:
+        return len(a) if len(a) <= cap else None
 
-    arr_a = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
-    arr_b = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    av = _codepoints(a)
+    bv = _codepoints(b)
+    n, m = av.size, bv.size
+    if m < n:  # keep b the longer side; diagonal of the goal = m - n >= 0
+        av, bv = bv, av
+        n, m = m, n
+    goal_k = m - n
 
-    big = cap + 1
-    prev = np.arange(lb + 1, dtype=np.int64)
-    prev[prev > big] = big
-    cur = np.empty(lb + 1, dtype=np.int64)
-    for i in range(1, la + 1):
-        lo = max(1, i - cap)
-        hi = min(lb, i + cap)
-        cur[:] = big
-        cur[0] = i if i <= cap else big
-        seg_prev = prev[lo - 1 : hi]  # diagonal neighbours
-        sub_cost = (arr_b[lo - 1 : hi] != arr_a[i - 1]).astype(np.int64)
-        diag = seg_prev + sub_cost
-        up = prev[lo : hi + 1] + 1
-        best = np.minimum(diag, up)
-        # left-dependency needs a sequential pass, but only over the band
-        left = cur[lo - 1]
-        for j_off in range(hi - lo + 1):
-            val = best[j_off]
-            if left + 1 < val:
-                val = left + 1
-            cur[lo + j_off] = val
-            left = val
-        if cur[lo : hi + 1].min() > cap:
+    def snake(i: int, k: int) -> int:
+        """Extend a run of equal characters from a-row i on diagonal k."""
+        j = i + k
+        limit = min(n - i, m - j)
+        if limit <= 0:
+            return i
+        neq = av[i : i + limit] != bv[j : j + limit]
+        hit = int(np.argmax(neq))
+        if not neq[hit]:
+            return i + limit
+        return i + hit
+
+    # f[p][k] = furthest a-row i reachable on diagonal k with p edits
+    prev = {0: snake(0, 0)}
+    if prev[0] >= n and prev[0] + 0 >= m and goal_k == 0:
+        return 0 if 0 <= cap else None
+    cells = 0
+    for p in range(1, cap + 1):
+        cells += 2 * p + 1
+        if cells > max_cells:
             return None
-        prev, cur = cur, prev
-    dist = int(prev[lb])
-    return dist if dist <= cap else None
+        cur = {}
+        for k in range(-p, p + 1):
+            best = _NEG
+            f = prev.get(k, _NEG)
+            if f != _NEG:
+                best = f + 1  # substitution: advance both
+            f = prev.get(k - 1, _NEG)
+            if f != _NEG and f > best:
+                best = f  # insertion into a (advance b only): diagonal up
+            f = prev.get(k + 1, _NEG)
+            if f != _NEG and f + 1 > best:
+                best = f + 1  # deletion from a: advance a only
+            if best == _NEG:
+                if k == -p or k == p:
+                    # fresh diagonal reachable purely by p ins/dels
+                    best = 0 if k < 0 else k
+                else:
+                    continue
+            i = min(best, n)
+            if i + k > m:
+                continue
+            i = snake(i, k)
+            cur[k] = i
+            if k == goal_k and i >= n:
+                return p
+        prev = cur
+        if not prev:
+            break
+    return None

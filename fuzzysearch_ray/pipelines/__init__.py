@@ -1,0 +1,1 @@
+from . import dedup, oracle, search  # noqa: F401

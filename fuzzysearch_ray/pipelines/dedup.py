@@ -1,0 +1,114 @@
+"""The flagship pipeline: near-duplicate detection + clustering.
+
+config → read → preprocess(sha256) → exact-dup groupby → representatives →
+[MinHash/LSH actor pool] → band groupby → candidate pairs → pair dedup →
+verify actor pool (broadcast or join content access) → connected components
+→ (id, cluster_id) — SURVEY.md §3.4 / §7.1.
+
+Content columns never pass through a shuffle: the band and pair exchanges
+move only small integer columns, and content is re-attached either by
+broadcast lookup or by an id-keyed hash join right before verification.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, DedupConfig
+from ..stages.cluster import assign_clusters, components_driver
+from ..stages.exact_dedup import broadcast_id_filter, exact_dedup
+from ..stages.lsh import candidate_pairs
+from ..stages.preprocess import preprocess
+from ..stages.signatures import band_signatures
+from ..stages.verify import verify_pairs_broadcast, verify_pairs_join
+
+
+def near_dup_pipeline(
+    corpus_ds,
+    config: DedupConfig = DEFAULT_CONFIG,
+    content_mode: str = "auto",
+) -> Dict[str, object]:
+    """Run the full dedup pipeline on a corpus Dataset with columns
+    (id, content, ...). Returns dict with ``clusters`` (pandas DataFrame
+    (id, cluster_id), cluster_id = min member id), ``edges`` (pandas), and
+    ``stats`` counters per stage.
+
+    content_mode: 'broadcast' | 'join' | 'auto' (auto picks broadcast while
+    the representative set is under config.broadcast_limit_rows).
+    """
+    import ray
+
+    pre = preprocess(corpus_ds).materialize()
+    n_rows = pre.count()
+
+    membership_df = exact_dedup(pre).to_pandas()
+    rep_ids = np.sort(
+        membership_df.loc[membership_df["id"] == membership_df["rep_id"], "id"].to_numpy()
+    )
+
+    reps_ds = broadcast_id_filter(pre, ray.put(rep_ids)).materialize()
+    n_reps = len(rep_ids)
+
+    bands = band_signatures(reps_ds, config)
+    pairs = candidate_pairs(bands, config)
+
+    if content_mode == "auto":
+        content_mode = "broadcast" if n_reps <= config.broadcast_limit_rows else "join"
+    if content_mode == "broadcast":
+        content_tbl = pa.concat_tables(
+            ray.get(reps_ds.select_columns(["id", "content"]).to_arrow_refs())
+        )
+        content_map = dict(
+            zip(content_tbl["id"].to_pylist(), content_tbl["content"].to_pylist())
+        )
+        content_ref = ray.put(content_map)
+        verified = verify_pairs_broadcast(pairs, content_ref, config)
+    else:
+        verified = verify_pairs_join(pairs, reps_ds, config)
+
+    edges_df = verified.to_pandas()
+    n_pairs = len(edges_df)
+
+    labels = components_driver(edges_df["a"].to_numpy(), edges_df["b"].to_numpy())
+    clusters = assign_clusters(membership_df, labels)
+    clusters = clusters.sort_values("id").reset_index(drop=True)
+
+    return {
+        "clusters": clusters,
+        "edges": edges_df,
+        "membership": membership_df,
+        "stats": {
+            "n_rows": int(n_rows),
+            "n_representatives": int(n_reps),
+            "n_exact_dup_rows": int(n_rows - n_reps),
+            "n_verified_edges": int(n_pairs),
+            "n_clusters_multi": int(
+                (clusters.groupby("cluster_id").size() > 1).sum()
+            ),
+            "content_mode": content_mode,
+        },
+    }
+
+
+def dup_pairs_from_clusters(clusters: pd.DataFrame) -> set:
+    """All unordered same-cluster id pairs — the recall denominator."""
+    out = set()
+    for _, grp in clusters.groupby("cluster_id"):
+        ids = sorted(int(i) for i in grp["id"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out.add((ids[i], ids[j]))
+    return out
+
+
+def pair_recall(pipeline_clusters: pd.DataFrame, oracle_clusters: pd.DataFrame) -> float:
+    """Dup-pair recall of the pipeline against the oracle (BASELINE ≥ 0.99)."""
+    truth = dup_pairs_from_clusters(oracle_clusters)
+    if not truth:
+        return 1.0
+    got = dup_pairs_from_clusters(pipeline_clusters)
+    return len(truth & got) / len(truth)

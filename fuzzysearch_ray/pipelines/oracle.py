@@ -1,0 +1,73 @@
+"""Single-process oracle: ground-truth clusters with NO candidate
+generation (exhaustive all-pairs), using the same kernels and the same dup
+criterion as the distributed pipeline.
+
+Recall of the pipeline vs this oracle isolates LSH candidate loss — the
+verify decision (exact Jaccard >= threshold over identical shingle hashing)
+is shared code, so any missed dup pair is a missed LSH candidate.
+
+Pruning: for unique shingle sets, J(A, B) <= min(|A|,|B|) / max(|A|,|B|),
+so pairs whose size ratio is below the threshold are skipped exactly (no
+recall impact).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, DedupConfig
+from ..functions.hashing import exact_jaccard, sha256_hex, shingle_hashes
+from ..stages.cluster import UnionFind
+
+
+def oracle_clusters(table: pa.Table, config: DedupConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """(id, content) table → (id, cluster_id), cluster_id = min member id."""
+    ids = table["id"].to_numpy()
+    contents = table["content"].to_pylist()
+
+    # exact groups
+    rep_of: Dict[int, int] = {}
+    by_hash: Dict[str, int] = {}
+    for i, text in zip(ids, contents):
+        h = sha256_hex(text)
+        if h in by_hash:
+            rep_of[int(i)] = by_hash[h]
+        else:
+            by_hash[h] = int(i)
+            rep_of[int(i)] = int(i)
+
+    reps = sorted(set(rep_of.values()))
+    text_of = {int(i): t for i, t in zip(ids, contents)}
+    shingles = {
+        r: shingle_hashes(
+            text_of[r][: config.max_content_bytes_for_lsh], config.shingle_k
+        )
+        for r in reps
+    }
+    sizes = {r: shingles[r].size for r in reps}
+
+    # all-pairs with the exact size-ratio bound
+    uf = UnionFind()
+    tau = config.jaccard_threshold
+    order = sorted(reps, key=lambda r: sizes[r])
+    size_arr = np.array([sizes[r] for r in order], dtype=np.int64)
+    for i, r in enumerate(order):
+        si = size_arr[i]
+        # smallest j such that si / sj >= tau → sj <= si / tau
+        hi = np.searchsorted(size_arr, int(np.floor(si / tau)), side="right")
+        for j in range(i + 1, hi):
+            s = order[j]
+            if exact_jaccard(shingles[r], shingles[s]) >= tau:
+                uf.union(r, s)
+    labels = uf.labels()
+
+    cluster = [labels.get(rep_of[int(i)], rep_of[int(i)]) for i in ids]
+    return (
+        pd.DataFrame({"id": ids.astype(np.int64), "cluster_id": np.array(cluster, dtype=np.int64)})
+        .sort_values("id")
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,104 @@
+"""Distributed fuzzy substring search over a corpus Dataset.
+
+The reference's per-call entry point (find_near_matches) becomes a stateful
+actor-pool ``map_batches`` stage: needle + params + chosen family are fixed
+per actor in ``__init__`` (the "compile once" rule); each batch runs the
+kernel per row and emits exploded match rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DedupConfig
+from ..kernels import (
+    SearchParams,
+    choose_search_family,
+    search_with_family,
+)
+
+MATCH_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("start", pa.int64()),
+        ("end", pa.int64()),
+        ("dist", pa.int32()),
+        ("matched", pa.string()),
+    ]
+)
+
+
+class FuzzySearcher:
+    """Actor: search one needle against the ``content`` of every row."""
+
+    def __init__(
+        self,
+        needle: str,
+        max_substitutions: Optional[int] = None,
+        max_insertions: Optional[int] = None,
+        max_deletions: Optional[int] = None,
+        max_l_dist: Optional[int] = None,
+    ):
+        self.needle = needle
+        self.params = SearchParams(
+            max_substitutions, max_insertions, max_deletions, max_l_dist
+        )
+        self.family = choose_search_family(self.params)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        contents = batch["content"].to_pylist()
+        out_id, out_s, out_e, out_d, out_m = [], [], [], [], []
+        for i, text in zip(ids, contents):
+            for m in search_with_family(self.family, self.needle, text, self.params):
+                out_id.append(int(i))
+                out_s.append(m.start)
+                out_e.append(m.end)
+                out_d.append(m.dist)
+                out_m.append(m.matched)
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.int64()),
+                "start": pa.array(out_s, pa.int64()),
+                "end": pa.array(out_e, pa.int64()),
+                "dist": pa.array(out_d, pa.int32()),
+                "matched": pa.array(out_m, pa.string()),
+            }
+        )
+
+
+def fuzzy_search(ds, needle: str, concurrency=(2, 8), batch_size: int = 1024, **limits):
+    """Exploded match table (id, start, end, dist, matched) for a needle."""
+    return ds.select_columns(["id", "content"]).map_batches(
+        FuzzySearcher,
+        fn_constructor_args=(needle,),
+        fn_constructor_kwargs=limits,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def substring_occurrence_counts(ds, needle: str, batch_size: int = 8192):
+    """Per-row NON-overlapping occurrence count of a literal needle
+    (Python ``str.count`` semantics == SQL replace-trick arithmetic), plus a
+    contains flag. Stateless vectorized stage; the SQL oracle is
+    (length(x) - length(replace(x, needle, ''))) / length(needle)."""
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        contents = batch["content"].to_pylist()
+        counts = np.array([t.count(needle) for t in contents], dtype=np.int64)
+        return pa.table(
+            {
+                "id": batch["id"],
+                "n_occurrences": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return ds.select_columns(["id", "content"]).map_batches(
+        count_batch, batch_format="pyarrow", batch_size=batch_size
+    )

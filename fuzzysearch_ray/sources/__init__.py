@@ -1,0 +1,11 @@
+from .corpus import (
+    CORPUS_SCHEMA,
+    corpus_batch,
+    generate_corpus_dataset,
+    generate_corpus_table,
+    row_for_index,
+    write_corpus_parquet,
+)
+from .io import read_corpus, read_documents_as_corpus
+
+__all__ = [name for name in dir() if not name.startswith("_")]

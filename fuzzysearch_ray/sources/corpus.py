@@ -1,0 +1,177 @@
+"""Deterministic synthetic source-code corpus (the BASELINE.json input_hint
+table shape) for tests and benchmarks.
+
+Schema: (repo: string, path: string, commit: string, lang: string,
+content: string) — see FIXTURES.md §1. Every row is a pure function of
+``(row_index, seed)`` so generation parallelizes embarrassingly via
+``ray.data.range(n).map_batches`` and task retries replay identically.
+
+Composition per 20-row block (FIXTURES.md §1 slice table):
+- slots 0-9: unique files;
+- slots 10-12: exact duplicates of slot 0 under different (repo, path);
+- slots 13-17: near duplicates of slot 1 (seeded char edits, bounded count);
+- slot 18: shared boilerplate header + tiny distinct tail (LSH skew driver);
+- slot 19: rotating edge cases (empty / whitespace / single char / long /
+  non-ASCII / null-escape).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+
+LANGS = ("py", "js", "java", "c", "go")
+
+_BOILERPLATE = (
+    "// Licensed under the Apache License, Version 2.0 (the \"License\");\n"
+    "// you may not use this file except in compliance with the License.\n"
+    "// You may obtain a copy of the License at\n"
+    "//     http://www.apache.org/licenses/LICENSE-2.0\n"
+    "// Unless required by applicable law or agreed to in writing, software\n"
+    "// distributed under the License is distributed on an \"AS IS\" BASIS,\n"
+    "// WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.\n"
+) * 4
+
+CORPUS_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+    ]
+)
+
+
+def _rng_for(seed: int, *parts: int) -> random.Random:
+    key = ":".join(str(p) for p in (seed,) + parts)
+    digest = hashlib.sha256(key.encode()).digest()
+    return random.Random(int.from_bytes(digest[:8], "little"))
+
+
+def _gen_base_content(seed: int, group: int, slot: int, lang: str) -> str:
+    """Token-stream pseudo source file, ~40-120 lines."""
+    rng = _rng_for(seed, group, slot, 0xBA5E)
+    names = ["item", "value", "node", "count", "result", "buffer", "index",
+             "state", "config", "handler", "parser", "stream", "cache", "token"]
+    lines: List[str] = ["// module g%d_s%d (%s)" % (group, slot, lang)]
+    n_funcs = rng.randint(4, 12)
+    for f in range(n_funcs):
+        fn = "%s_%d" % (rng.choice(names), rng.randint(0, 9999))
+        args = ", ".join(rng.sample(names, rng.randint(1, 3)))
+        lines.append("func %s(%s) {" % (fn, args))
+        for _ in range(rng.randint(3, 9)):
+            a, b, c = rng.choice(names), rng.choice(names), rng.randint(0, 999)
+            op = rng.choice(["+", "-", "*", "%", "|", "&"])
+            lines.append("    %s = %s %s %d;" % (a, b, op, c))
+        if rng.random() < 0.5:
+            lines.append("    return %s;" % rng.choice(names))
+        lines.append("}")
+    return "\n".join(lines) + "\n"
+
+
+def _apply_edits(content: str, rng: random.Random, max_edits: int) -> str:
+    """1..max_edits seeded single-char substitutions/insertions/deletions."""
+    chars = list(content)
+    n_edits = rng.randint(1, max_edits)
+    for _ in range(n_edits):
+        if not chars:
+            break
+        pos = rng.randrange(len(chars))
+        kind = rng.choice(("sub", "ins", "del"))
+        if kind == "sub":
+            chars[pos] = rng.choice("abcdefghijklmnopqrstuvwxyz0123456789_")
+        elif kind == "ins":
+            chars.insert(pos, rng.choice("abcdefghijklmnopqrstuvwxyz_ "))
+        else:
+            del chars[pos]
+    return "".join(chars)
+
+
+_EDGE_KINDS = ("empty", "whitespace", "single", "long", "nonascii", "nullescape")
+
+
+def _edge_content(seed: int, group: int) -> str:
+    kind = _EDGE_KINDS[group % len(_EDGE_KINDS)]
+    if kind == "empty":
+        return ""
+    if kind == "whitespace":
+        return "   \n\t  \n" * 3
+    if kind == "single":
+        return "x"
+    if kind == "long":
+        rng = _rng_for(seed, group, 19, 0x10)
+        chunk = _gen_base_content(seed, group, 19, "c")
+        reps = max(1, (1 << 20) // max(1, len(chunk)) // 8)  # ~128 KiB
+        return chunk * reps
+    if kind == "nonascii":
+        return "def größe_prüfen(wörter):\n    return 'héllo wörld — ünïcode' * 3\n"
+    return "const s = \"null byte escape: \\x00\\x00 end\";\n"
+
+
+def row_for_index(i: int, seed: int = 42) -> Dict[str, object]:
+    """The corpus row at global index ``i`` — pure function of (i, seed)."""
+    group, slot = divmod(i, 20)
+    lang = LANGS[group % len(LANGS)]
+    repo = "org%d/repo%d" % (group % 97, (group * 7 + slot) % 31)
+    path = "src/pkg%d/mod_%d.%s" % (slot, group, lang)
+    commit = hashlib.sha1(("c:%d:%d:%d" % (seed, group, slot)).encode()).hexdigest()
+
+    if slot <= 9:
+        content = _gen_base_content(seed, group, slot, lang)
+    elif slot <= 12:
+        content = _gen_base_content(seed, group, 0, lang)  # exact dup of slot 0
+        path = "vendor/copy%d/mod_%d.%s" % (slot, group, lang)
+    elif slot <= 17:
+        base = _gen_base_content(seed, group, 1, lang)
+        rng = _rng_for(seed, group, slot, 0xED17)
+        content = _apply_edits(base, rng, max_edits=8)
+    elif slot == 18:
+        content = _BOILERPLATE + "// tail %d\n" % group
+    else:
+        content = _edge_content(seed, group)
+
+    return {
+        "id": i,
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content": content,
+    }
+
+
+def corpus_batch(indices: np.ndarray, seed: int = 42) -> pa.Table:
+    rows = [row_for_index(int(i), seed) for i in indices]
+    return pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
+
+
+def generate_corpus_dataset(n_rows: int, seed: int = 42, override_num_blocks=None):
+    """Distributed deterministic generation: ``range(n) → map_batches``."""
+    import ray.data as rd
+
+    ds = rd.range(n_rows, override_num_blocks=override_num_blocks)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return corpus_batch(batch["id"].to_numpy(), seed)
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=2048)
+
+
+def generate_corpus_table(n_rows: int, seed: int = 42) -> pa.Table:
+    """Driver-side generation for small tests/oracles (no Ray)."""
+    return corpus_batch(np.arange(n_rows), seed)
+
+
+def write_corpus_parquet(out_path: str, n_rows: int, seed: int = 42) -> str:
+    """Materialize the synthetic corpus to one parquet file (bench inputs are
+    pre-generated outside the timed region)."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(generate_corpus_table(n_rows, seed), out_path)
+    return out_path

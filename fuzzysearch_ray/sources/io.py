@@ -1,0 +1,67 @@
+"""Corpus readers: column-pruned parquet ingestion into the engine's logical
+table (id, content [, repo, path, commit, lang]).
+
+The reference's file connector (find_near_matches_in_file,
+/root/reference/src/fuzzysearch/__init__.py:86-200) becomes
+``ray.data.read_parquet`` — rows are already document-granular, so the
+chunk-overlap machinery is unnecessary (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyarrow as pa
+
+
+def read_corpus(path: str, columns: Optional[Sequence[str]] = None):
+    """Read a corpus parquet (input_hint shape) pruning to needed columns.
+
+    Adds a stable ``id`` column (int64) derived from row position if absent —
+    computed per-block from block metadata would not be stable under retry,
+    so we hash (repo, path, commit) instead, which is content-addressed and
+    deterministic.
+    """
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    wanted = list(columns) if columns else None
+    ds = rd.read_parquet(path, columns=wanted)
+    schema_names = ds.schema().names
+    if "id" not in schema_names:
+
+        def add_id(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            from ..functions.hashing import _splitmix64
+
+            key = pc.binary_join_element_wise(
+                pc.cast(batch["repo"], pa.string()),
+                pc.cast(batch["path"], pa.string()),
+                pc.cast(batch["commit"], pa.string()),
+                "\x1f",
+            )
+            h = np.array([hash_str(s.as_py()) for s in key], dtype=np.uint64)
+            ids = _splitmix64(h).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+            return batch.append_column("id", pa.array(ids, pa.int64()))
+
+        def hash_str(s: str) -> int:
+            import hashlib
+
+            return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+
+        ds = ds.map_batches(add_id, batch_format="pyarrow")
+    return ds
+
+
+def read_documents_as_corpus(sf_dir: str):
+    """Adapt the driver's ``documents`` table (doc_id, text, lang, source,
+    n_chars) to the engine's logical corpus (id, content, lang)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["id", "content", "lang"])
+
+    return ds.map_batches(rename, batch_format="pyarrow")

@@ -1,0 +1,1 @@
+from . import cluster, exact_dedup, lsh, preprocess, signatures, verify  # noqa: F401

@@ -1,0 +1,143 @@
+"""Connected components over verified dup edges → cluster ids.
+
+Lifts the reference's transitive overlap-grouping (common.py:161-177, which
+merges match groups bridged by a new match) from per-document spans to the
+cross-document dup graph. Canonical cluster id = min member id, mirroring
+``get_best_match_in_group``'s deterministic canonicalization.
+
+Two implementations:
+- driver union-find for edge sets that fit on the driver (cheap, exact);
+- distributed min-label propagation (groupby per round) for scale, with a
+  fixpoint check rather than a fixed round count — dup clusters are
+  near-cliques so convergence is 2-3 rounds.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+
+
+class UnionFind:
+    __slots__ = ("parent",)
+
+    def __init__(self):
+        self.parent: Dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        parent = self.parent
+        root = parent.setdefault(x, x)
+        while root != parent[root]:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(self, x: int, y: int) -> None:
+        rx, ry = self.find(x), self.find(y)
+        if rx != ry:
+            if rx < ry:  # min-id canonicalization
+                self.parent[ry] = rx
+            else:
+                self.parent[rx] = ry
+
+    def labels(self) -> Dict[int, int]:
+        return {x: self.find(x) for x in list(self.parent)}
+
+
+def components_driver(edges_a: np.ndarray, edges_b: np.ndarray) -> Dict[int, int]:
+    uf = UnionFind()
+    for a, b in zip(edges_a.tolist(), edges_b.tolist()):
+        uf.union(a, b)
+    return uf.labels()
+
+
+def components_distributed(edges_ds, max_rounds: int = 25):
+    """Min-label propagation over the edge Dataset.
+
+    State per round: labels (node, label). Each round: every edge forwards
+    min(label_a, label_b) to both endpoints via a node-keyed groupby; stop at
+    fixpoint. Returns a pandas DataFrame (node, label). Edge labels are
+    re-derived per round from the node labels via broadcast, keeping each
+    round to ONE shuffle on ``node``.
+    """
+    import ray
+
+    edges = edges_ds.select_columns(["a", "b"])
+
+    def symmetrize(batch):
+        import pyarrow as pa
+
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        return pa.table(
+            {
+                "node": np.concatenate([a, b]),
+                "peer": np.concatenate([b, a]),
+            }
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    # labels start as identity; stored driver-side per round as a broadcast
+    # map only for the propagation bookkeeping (node set = edge endpoints,
+    # already a tiny fraction of the corpus)
+    label_map: Dict[int, int] = {}
+
+    def lookup(x: int) -> int:
+        return label_map.get(x, x)
+
+    for _ in range(max_rounds):
+        ref = ray.put(label_map)
+
+        def forward(batch):
+            import pyarrow as pa
+
+            lm = ray.get(ref)
+            node = batch["node"].to_numpy()
+            peer = batch["peer"].to_numpy()
+            peer_label = np.array([lm.get(int(p), int(p)) for p in peer], dtype=np.int64)
+            return pa.table({"node": node, "incoming": peer_label})
+
+        from ray.data.aggregate import Min
+
+        new_min = (
+            sym.map_batches(forward, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("incoming", alias_name="min_incoming"))
+        )
+        updates = new_min.to_pandas()
+        changed = 0
+        for node, incoming in zip(
+            updates["node"].to_numpy(), updates["min_incoming"].to_numpy()
+        ):
+            node, incoming = int(node), int(incoming)
+            best = min(lookup(node), incoming)
+            if best != lookup(node):
+                label_map[node] = best
+                changed += 1
+        # path-compress transitively (labels may point at relabeled nodes)
+        for node in list(label_map):
+            root = label_map[node]
+            seen = set()
+            while root in label_map and label_map[root] != root and root not in seen:
+                seen.add(root)
+                root = label_map[root]
+            label_map[node] = root
+        if changed == 0:
+            break
+    rows = sorted(label_map.items())
+    return pd.DataFrame(
+        {"node": [r[0] for r in rows], "label": [r[1] for r in rows]}
+    )
+
+
+def assign_clusters(membership_df: pd.DataFrame, labels: Dict[int, int]) -> pd.DataFrame:
+    """(id, rep_id) + near-dup labels on reps → (id, cluster_id)."""
+    rep = membership_df["rep_id"].to_numpy()
+    cluster = np.array([labels.get(int(r), int(r)) for r in rep], dtype=np.int64)
+    return pd.DataFrame(
+        {"id": membership_df["id"].to_numpy().astype(np.int64), "cluster_id": cluster}
+    )

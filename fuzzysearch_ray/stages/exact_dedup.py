@@ -1,0 +1,73 @@
+"""Exact deduplication: hash-partitioned groupby on the content hash.
+
+Replaces the reference's exact-search family at corpus scale (SURVEY.md
+§2.3): whole-file equality is a sha256 group, no memmem needed. Running this
+BEFORE LSH removes the worst band-bucket skew sources (identical license
+files, empty files, generated code) — every later stage sees one
+representative per distinct content.
+
+Scale/speed pattern: sha256 groups are hashed into ``num_partitions`` coarse
+partitions (ONE shuffle on an int key); each partition resolves all its
+groups with a vectorized pandas ``groupby().transform('min')`` instead of a
+Python call per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def exact_dedup(ds_with_hash, num_partitions: int = 32):
+    """(id, sha256, ...) → membership table (id, rep_id), rep = min id.
+
+    ``rep_id == id`` marks the representative row.
+    """
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        hashes = batch["sha256"].to_pylist()
+        part = np.array(
+            [int(h[:8], 16) % num_partitions for h in hashes], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "id": batch["id"],
+                "sha256": batch["sha256"],
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def resolve(block: pd.DataFrame) -> pd.DataFrame:
+        rep = block.groupby("sha256")["id"].transform("min")
+        return pd.DataFrame(
+            {
+                "id": block["id"].to_numpy().astype(np.int64),
+                "rep_id": rep.to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ds_with_hash.select_columns(["id", "sha256"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def broadcast_id_filter(ds, id_ref, keep: bool = True):
+    """Semi/anti-join on a broadcast id set: ``ray.put`` the sorted id array
+    once, ``np.isin`` per batch — no shuffle. Used when the id set fits in
+    the object store comfortably; the scale path is ``Dataset.join``
+    ('left_semi') on id, chosen by the pipeline per input size.
+    """
+    import ray
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ids = ray.get(id_ref)
+        mask = np.isin(batch["id"].to_numpy(), ids)
+        if not keep:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

