@@ -1,44 +1,143 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship near-dup pipeline on sf0.001; ``queries()``
+exposes one callable per implemented operator/pipeline from SURVEY.md §2;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+query (same column names — the driver hash-compares after sorting columns).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in fuzzysearch_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fuzzysearch_ray.pipelines import queries as Q  # noqa: E402
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: MinHash/LSH near-dup clustering over sf0.001 documents."""
+    return Q.q_near_dup_clusters("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # exact dedup family (search_exact analog at corpus scale)
+        "exact_dedup_groups": Q.q_exact_dedup_groups,
+        "exact_dedup_survivors": Q.q_exact_dedup_survivors,
+        # exact substring search (search_exact per-row occurrences)
+        "substring_count": Q.q_substring_count,
+        # fuzzy-search families (levenshtein / substitutions / generic)
+        "fuzzy_search_levenshtein": Q.q_fuzzy_search_levenshtein,
+        "fuzzy_search_substitutions": Q.q_fuzzy_search_substitutions,
+        "fuzzy_search_generic": Q.q_fuzzy_search_generic,
+        # near-dup dedup pipelines
+        "near_dup_clusters": Q.q_near_dup_clusters,
+        "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
+        "simhash_signatures": Q.q_simhash_signatures,
+        "simhash_dup_pairs": Q.q_simhash_dup_pairs,
+        "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
+        "embedding_cosine_dup_pairs": Q.q_embedding_cosine_dup_pairs,
+        # similarity search
+        "ann_topk": Q.q_ann_topk,
+        "ann_srp_bucketed": Q.q_ann_srp_bucketed,
+        # text analysis
+        "char_class_stats": Q.q_char_class_stats,
+        "token_counts": Q.q_token_counts,
+        "language_id": Q.q_language_id,
+        "quality_scores": Q.q_quality_scores,
+        "doc_fingerprints": Q.q_doc_fingerprints,
+        # relational / windowed
+        "docs_by_lang": Q.q_docs_by_lang,
+        "top_longest_docs": Q.q_top_longest_docs,
+        "events_hourly": Q.q_events_hourly,
+        "lineitem_pricing": Q.q_lineitem_pricing,
+        # multimodal plumbing
+        "media_features": Q.q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_groups": (
+            "SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_members "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "exact_dedup_survivors": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "substring_count": (
+            "SELECT doc_id, CAST((length(text) - length(replace(text, 'batch', ''))) "
+            "/ 5 AS BIGINT) AS n_occurrences FROM documents"
+        ),
+        "char_class_stats": (
+            "SELECT doc_id, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha, "
+            "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit, "
+            "CAST(length(regexp_replace(text, '[^ \\t\\n\\r]', '', 'g')) AS BIGINT) AS n_space, "
+            "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct "
+            "FROM documents"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "docs_by_lang": (
+            "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "top_longest_docs": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "events_hourly": (
+            "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, "
+            "COUNT(*) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "COUNT(*) AS n_rows FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2"
+        ),
+        "ann_topk": (
+            "SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
+            "ROUND(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) AS sim_r "
+            "FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id "
+            "WHERE q.vec_id < 5 "
+            "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC, "
+            "n.vec_id) <= 5"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60), "
+            "grams AS (SELECT DISTINCT d.doc_id, substr(d.text, CAST(gs.i AS INTEGER), 3) AS g "
+            "  FROM docs d, (SELECT unnest(generate_series(1, "
+            "    (SELECT CAST(MAX(length(text)) AS BIGINT) FROM docs))) AS i) gs "
+            "  WHERE gs.i <= length(d.text) - 2), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i "
+            "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2) "
+            "SELECT i.a, i.b, ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jacc_r "
+            "FROM inter i JOIN sizes sa ON sa.doc_id = i.a "
+            "JOIN sizes sb ON sb.doc_id = i.b "
+            "WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5"
+        ),
+        "media_features": (
+            "SELECT doc_id AS media_id, 'image' AS kind, "
+            "CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents"
+        ),
+        # rows-only (non-SQL-expressible): fuzzy_search_* (approximate
+        # substring spans), near_dup_clusters / minhash_lsh_pairs / simhash_*
+        # (seeded signature schemes), ann_srp_bucketed (probabilistic
+        # bucketing), embedding_cosine_dup_pairs (float-threshold set),
+        # language_id / quality_scores / doc_fingerprints (heuristics).
+    }

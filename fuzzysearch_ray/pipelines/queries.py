@@ -1,0 +1,437 @@
+"""Driver-facing query catalog over the testdata tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / pandas DataFrame /
+pyarrow Table. Column names (including aggregates) match the oracle SQL in
+``__ray_entry__.oracle_sql`` exactly — the driver hash-compares values after
+sorting columns by name.
+
+Ray is assumed to be initialised by the caller (driver/bench/tests); nothing
+here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DedupConfig
+from ..functions.hashing import md5_hex, rolling_fingerprint, sha256_hex
+from ..functions.text_stats import (
+    count_char_classes,
+    language_id,
+    quality_score,
+    token_count,
+)
+from ..sources.io import read_documents_as_corpus
+from ..stages.ann import brute_force_topk, srp_bucketed_topk, _stack_embeddings
+from ..stages.signatures import simhash_signatures
+from .dedup import near_dup_pipeline
+from .search import fuzzy_search, substring_occurrence_counts
+
+
+def round_half_up(values, decimals: int):
+    """DuckDB-compatible ROUND (half away from zero for positives) — numpy
+    and pandas round half-to-even, which diverges at .5 boundaries."""
+    factor = 10 ** decimals
+    arr = np.asarray(values, dtype=np.float64)
+    return np.floor(arr * factor + 0.5) / factor
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# Exact-dedup family (SQL-checkable: DuckDB md5 == hashlib md5)
+# --------------------------------------------------------------------------
+
+def q_exact_dedup_groups(sf_dir: str):
+    """Exact-dup groups over documents: md5 hash → keeper id + group size."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        hashes = [md5_hex(t) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "h": pa.array(hashes, pa.string())})
+
+    from ray.data.aggregate import Count, Min
+
+    return (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_members"))
+    )
+
+
+def q_exact_dedup_survivors(sf_dir: str):
+    """doc_ids surviving exact dedup (min id per distinct content)."""
+    grouped = q_exact_dedup_groups(sf_dir)
+    return grouped.select_columns(["keep_id"]).rename_columns({"keep_id": "doc_id"})
+
+
+# --------------------------------------------------------------------------
+# Exact substring search (search_exact family → occurrence counts)
+# --------------------------------------------------------------------------
+
+def q_substring_count(sf_dir: str, needle: str = "batch"):
+    corpus = read_documents_as_corpus(sf_dir)
+    out = substring_occurrence_counts(corpus, needle)
+    return out.rename_columns({"id": "doc_id"})
+
+
+# --------------------------------------------------------------------------
+# Text analysis (SQL-checkable char classes / token counts)
+# --------------------------------------------------------------------------
+
+def q_char_class_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        rows = [count_char_classes(t) for t in batch["text"].to_pylist()]
+        arr = np.array(rows, dtype=np.int64).reshape(-1, 4)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_alpha": pa.array(arr[:, 0], pa.int64()),
+                "n_digit": pa.array(arr[:, 1], pa.int64()),
+                "n_space": pa.array(arr[:, 2], pa.int64()),
+                "n_punct": pa.array(arr[:, 3], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = np.array([token_count(t) for t in batch["text"].to_pylist()], dtype=np.int64)
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+def q_docs_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+def q_top_longest_docs(sf_dir: str, k: int = 10):
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Events: tumbling-window aggregate (streaming-shaped workload)
+# --------------------------------------------------------------------------
+
+def q_events_hourly(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        epoch_us = batch["ts"].cast(pa.int64())
+        hour = pc.divide(epoch_us, 3_600_000_000)
+        return pa.table(
+            {"event_type": batch["event_type"], "hour_bucket": pc.cast(hour, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational summary (TPC-H q1-flavoured: filter → groupby → aggregate)
+# --------------------------------------------------------------------------
+
+def q_lineitem_pricing(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+    filtered = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t["l_shipdate"], cutoff)),
+        batch_format="pyarrow",
+    )
+    out = (
+        filtered.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Count(alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = round_half_up(out["sum_qty"], 2)
+    out["sum_base_price"] = round_half_up(out["sum_base_price"], 2)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def _load_queries(sf_dir: str, nq: int):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = pc.less(tbl["vec_id"], nq)
+    qt = tbl.filter(mask)
+    ids = qt["vec_id"].to_numpy()
+    mat = _stack_embeddings(qt["embedding"])
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def q_ann_topk(sf_dir: str, nq: int = 5, k: int = 5):
+    ids, mat = _load_queries(sf_dir, nq)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = brute_force_topk(ds, ids, mat, k=k)
+    df["sim_r"] = round_half_up(df["sim"], 4)
+    return df[["query_id", "neighbor_id", "sim_r"]]
+
+
+def q_ann_srp_bucketed(sf_dir: str, nq: int = 5, k: int = 5):
+    """Approximate variant (rows-only check: deterministic but not SQL)."""
+    ids, mat = _load_queries(sf_dir, nq)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = srp_bucketed_topk(ds, ids, mat, k=k, nbits=10, probe_hamming=2)
+    df["sim_r"] = round_half_up(df["sim"], 4)
+    return df[["query_id", "neighbor_id", "sim_r"]]
+
+
+def q_embedding_cosine_dup_pairs(sf_dir: str, threshold: float = 0.35):
+    """Embedding near-dup pairs: all (a < b) with cosine >= threshold.
+
+    Distributed as block-vs-broadcast matmul (the full matrix at testdata
+    scale is small; at real scale this becomes SRP-bucketed same as ANN)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = tbl["vec_id"].to_numpy().astype(np.int64)
+    mat = _stack_embeddings(tbl["embedding"])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((all_ids, mat))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(ref)
+        ids_b = batch["vec_id"].to_numpy().astype(np.int64)
+        mb = _stack_embeddings(batch["embedding"])
+        mb = mb / np.maximum(np.linalg.norm(mb, axis=1, keepdims=True), 1e-12)
+        sims = mb @ m_all.T
+        bi, aj = np.nonzero(sims >= threshold)
+        a = ids_b[bi]
+        b = ids_all[aj]
+        keep = a < b  # dedup + drop self-pairs
+        out_sim = sims[bi[keep], aj[keep]]
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "cos_r": pa.array(round_half_up(out_sim, 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Fuzzy search (Levenshtein / substitutions / generic families)
+# --------------------------------------------------------------------------
+
+def q_fuzzy_search_levenshtein(sf_dir: str, needle: str = "stream", max_l_dist: int = 1):
+    corpus = read_documents_as_corpus(sf_dir)
+    out = fuzzy_search(corpus, needle, max_l_dist=max_l_dist)
+    return out.rename_columns({"id": "doc_id"}).select_columns(
+        ["doc_id", "start", "end", "dist"]
+    )
+
+
+def q_fuzzy_search_substitutions(sf_dir: str, needle: str = "stream", max_subs: int = 1):
+    corpus = read_documents_as_corpus(sf_dir)
+    out = fuzzy_search(
+        corpus, needle, max_substitutions=max_subs, max_insertions=0, max_deletions=0
+    )
+    return out.rename_columns({"id": "doc_id"}).select_columns(
+        ["doc_id", "start", "end", "dist"]
+    )
+
+
+def q_fuzzy_search_generic(sf_dir: str, needle: str = "stream"):
+    corpus = read_documents_as_corpus(sf_dir)
+    out = fuzzy_search(
+        corpus, needle, max_substitutions=1, max_insertions=1, max_deletions=0
+    )
+    return out.rename_columns({"id": "doc_id"}).select_columns(
+        ["doc_id", "start", "end", "dist"]
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup dedup pipelines
+# --------------------------------------------------------------------------
+
+def q_near_dup_clusters(sf_dir: str):
+    """Flagship: full MinHash/LSH dedup over documents → (doc_id, cluster_id)."""
+    corpus = read_documents_as_corpus(sf_dir)
+    res = near_dup_pipeline(corpus, DedupConfig())
+    df = res["clusters"].rename(columns={"id": "doc_id"})
+    return df
+
+
+def q_minhash_lsh_pairs(sf_dir: str):
+    corpus = read_documents_as_corpus(sf_dir)
+    res = near_dup_pipeline(corpus, DedupConfig())
+    edges = res["edges"][["a", "b", "jaccard"]].copy()
+    edges["jaccard_r"] = round_half_up(edges["jaccard"], 4)
+    return edges[["a", "b", "jaccard_r"]].sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_simhash_signatures(sf_dir: str):
+    corpus = read_documents_as_corpus(sf_dir)
+    out = simhash_signatures(corpus, DedupConfig())
+    return out.rename_columns({"id": "doc_id"})
+
+
+def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= threshold,
+    generated by 4-way band blocking (16-bit chunks) then exact popcount."""
+    import ray
+
+    corpus = read_documents_as_corpus(sf_dir)
+    sims = simhash_signatures(corpus, DedupConfig()).to_pandas()
+    ids = sims["id"].to_numpy().astype(np.int64)
+    codes = sims["simhash"].to_numpy().view(np.uint64)
+    # block on 16-bit chunks (pigeonhole: ≤3 differing bits → ≥1 intact chunk)
+    pairs = set()
+    for c in range(4):
+        chunk = (codes >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+        order = np.argsort(chunk, kind="stable")
+        sc, si = chunk[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        ends = np.r_[starts[1:], sc.size]
+        for s, e in zip(starts, ends):
+            if e - s < 2 or e - s > 200:
+                continue
+            grp = np.sort(si[s:e])
+            for i in range(len(grp)):
+                for j in range(i + 1, len(grp)):
+                    pairs.add((int(grp[i]), int(grp[j])))
+    code_of = dict(zip(ids.tolist(), codes.tolist()))
+    rows = [
+        (a, b, bin(code_of[a] ^ code_of[b]).count("1"))
+        for (a, b) in sorted(pairs)
+    ]
+    rows = [(a, b, h) for (a, b, h) in rows if h <= max_hamming]
+    return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+
+
+def q_ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 60, threshold: float = 0.5):
+    """Character-3-gram Jaccard similarity for all doc pairs with
+    doc_id < max_doc_id — SQL-checkable (DuckDB generates the same 3-gram
+    sets with substring + range)."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    mask = pc.less(tbl["doc_id"], max_doc_id)
+    tbl = tbl.filter(mask)
+    ids = tbl["doc_id"].to_pylist()
+    texts = tbl["text"].to_pylist()
+    grams = {
+        i: {t[j : j + 3] for j in range(max(0, len(t) - 2))} for i, t in zip(ids, texts)
+    }
+    rows = []
+    for a, b in itertools.combinations(sorted(ids), 2):
+        ga, gb = grams[a], grams[b]
+        union = len(ga | gb)
+        sim = (len(ga & gb) / union) if union else 1.0
+        if sim >= threshold:
+            rows.append((a, b, float(round_half_up(sim, 4))))
+    return pd.DataFrame(rows, columns=["a", "b", "jacc_r"])
+
+
+# --------------------------------------------------------------------------
+# Text classification / fingerprinting (deterministic, rows-only checks)
+# --------------------------------------------------------------------------
+
+def q_language_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pred(batch: pa.Table) -> pa.Table:
+        langs = [language_id(t) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(langs, pa.string())})
+
+    return ds.map_batches(pred, batch_format="pyarrow")
+
+
+def q_quality_scores(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = np.array([quality_score(t) for t in batch["text"].to_pylist()], dtype=np.float64)
+        return pa.table({"doc_id": batch["doc_id"], "quality": pa.array(s, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_doc_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        mins = []
+        for t in batch["text"].to_pylist():
+            arr = rolling_fingerprint(t, window=32, keep=1)
+            mins.append(int(arr[0]) if arr.size else 0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(np.array(mins, dtype=np.uint64).view(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing demo: synthesize a deterministic binary 'media'
+    table from document texts, run the feature-extraction actor pool."""
+    from ..stages.multimodal import extract_media_features
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "kind": pa.array(["image"] * len(texts), pa.string()),
+                "payload": pa.array([t.encode("utf-8") for t in texts], pa.binary()),
+                "width": pa.array([64] * len(texts), pa.int32()),
+                "height": pa.array([64] * len(texts), pa.int32()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    feats = extract_media_features(media, dim=8)
+    return feats.select_columns(["media_id", "kind", "n_bytes"])

@@ -1,0 +1,154 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), each batch does one numpy matmul against it, and only
+per-batch top-k survivors flow to the driver for the final (tiny) merge.
+
+Scale path: signed-random-projection (SRP) bucketing — embeddings are coded
+into 2^bits hyperplane buckets (same seeded projection everywhere), queries
+probe their own bucket plus all buckets within Hamming distance
+``probe_hamming``; brute force runs only within probed buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _stack_embeddings(column: pa.ChunkedArray) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix (zero-copy flatten)."""
+    arrs = []
+    for chunk in column.chunks if hasattr(column, "chunks") else [column]:
+        flat = chunk.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(chunk)
+        arrs.append(flat.reshape(n, -1))
+    return np.vstack(arrs)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class BatchTopK:
+    """Per-batch brute-force cosine vs a broadcast query matrix."""
+
+    def __init__(self, query_ref, k: int):
+        import ray
+
+        self.query_ids, query_mat = ray.get(query_ref)
+        self.queries = _normalize(query_mat)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        mat = _normalize(_stack_embeddings(batch["embedding"]))
+        sims = self.queries @ mat.T  # (nq, n)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            row = sims[qi]
+            mask = ids != qid
+            cand_ids = ids[mask]
+            cand_sims = row[mask]
+            if cand_ids.size == 0:
+                continue
+            k = min(self.k, cand_ids.size)
+            # deterministic: sort by (-sim, neighbor_id)
+            order = np.lexsort((cand_ids, -cand_sims))[:k]
+            out_q.extend([int(qid)] * k)
+            out_n.extend(cand_ids[order].astype(np.int64).tolist())
+            out_s.extend(cand_sims[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    embeddings_ds, query_ids, query_mat: np.ndarray, k: int = 5, concurrency=(2, 8)
+) -> pd.DataFrame:
+    """Exact cosine top-k for a small query set against a Dataset of
+    (vec_id, embedding). Returns (query_id, neighbor_id, sim) pandas frame,
+    k rows per query, sims descending."""
+    import ray
+
+    query_ref = ray.put((list(map(int, query_ids)), np.asarray(query_mat, dtype=np.float64)))
+    partials = embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        BatchTopK,
+        fn_constructor_args=(query_ref, k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    df = partials.to_pandas()
+    # final merge: global top-k per query (per-batch top-k ⊇ global top-k)
+    df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
+    return df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+
+
+def srp_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Signed-random-projection bucket codes (uint32) for row vectors."""
+    bits = (mat @ planes.T) >= 0  # (n, nbits)
+    code = np.zeros(mat.shape[0], dtype=np.uint32)
+    for j in range(planes.shape[0]):
+        code |= bits[:, j].astype(np.uint32) << np.uint32(j)
+    return code
+
+
+def srp_planes(dim: int, nbits: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def srp_bucketed_topk(
+    embeddings_ds,
+    query_ids,
+    query_mat: np.ndarray,
+    k: int = 5,
+    nbits: int = 12,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """LSH-bucketed ANN: probe buckets within ``probe_hamming`` of each
+    query's SRP code; brute force only against probed rows. Approximate —
+    recall grows with probe_hamming (1 → all codes differing in ≤1 bit)."""
+    import ray
+
+    query_mat = np.asarray(query_mat, dtype=np.float64)
+    planes = srp_planes(query_mat.shape[1], nbits, seed)
+    q_codes = srp_codes(_normalize(query_mat), planes)
+    probe_sets = []
+    for code in q_codes:
+        probes = {int(code)}
+        if probe_hamming >= 1:
+            probes |= {int(code) ^ (1 << b) for b in range(nbits)}
+        if probe_hamming >= 2:
+            for b1 in range(nbits):
+                for b2 in range(b1 + 1, nbits):
+                    probes.add(int(code) ^ (1 << b1) ^ (1 << b2))
+        probe_sets.append(probes)
+    all_probed = sorted(set().union(*probe_sets)) if probe_sets else []
+    probed_ref = ray.put(np.array(all_probed, dtype=np.uint32))
+    planes_ref = ray.put(planes)
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        probed = ray.get(probed_ref)
+        mat = _normalize(_stack_embeddings(batch["embedding"]))
+        codes = srp_codes(mat, pl)
+        mask = np.isin(codes, probed)
+        return batch.filter(pa.array(mask))
+
+    filtered = embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        bucket_filter, batch_format="pyarrow", batch_size=4096
+    )
+    return brute_force_topk(filtered, query_ids, query_mat, k)

@@ -1,0 +1,103 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio decode libraries are not available in this environment, so the
+DECODE step is STUBBED (clearly marked) — but the Ray-side plumbing is real
+and tested: schema (binary column + metadata), actor-pool signature, batch
+sizing for large payloads, and deterministic fake feature extraction so
+downstream stages (ANN over features, dedup over payload hashes) can run
+end-to-end today and swap in a real decoder later.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import _splitmix64
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),        # 'image' | 'audio' | 'video'
+        ("payload", pa.binary()),     # opaque encoded bytes
+        ("width", pa.int32()),        # metadata travels beside the payload
+        ("height", pa.int32()),
+    ]
+)
+
+
+def decode_image(payload: bytes):
+    """STUB: real image decoding requires an imaging library not present in
+    this environment. The plumbing around it (schema, actors, batch sizes)
+    is real; swap this function for PIL/cv2 when available."""
+    raise NotImplementedError(
+        "image decoding is stubbed in this environment; "
+        "use deterministic_payload_features for the fake-feature path"
+    )
+
+
+def deterministic_payload_features(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Deterministic fake 'embedding' of a binary payload: seeded splitmix64
+    over byte chunks → dim floats in [-1, 1). Stands in for a model forward
+    pass so the distributed plumbing is exercised with real data flow."""
+    data = np.frombuffer(payload, dtype=np.uint8)
+    if data.size == 0:
+        return np.zeros(dim, dtype=np.float64)
+    pad = (-data.size) % 8
+    words = np.frombuffer(
+        np.concatenate([data, np.zeros(pad, dtype=np.uint8)]).tobytes(), dtype=np.uint64
+    )
+    feats = np.empty(dim, dtype=np.float64)
+    for j in range(dim):
+        salt = np.uint64((j * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        mixed = _splitmix64(words + salt)
+        total = int(mixed.sum(dtype=np.uint64)) % (1 << 53)
+        feats[j] = (total / float(1 << 52)) - 1.0
+    return feats
+
+
+class MediaFeatureExtractor:
+    """Actor: 'model' state (the feature config) loads once per actor; each
+    batch maps payload bytes → feature vectors. Batch size should be small
+    for large payloads (see extract_media_features default)."""
+
+    def __init__(self, dim: int = 16, decode_fn: Optional[Callable] = None):
+        self.dim = dim
+        self.decode_fn = decode_fn  # None → deterministic fake features
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        feats = []
+        for p in payloads:
+            if self.decode_fn is not None:
+                decoded = self.decode_fn(p)  # real path (not in this env)
+                feats.append(np.asarray(decoded, dtype=np.float64)[: self.dim])
+            else:
+                feats.append(deterministic_payload_features(p, self.dim))
+        n_bytes = np.array([len(p) for p in payloads], dtype=np.int64)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+
+def extract_media_features(ds, dim: int = 16, concurrency=(2, 4), batch_size: int = 64):
+    """Feature-extraction stage over a MEDIA_SCHEMA Dataset. Small default
+    batch_size: payload bytes × batch_size × concurrency must fit in worker
+    heaps (the large-binary-row rule)."""
+    return ds.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_args=(dim,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,106 @@
+"""Local simulation of the driver's correctness gate: run every queries()
+entry and compare to oracle_sql() via DuckDB (row count + schema + sorted
+value equality). Usage: python scripts/check_correctness.py [sf_dir]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def to_pandas(result):
+    if isinstance(result, pd.DataFrame):
+        return result
+    if hasattr(result, "to_pandas"):
+        return result.to_pandas()
+    raise TypeError(type(result))
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    qs = E.queries()
+    sqls = E.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = canon(to_pandas(fn(sf_dir)))
+        except Exception as exc:
+            print(f"FAIL {name}: query raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in sqls:
+            print(f"ok   {name}: rows-only ({len(mine)} rows, {dt:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            oracle = canon(con.execute(sqls[name]).fetchdf())
+        except Exception as exc:
+            print(f"FAIL {name}: oracle SQL raised {exc}")
+            n_fail += 1
+            continue
+        if list(mine.columns) != list(oracle.columns):
+            print(f"FAIL {name}: columns {list(mine.columns)} vs {list(oracle.columns)}")
+            n_fail += 1
+            continue
+        if len(mine) != len(oracle):
+            print(f"FAIL {name}: rows {len(mine)} vs {len(oracle)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(mine, oracle, check_dtype=False,
+                                          check_exact=False, rtol=1e-6, atol=1e-6)
+        except AssertionError as exc:
+            print(f"FAIL {name}: value mismatch: {str(exc)[:400]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(mine)} rows, {dt:.1f}s)")
+        n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    ray.shutdown()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
