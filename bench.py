@@ -1,0 +1,193 @@
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) plus the flagship dedup over a pre-generated synthetic
+source-code corpus (input_hint shape), then prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "corpus_files_per_sec": ...}
+
+--scaling: runs the corpus dedup twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs + scaling
+efficiency (BASELINE.md criterion: (T8/T32)/4 >= 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_ROWS = int(os.environ.get("GRAFT_CORPUS_ROWS", "20000"))
+CORPUS_PATH = "/tmp/fsray_bench_corpus_%d.parquet" % CORPUS_ROWS
+
+
+def ensure_corpus() -> str:
+    """Pre-generate the synthetic corpus OUTSIDE the timed region."""
+    if not os.path.exists(CORPUS_PATH):
+        from fuzzysearch_ray.sources.corpus import write_corpus_parquet
+
+        write_corpus_parquet(CORPUS_PATH, CORPUS_ROWS, seed=42)
+    return CORPUS_PATH
+
+
+def warm_page_cache(paths):
+    for p in paths:
+        if os.path.isfile(p):
+            with open(p, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from fuzzysearch_ray.config import DedupConfig
+    from fuzzysearch_ray.pipelines import queries as Q
+    from fuzzysearch_ray.pipelines.dedup import near_dup_pipeline
+
+    corpus_path = ensure_corpus()
+    warm_page_cache(
+        [corpus_path]
+        + [os.path.join(SF_DIR, f) for f in os.listdir(SF_DIR) if f.endswith(".parquet")]
+    )
+
+    timings = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        if hasattr(out, "materialize"):
+            out = out.materialize()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # headline: flagship dedup over the synthetic source-code corpus
+    t0 = time.time()
+    corpus_ds = rd.read_parquet(corpus_path)
+    res = near_dup_pipeline(corpus_ds, DedupConfig())
+    corpus_sec = time.time() - t0
+    timings["corpus_dedup"] = round(corpus_sec, 3)
+
+    # testdata pipelines
+    timed("near_dup_documents", lambda: Q.q_near_dup_clusters(SF_DIR))
+    timed("exact_dedup_groups", lambda: Q.q_exact_dedup_groups(SF_DIR))
+    timed("fuzzy_search_levenshtein", lambda: Q.q_fuzzy_search_levenshtein(SF_DIR))
+    timed("substring_count", lambda: Q.q_substring_count(SF_DIR))
+    timed("ann_topk", lambda: Q.q_ann_topk(SF_DIR))
+    timed("simhash_signatures", lambda: Q.q_simhash_signatures(SF_DIR))
+    timed("token_counts", lambda: Q.q_token_counts(SF_DIR))
+    timed("lineitem_pricing", lambda: Q.q_lineitem_pricing(SF_DIR))
+    timed("events_hourly", lambda: Q.q_events_hourly(SF_DIR))
+
+    result = {
+        "metric": "dedup_pipeline_wall_sec",
+        "value": round(corpus_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": CORPUS_ROWS,
+        "corpus_files_per_sec": round(CORPUS_ROWS / corpus_sec, 1),
+        "dedup_stats": res["stats"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    ensure_corpus()
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--corpus-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "files_per_sec_8": r_lo["corpus_files_per_sec"],
+        "files_per_sec_32": r_hi["corpus_files_per_sec"],
+        "corpus_rows": CORPUS_ROWS,
+        "num_cpus": [lo, hi],
+    }
+
+
+def run_corpus_only() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from fuzzysearch_ray.config import DedupConfig
+    from fuzzysearch_ray.pipelines.dedup import near_dup_pipeline
+
+    corpus_path = ensure_corpus()
+    warm_page_cache([corpus_path])
+    # one untimed warm-up pass over a slice to amortize actor/module startup
+    near_dup_pipeline(rd.read_parquet(corpus_path).limit(500), DedupConfig())
+    t0 = time.time()
+    res = near_dup_pipeline(rd.read_parquet(corpus_path), DedupConfig())
+    sec = time.time() - t0
+    out = {
+        "metric": "dedup_pipeline_wall_sec",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": CORPUS_ROWS,
+        "corpus_files_per_sec": round(CORPUS_ROWS / sec, 1),
+        "dedup_stats": res["stats"],
+    }
+    ray.shutdown()
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--corpus-only" in sys.argv:
+        print(json.dumps(run_corpus_only()))
+    else:
+        print(json.dumps(run_bench()))
