@@ -146,6 +146,13 @@ def run_scaling() -> dict:
     }
 
 
+def _warm_import(batch):
+    import fuzzysearch_ray.kernels.dispatch  # noqa: F401
+    import fuzzysearch_ray.stages.verify  # noqa: F401
+
+    return batch.slice(0, 1)
+
+
 def run_corpus_only() -> dict:
     import ray
 
@@ -166,8 +173,12 @@ def run_corpus_only() -> dict:
 
     corpus_path = ensure_corpus()
     warm_page_cache([corpus_path])
-    # one untimed warm-up pass over a slice to amortize actor/module startup
-    near_dup_pipeline(rd.read_parquet(corpus_path).limit(500), DedupConfig())
+    # light untimed warm-up: spin up worker processes + import the library
+    # everywhere (a full pipeline warm-up leaves executor/object-store debris
+    # that skews the timed run)
+    rd.read_parquet(corpus_path).limit(2000).map_batches(
+        _warm_import, batch_format="pyarrow"
+    ).materialize()
     t0 = time.time()
     res = near_dup_pipeline(rd.read_parquet(corpus_path), DedupConfig())
     sec = time.time() - t0

@@ -16,11 +16,20 @@ class DedupConfig:
     # --- signature scheme -------------------------------------------------
     shingle_k: int = 5            # char (UTF-8 byte) n-gram size
     num_perm: int = 128           # MinHash permutations
-    num_bands: int = 32           # LSH bands (rows per band = num_perm // num_bands)
+    # 21 bands x 6 rows (uses the first 126 perms): P(candidate) at the
+    # jaccard threshold 0.8 is 1-(1-0.8^6)^21 = 0.998, while pairs at s=0.5
+    # collide with P=0.28 (vs 0.87 at 32x4) — ~4x fewer junk candidates for
+    # the verify stage at equal recall.
+    num_bands: int = 21           # LSH bands (rows per band = num_perm // num_bands)
     seed: int = 42
 
     # --- dup decision ------------------------------------------------------
     jaccard_threshold: float = 0.8
+    # verify pre-gate on the MinHash-estimated Jaccard (128-slot agreement
+    # fraction): est stddev at s=0.8 is sqrt(s(1-s)/128) ≈ 0.035, so 0.65 is
+    # > 4 sigma below the threshold — P(drop a true dup) < 1e-4 while ~90% of
+    # junk candidates never touch content. 0 disables the gate.
+    est_jaccard_gate: float = 0.65
     # annotate verified pairs with a capped edit distance (ratio of max len);
     # the Levenshtein kernel is exercised on every verified pair but is not a
     # gate (recall is then purely an LSH property: P(miss) ≈ (1-s^r)^b)
@@ -37,16 +46,19 @@ class DedupConfig:
     # --- execution ----------------------------------------------------------
     signature_batch_size: int = 512
     verify_batch_size: int = 1024
-    signature_concurrency: tuple = (2, 8)
-    verify_concurrency: tuple = (2, 8)
+    # autoscaling actor pools: min MUST stay well under the smallest node's
+    # CPU count — a min that consumes every CPU starves upstream shuffle
+    # tasks and deadlocks the streaming executor (observed at num_cpus=8)
+    signature_concurrency: tuple = (2, 32)
+    verify_concurrency: tuple = (2, 32)
 
     @property
     def band_rows(self) -> int:
         return self.num_perm // self.num_bands
 
     def __post_init__(self):
-        if self.num_perm % self.num_bands:
-            raise ValueError("num_perm must be divisible by num_bands")
+        if self.num_perm < self.num_bands:
+            raise ValueError("num_perm must be >= num_bands")
         if not (0.0 < self.jaccard_threshold <= 1.0):
             raise ValueError("jaccard_threshold must be in (0, 1]")
         if self.shingle_k <= 0 or self.bucket_cap < 2:

@@ -147,6 +147,53 @@ def rolling_fingerprint(text: str, window: int = 64, keep: int = 8) -> np.ndarra
     return hashes[:keep]
 
 
+def run_window_hashes(text: str, window: int) -> np.ndarray:
+    """Raw (positional, not uniqued) rolling hashes of every ``window``-byte
+    UTF-8 substring of ``text``; empty array when the text is too short.
+    Index i of the result is the hash of bytes [i, i+window)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = data.size
+    if n < window:
+        return np.empty(0, dtype=np.uint64)
+    acc = np.zeros(n - window + 1, dtype=np.uint64)
+    for j in range(window):
+        acc = (acc * _POLY_P + data[j : n - window + 1 + j].astype(np.uint64)).astype(np.uint64)
+    return _splitmix64(acc)
+
+
+def shares_long_run_hashed(
+    a: str,
+    b: str,
+    min_run: int,
+    hashes_a: Optional[np.ndarray] = None,
+    hashes_b: Optional[np.ndarray] = None,
+) -> bool:
+    """True iff ``a`` and ``b`` share a common substring of >= min_run bytes,
+    using (optionally precomputed/cached) rolling window hashes; candidate
+    hash hits are confirmed against the actual bytes to rule out collisions."""
+    if min_run <= 0:
+        return True
+    ha = run_window_hashes(a, min_run) if hashes_a is None else hashes_a
+    hb = run_window_hashes(b, min_run) if hashes_b is None else hashes_b
+    if ha.size == 0 or hb.size == 0:
+        return False
+    if ha.size > hb.size:  # probe the smaller set into the larger positions
+        a, b = b, a
+        ha, hb = hb, ha
+    ua = np.unique(ha)
+    idx = np.searchsorted(ua, hb)
+    np.minimum(idx, ua.size - 1, out=idx)
+    hits = np.flatnonzero(ua[idx] == hb)
+    if hits.size == 0:
+        return False
+    a_bytes = a.encode("utf-8")
+    b_bytes = b.encode("utf-8")
+    for off in hits[:256].tolist():
+        if a_bytes.find(b_bytes[off : off + min_run]) >= 0:
+            return True
+    return False
+
+
 def longest_common_run_at_least(a: str, b: str, min_run: int) -> bool:
     """True iff ``a`` and ``b`` share a common substring of >= min_run chars.
 

@@ -23,7 +23,7 @@ from ..stages.cluster import assign_clusters, components_driver
 from ..stages.exact_dedup import broadcast_id_filter, exact_dedup
 from ..stages.lsh import candidate_pairs
 from ..stages.preprocess import preprocess
-from ..stages.signatures import band_signatures
+from ..stages.signatures import bands_from_signatures, minhash_signatures
 from ..stages.verify import verify_pairs_broadcast, verify_pairs_join
 
 
@@ -40,37 +40,85 @@ def near_dup_pipeline(
     content_mode: 'broadcast' | 'join' | 'auto' (auto picks broadcast while
     the representative set is under config.broadcast_limit_rows).
     """
+    import os
+    import time
+
     import ray
 
+    _trace = os.environ.get("GRAFT_TIMING")
+    _t = time.time()
+
+    def _mark(stage):
+        nonlocal _t
+        if _trace:
+            print("[dedup-timing] %s %.3fs" % (stage, time.time() - _t), flush=True)
+        _t = time.time()
+
     pre = preprocess(corpus_ds).materialize()
+    _mark("preprocess")
+    # Small inputs bundle into very few tasks (Ray packs blocks up to
+    # target_max_block_size); spread them so every downstream stage —
+    # signatures, the band shuffle, verify — can use the whole cluster.
+    # At real scale the natural block count exceeds this and it's a no-op.
+    target_blocks = int(ray.cluster_resources().get("CPU", 8)) * 2
+    if pre.num_blocks() < target_blocks:
+        pre = pre.repartition(target_blocks).materialize()
     n_rows = pre.count()
+    _mark("repartition+count")
 
     membership_df = exact_dedup(pre).to_pandas()
     rep_ids = np.sort(
         membership_df.loc[membership_df["id"] == membership_df["rep_id"], "id"].to_numpy()
     )
 
+    _mark("exact_dedup")
     reps_ds = broadcast_id_filter(pre, ray.put(rep_ids)).materialize()
     n_reps = len(rep_ids)
+    _mark("rep_filter")
 
-    bands = band_signatures(reps_ds, config)
+    # signature table: ~1000x smaller than content; computed once, used for
+    # band keys AND the verify pre-gate
+    sigs_ds = minhash_signatures(reps_ds, config).materialize()
+    _mark("signatures")
+    bands = bands_from_signatures(sigs_ds, config)
     pairs = candidate_pairs(bands, config)
 
     if content_mode == "auto":
         content_mode = "broadcast" if n_reps <= config.broadcast_limit_rows else "join"
     if content_mode == "broadcast":
+        # verify is the CPU-heaviest stage and the pair table is tiny integer
+        # rows here — spread it so the actor pool sees balanced, plentiful
+        # blocks (at join scale the pair table already has many blocks)
+        pairs = pairs.repartition(int(ray.cluster_resources().get("CPU", 8)) * 4)
+    if content_mode == "broadcast":
+        sig_tbl = pa.concat_tables(ray.get(sigs_ds.to_arrow_refs()))
+        sig_ids = sig_tbl["id"].to_numpy()
+        sig_mat = (
+            sig_tbl["sig"].combine_chunks().flatten().to_numpy().view(np.uint64)
+        ).reshape(len(sig_ids), -1)
+        order = np.argsort(sig_ids)
+        sig_ref = ray.put((sig_ids[order], np.ascontiguousarray(sig_mat[order])))
+
         content_tbl = pa.concat_tables(
             ray.get(reps_ds.select_columns(["id", "content"]).to_arrow_refs())
         )
-        content_map = dict(
-            zip(content_tbl["id"].to_pylist(), content_tbl["content"].to_pylist())
+        c_ids = content_tbl["id"].to_numpy()
+        c_order = np.argsort(c_ids)
+        content_ref = ray.put(
+            (
+                c_ids[c_order],
+                content_tbl["content"]
+                .combine_chunks()
+                .take(pa.array(c_order, pa.int64())),
+            )
         )
-        content_ref = ray.put(content_map)
-        verified = verify_pairs_broadcast(pairs, content_ref, config)
+        _mark("broadcasts")
+        verified = verify_pairs_broadcast(pairs, content_ref, config, sig_ref=sig_ref)
     else:
         verified = verify_pairs_join(pairs, reps_ds, config)
 
     edges_df = verified.to_pandas()
+    _mark("pairs+verify")
     n_pairs = len(edges_df)
 
     labels = components_driver(edges_df["a"].to_numpy(), edges_df["b"].to_numpy())

@@ -26,8 +26,13 @@ from ..functions.hashing import (
 )
 
 
-class BandSignatures:
-    """content → exploded (id, band_id, band_hash) rows."""
+class MinHashSignatures:
+    """content → (id, sig) where sig is the full num_perm MinHash vector.
+
+    The signature table is ~1000x smaller than content; it is reused twice —
+    band keys derive from it (``bands_from_signatures``) and the verify stage
+    pre-gates candidate pairs on the estimated Jaccard (fraction of equal
+    signature slots) before touching any content."""
 
     def __init__(self, config: DedupConfig):
         self.config = config
@@ -35,29 +40,61 @@ class BandSignatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
-        ids = batch["id"].to_numpy()
         contents = batch["content"].to_pylist()
-        n = len(ids)
-        nb = cfg.num_bands
-        out_ids = np.empty(n * nb, dtype=np.int64)
-        out_band_id = np.tile(np.arange(nb, dtype=np.int32), n)
-        out_band_hash = np.empty(n * nb, dtype=np.uint64)
+        n = len(contents)
+        sigs = np.empty((n, cfg.num_perm), dtype=np.uint64)
         for i, text in enumerate(contents):
             if len(text) > cfg.max_content_bytes_for_lsh:
                 # oversize routing: signature over a prefix; stored content
                 # (and the sha256 invariant) is untouched
                 text = text[: cfg.max_content_bytes_for_lsh]
             sh = shingle_hashes(text, cfg.shingle_k)
-            sig = minhash_signature(sh, self.a, self.b)
-            out_ids[i * nb : (i + 1) * nb] = ids[i]
-            out_band_hash[i * nb : (i + 1) * nb] = band_hashes(sig, nb)
+            sigs[i] = minhash_signature(sh, self.a, self.b)
         return pa.table(
             {
-                "id": pa.array(out_ids, pa.int64()),
-                "band_id": pa.array(out_band_id, pa.int32()),
-                "band_hash": pa.array(out_band_hash.view(np.int64), pa.int64()),
+                "id": batch["id"],
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1).view(np.int64), pa.int64()),
+                    cfg.num_perm,
+                ),
             }
         )
+
+
+def band_hashes_matrix(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """(n, num_perm) signature matrix → (n, num_bands) band keys; identical
+    values to ``band_hashes`` applied per row (pinned by test)."""
+    from ..functions.hashing import _POLY_P, _splitmix64
+
+    n = sigs.shape[0]
+    rows = sigs.shape[1] // num_bands
+    bands = sigs[:, : num_bands * rows].reshape(n, num_bands, rows)
+    acc = np.zeros((n, num_bands), dtype=np.uint64)
+    for j in range(rows):
+        acc = (acc * _POLY_P + bands[:, :, j]).astype(np.uint64)
+    return _splitmix64(acc)
+
+
+def bands_from_signatures(sig_ds, config: DedupConfig):
+    """(id, sig) → exploded (id, band_id, band_hash); stateless + vectorized."""
+    nb = config.num_bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        n = len(ids)
+        sigs = (
+            batch["sig"].combine_chunks().flatten().to_numpy().view(np.uint64)
+        ).reshape(n, -1)
+        bh = band_hashes_matrix(sigs, nb)
+        return pa.table(
+            {
+                "id": pa.array(np.repeat(ids, nb), pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(nb, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64), pa.int64()),
+            }
+        )
+
+    return sig_ds.map_batches(explode, batch_format="pyarrow")
 
 
 class SimHashSignatures:
@@ -82,15 +119,20 @@ class SimHashSignatures:
         )
 
 
-def band_signatures(ds, config: DedupConfig):
+def minhash_signatures(ds, config: DedupConfig):
     return ds.select_columns(["id", "content"]).map_batches(
-        BandSignatures,
+        MinHashSignatures,
         fn_constructor_args=(config,),
         batch_format="pyarrow",
         batch_size=config.signature_batch_size,
         concurrency=config.signature_concurrency,
         num_cpus=1,
     )
+
+
+def band_signatures(ds, config: DedupConfig):
+    """(id, content) → exploded (id, band_id, band_hash) band keys."""
+    return bands_from_signatures(minhash_signatures(ds, config), config)
 
 
 def simhash_signatures(ds, config: DedupConfig):

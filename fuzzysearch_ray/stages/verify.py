@@ -28,10 +28,11 @@ import pyarrow as pa
 from ..config import DedupConfig
 from ..functions.hashing import (
     exact_jaccard,
-    longest_common_run_at_least,
+    run_window_hashes,
+    shares_long_run_hashed,
     shingle_hashes,
 )
-from ..kernels.bounded_distance import bounded_levenshtein
+from ..kernels.bounded_distance import levenshtein_bitparallel
 
 PAIR_SCHEMA = pa.schema(
     [
@@ -45,15 +46,35 @@ PAIR_SCHEMA = pa.schema(
 
 
 class VerifyPairs:
-    def __init__(self, config: DedupConfig, content_ref=None):
+    def __init__(self, config: DedupConfig, content_ref=None, sig_ref=None):
         self.cfg = config
-        if content_ref is not None:
-            import ray
+        import ray
 
-            self.content = ray.get(content_ref)
+        if content_ref is not None:
+            # (sorted id vector, aligned Arrow string array): Arrow buffers
+            # come out of the object store zero-copy, so actor startup does
+            # not pay a content deserialization cost
+            self.content_ids, self.content_col = ray.get(content_ref)
         else:
-            self.content = None
+            self.content_ids = None
+        if sig_ref is not None:
+            # (sorted id vector, aligned (n, num_perm) signature matrix) for
+            # the vectorized estimated-Jaccard pre-gate
+            self.sig_ids, self.sig_mat = ray.get(sig_ref)
+        else:
+            self.sig_ids = None
         self._cache = {}
+        self._run_cache = {}
+
+    def _est_gate(self, a_ids: np.ndarray, b_ids: np.ndarray) -> np.ndarray:
+        """Boolean keep-mask from the MinHash agreement fraction."""
+        gate = self.cfg.est_jaccard_gate
+        if self.sig_ids is None or gate <= 0:
+            return np.ones(len(a_ids), dtype=bool)
+        ia = np.searchsorted(self.sig_ids, a_ids)
+        ib = np.searchsorted(self.sig_ids, b_ids)
+        est = (self.sig_mat[ia] == self.sig_mat[ib]).mean(axis=1)
+        return est >= gate
 
     def _shingles(self, doc_id: int, text: str) -> np.ndarray:
         sh = self._cache.get(doc_id)
@@ -66,13 +87,26 @@ class VerifyPairs:
             self._cache[doc_id] = sh
         return sh
 
+    def _run_hashes(self, doc_id: int, text: str) -> np.ndarray:
+        rh = self._run_cache.get(doc_id)
+        if rh is None:
+            if len(self._run_cache) >= 4096:
+                self._run_cache.clear()
+            rh = run_window_hashes(text, self.cfg.min_exact_run)
+            self._run_cache[doc_id] = rh
+        return rh
+
     def _texts(self, batch: pa.Table, col_ids: np.ndarray, col: str):
-        if self.content is not None:
-            return [self.content[i] for i in col_ids]
+        if self.content_ids is not None:
+            idx = np.searchsorted(self.content_ids, col_ids)
+            return self.content_col.take(pa.array(idx, pa.int64())).to_pylist()
         return batch[col].to_pylist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
+        keep = self._est_gate(batch["a"].to_numpy(), batch["b"].to_numpy())
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
         a_ids = batch["a"].to_numpy()
         b_ids = batch["b"].to_numpy()
         texts_a = self._texts(batch, a_ids, "content_a")
@@ -87,8 +121,14 @@ class VerifyPairs:
             if jac < cfg.jaccard_threshold:
                 continue
             cap = max(16, int(cfg.lev_cap_ratio * max(len(ta), len(tb))))
-            dist = bounded_levenshtein(ta, tb, cap)
-            run = longest_common_run_at_least(ta, tb, cfg.min_exact_run)
+            dist = levenshtein_bitparallel(ta, tb, cap)
+            run = shares_long_run_hashed(
+                ta,
+                tb,
+                cfg.min_exact_run,
+                hashes_a=self._run_hashes(int(a_ids[i]), ta),
+                hashes_b=self._run_hashes(int(b_ids[i]), tb),
+            )
             out_a.append(int(a_ids[i]))
             out_b.append(int(b_ids[i]))
             out_j.append(float(jac))
@@ -105,10 +145,10 @@ class VerifyPairs:
         )
 
 
-def verify_pairs_broadcast(pairs_ds, content_ref, config: DedupConfig):
+def verify_pairs_broadcast(pairs_ds, content_ref, config: DedupConfig, sig_ref=None):
     return pairs_ds.map_batches(
         VerifyPairs,
-        fn_constructor_args=(config, content_ref),
+        fn_constructor_args=(config, content_ref, sig_ref),
         batch_format="pyarrow",
         batch_size=config.verify_batch_size,
         concurrency=config.verify_concurrency,
