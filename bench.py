@@ -115,10 +115,19 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    ensure_corpus()
+    # Scaling evidence needs compute to dominate the fixed per-run overhead
+    # (shuffle barriers, actor-pool spin-up ≈ 10s): at ~8 ms CPU per file the
+    # default 120k-file corpus gives ~16 min of CPU work, enough for the 8→32
+    # ratio to reflect real scaling rather than constant costs.
+    rows = int(os.environ.get("GRAFT_SCALING_ROWS", "120000"))
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_CORPUS_ROWS=str(rows),
+            GRAFT_SCALING_CHILD="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--corpus-only"],
             env=env,
@@ -141,7 +150,7 @@ def run_scaling() -> dict:
         "sec_32": t_hi,
         "files_per_sec_8": r_lo["corpus_files_per_sec"],
         "files_per_sec_32": r_hi["corpus_files_per_sec"],
-        "corpus_rows": CORPUS_ROWS,
+        "corpus_rows": rows,
         "num_cpus": [lo, hi],
     }
 

@@ -1,0 +1,186 @@
+"""Resumable, checkpointed dedup run over a sharded Parquet corpus.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics". Stage layout under ``out_dir`` (every partition is
+written atomically — tmp dir + rename — and recorded in ``manifest.json``
+with lineage before it counts as done):
+
+    out_dir/
+      manifest.json
+      part=signatures/<shard>/          # (id, sha256, n_bytes, sig) per input shard
+      part=edges/all/                   # verified dup edges
+      part=clusters/all/                # (id, cluster_id)
+
+The expensive per-document work (sha256 + MinHash signatures) checkpoints
+per input shard, so a killed run resumes without recomputing any finished
+shard; the global stages (pair generation → verify → clustering) re-derive
+from the signature checkpoints. Content is re-read from the *input* shards
+only for pair verification — signatures are ~1000x smaller and never carry
+content (sha256 invariant: content is never rewritten anywhere).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, DedupConfig
+from ..state.checkpoint import RunManifest, write_partition_atomic
+from ..stages.cluster import assign_clusters, components_driver
+from ..stages.exact_dedup import broadcast_id_filter
+from ..stages.lsh import candidate_pairs
+from ..stages.preprocess import preprocess
+from ..stages.signatures import bands_from_signatures, minhash_signatures
+from ..stages.verify import verify_pairs_broadcast
+
+
+def _shard_name(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def run_dedup_checkpointed(
+    input_paths: List[str],
+    out_dir: str,
+    config: DedupConfig = DEFAULT_CONFIG,
+) -> Dict:
+    """Run (or resume) the staged dedup pipeline; returns the manifest state.
+
+    Stage 1 (per input shard, skipped when checkpointed): signatures.
+    Stage 2 (global): exact dedup + LSH pairs + verify → edges.
+    Stage 3 (global): connected components → clusters.
+    """
+    import ray
+    import ray.data as rd
+
+    input_paths = sorted(input_paths)
+    manifest = RunManifest.load_or_create(out_dir, config, input_paths)
+
+    # ---- stage 1: per-shard signatures ---------------------------------
+    n_skipped = 0
+    for path in input_paths:
+        part = "signatures/" + _shard_name(path)
+        if manifest.is_complete(part):
+            n_skipped += 1
+            continue
+        shard = preprocess(rd.read_parquet(path))
+        sigs = minhash_signatures(shard, config)
+        hashes = shard.select_columns(["id", "sha256", "n_bytes"])
+        joined = _zip_by_id(hashes, sigs)
+        out_path = write_partition_atomic(joined, out_dir, part)
+        n_rows = int(joined.num_rows)
+        manifest.mark_complete(
+            part, {"input": path, "rows": n_rows, "output": out_path}
+        )
+    manifest.record_metrics({"signature_shards_skipped_on_resume": n_skipped})
+
+    # ---- stage 2: global edges ----------------------------------------
+    sig_dir = os.path.join(out_dir, "part=signatures")
+    if not manifest.is_complete("edges/all"):
+        sig_files = sorted(
+            os.path.join(root, f)
+            for root, _, files in os.walk(sig_dir)
+            if ".tmp" not in root
+            for f in files
+            if f.endswith(".parquet")
+        )
+        sig_ds = rd.read_parquet(sig_files).materialize()
+
+        sig_tbl = pa.concat_tables(ray.get(sig_ds.to_arrow_refs())).combine_chunks()
+        mem = sig_tbl.select(["id", "sha256"]).to_pandas()
+        rep = mem.groupby("sha256")["id"].transform("min")
+        membership = pd.DataFrame(
+            {"id": mem["id"].to_numpy(), "rep_id": rep.to_numpy()}
+        )
+        rep_ids = np.sort(
+            membership.loc[membership["id"] == membership["rep_id"], "id"].to_numpy()
+        )
+
+        reps_sig_ds = broadcast_id_filter(
+            sig_ds.select_columns(["id", "sig"]), ray.put(rep_ids)
+        )
+        bands = bands_from_signatures(reps_sig_ds, config)
+        pairs = candidate_pairs(bands, config)
+        pairs = pairs.repartition(int(ray.cluster_resources().get("CPU", 8)) * 4)
+
+        # broadcast the signature matrix for the estimated-jaccard pre-gate
+        keep = np.isin(sig_tbl["id"].to_numpy(), rep_ids)
+        s_ids = sig_tbl["id"].to_numpy()[keep]
+        s_mat = (
+            sig_tbl["sig"].combine_chunks().flatten().to_numpy().view(np.uint64)
+        ).reshape(len(sig_tbl), -1)[keep]
+        order = np.argsort(s_ids)
+        sig_ref = ray.put((s_ids[order], np.ascontiguousarray(s_mat[order])))
+
+        # content re-read from the INPUT shards, reps only, broadcast
+        content_ds = broadcast_id_filter(
+            rd.read_parquet(input_paths).select_columns(["id", "content"]),
+            ray.put(rep_ids),
+        )
+        c_tbl = pa.concat_tables(ray.get(content_ds.to_arrow_refs())).combine_chunks()
+        c_ids = c_tbl["id"].to_numpy()
+        c_order = np.argsort(c_ids)
+        content_ref = ray.put(
+            (c_ids[c_order], c_tbl["content"].take(pa.array(c_order, pa.int64())))
+        )
+
+        edges = verify_pairs_broadcast(pairs, content_ref, config, sig_ref=sig_ref)
+        edges_df = edges.to_pandas()
+        write_partition_atomic(edges_df, out_dir, "edges/all")
+        write_partition_atomic(membership, out_dir, "membership/all")
+        manifest.mark_complete(
+            "edges/all",
+            {
+                "rows": len(edges_df),
+                "n_representatives": int(len(rep_ids)),
+                "inputs": ["stage=signatures"] + input_paths,
+            },
+        )
+        manifest.mark_complete("membership/all", {"rows": len(membership)})
+
+    # ---- stage 3: clusters --------------------------------------------
+    if not manifest.is_complete("clusters/all"):
+        edges_df = _read_part(out_dir, "edges/all")
+        membership = _read_part(out_dir, "membership/all")
+        labels = components_driver(
+            edges_df["a"].to_numpy(), edges_df["b"].to_numpy()
+        )
+        clusters = assign_clusters(membership, labels).sort_values("id")
+        write_partition_atomic(clusters.reset_index(drop=True), out_dir, "clusters/all")
+        manifest.mark_complete(
+            "clusters/all",
+            {
+                "rows": len(clusters),
+                "n_clusters_multi": int(
+                    (clusters.groupby("cluster_id").size() > 1).sum()
+                ),
+            },
+        )
+    return manifest.state
+
+
+def _read_part(out_dir: str, partition: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    d = os.path.join(out_dir, "part=%s" % partition)
+    return pq.read_table(d).to_pandas()
+
+
+def _zip_by_id(hashes_ds, sigs_ds) -> pa.Table:
+    """Align two same-source datasets on id into one Arrow table (driver-side;
+    per-shard tables are small — one input shard's metadata)."""
+    import ray
+
+    h = pa.concat_tables(ray.get(hashes_ds.to_arrow_refs())).combine_chunks()
+    s = pa.concat_tables(ray.get(sigs_ds.to_arrow_refs())).combine_chunks()
+    h_ids = h["id"].to_numpy()
+    s_ids = s["id"].to_numpy()
+    order_h = np.argsort(h_ids)
+    order_s = np.argsort(s_ids)
+    h = h.take(pa.array(order_h, pa.int64()))
+    s = s.take(pa.array(order_s, pa.int64()))
+    assert h["id"].to_numpy().tolist() == s["id"].to_numpy().tolist()
+    return h.append_column("sig", s["sig"])

@@ -54,17 +54,23 @@ def near_dup_pipeline(
             print("[dedup-timing] %s %.3fs" % (stage, time.time() - _t), flush=True)
         _t = time.time()
 
-    pre = preprocess(corpus_ds).materialize()
-    _mark("preprocess")
     # Small inputs bundle into very few tasks (Ray packs blocks up to
     # target_max_block_size); spread them so every downstream stage —
     # signatures, the band shuffle, verify — can use the whole cluster.
-    # At real scale the natural block count exceeds this and it's a no-op.
+    # At real scale the input's natural block count exceeds this (no-op).
     target_blocks = int(ray.cluster_resources().get("CPU", 8)) * 2
+    pre = preprocess(corpus_ds)
+    try:
+        known_blocks = corpus_ds.num_blocks()  # materialized inputs only
+    except NotImplementedError:
+        known_blocks = None
+    if known_blocks is not None and known_blocks < target_blocks:
+        pre = pre.repartition(target_blocks)  # fused into the same pass
+    pre = pre.materialize()
     if pre.num_blocks() < target_blocks:
         pre = pre.repartition(target_blocks).materialize()
     n_rows = pre.count()
-    _mark("repartition+count")
+    _mark("preprocess+repartition")
 
     membership_df = exact_dedup(pre).to_pandas()
     rep_ids = np.sort(

@@ -85,6 +85,7 @@ def components_distributed(edges_ds, max_rounds: int = 25):
     # map only for the propagation bookkeeping (node set = edge endpoints,
     # already a tiny fraction of the corpus)
     label_map: Dict[int, int] = {}
+    all_nodes: set = set()
 
     def lookup(x: int) -> int:
         return label_map.get(x, x)
@@ -109,6 +110,10 @@ def components_distributed(edges_ds, max_rounds: int = 25):
             .aggregate(Min("incoming", alias_name="min_incoming"))
         )
         updates = new_min.to_pandas()
+        if not all_nodes:
+            # round 1 reaches every edge endpoint — roots included, whose
+            # label never changes and so never enters label_map
+            all_nodes = set(int(n) for n in updates["node"].to_numpy())
         changed = 0
         for node, incoming in zip(
             updates["node"].to_numpy(), updates["min_incoming"].to_numpy()
@@ -128,7 +133,7 @@ def components_distributed(edges_ds, max_rounds: int = 25):
             label_map[node] = root
         if changed == 0:
             break
-    rows = sorted(label_map.items())
+    rows = sorted((n, lookup(n)) for n in all_nodes)
     return pd.DataFrame(
         {"node": [r[0] for r in rows], "label": [r[1] for r in rows]}
     )

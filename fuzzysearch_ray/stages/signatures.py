@@ -120,12 +120,14 @@ class SimHashSignatures:
 
 
 def minhash_signatures(ds, config: DedupConfig):
+    from .verify import pool_concurrency
+
     return ds.select_columns(["id", "content"]).map_batches(
         MinHashSignatures,
         fn_constructor_args=(config,),
         batch_format="pyarrow",
         batch_size=config.signature_batch_size,
-        concurrency=config.signature_concurrency,
+        concurrency=pool_concurrency(config.signature_concurrency),
         num_cpus=1,
     )
 
@@ -136,11 +138,13 @@ def band_signatures(ds, config: DedupConfig):
 
 
 def simhash_signatures(ds, config: DedupConfig):
+    from .verify import pool_concurrency
+
     return ds.select_columns(["id", "content"]).map_batches(
         SimHashSignatures,
         fn_constructor_args=(config,),
         batch_format="pyarrow",
         batch_size=config.signature_batch_size,
-        concurrency=config.signature_concurrency,
+        concurrency=pool_concurrency(config.signature_concurrency),
         num_cpus=1,
     )

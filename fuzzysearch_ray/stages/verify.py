@@ -145,13 +145,25 @@ class VerifyPairs:
         )
 
 
+def pool_concurrency(configured: tuple) -> tuple:
+    """Scale the autoscaling-pool floor to the cluster: ramping from a tiny
+    pool wastes wall time on big clusters, but the floor must stay well under
+    the smallest node's CPUs (a floor that eats every CPU starves upstream
+    tasks and deadlocks the streaming executor)."""
+    import ray
+
+    lo, hi = configured
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (max(lo, min(cpus // 2, hi // 2)), hi)
+
+
 def verify_pairs_broadcast(pairs_ds, content_ref, config: DedupConfig, sig_ref=None):
     return pairs_ds.map_batches(
         VerifyPairs,
         fn_constructor_args=(config, content_ref, sig_ref),
         batch_format="pyarrow",
         batch_size=config.verify_batch_size,
-        concurrency=config.verify_concurrency,
+        concurrency=pool_concurrency(config.verify_concurrency),
         num_cpus=1,
     )
 
@@ -159,7 +171,13 @@ def verify_pairs_broadcast(pairs_ds, content_ref, config: DedupConfig, sig_ref=N
 def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig):
     """Scale path: attach contents via two hash-partitioned joins, then the
     same verify actors (content columns instead of a broadcast map)."""
-    np_parts = config.num_join_partitions
+    import ray
+
+    # Ray's hash-shuffle join runs one aggregator actor per partition; asking
+    # for more partitions than cluster CPUs deadlocks the streaming executor
+    # (observed at num_cpus=4 with 32 partitions)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    np_parts = max(2, min(config.num_join_partitions, cpus))
     left = pairs_ds.join(
         content_ds.select_columns(["id", "content"]),
         join_type="inner",
@@ -184,6 +202,6 @@ def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig):
         fn_constructor_args=(config, None),
         batch_format="pyarrow",
         batch_size=config.verify_batch_size,
-        concurrency=config.verify_concurrency,
+        concurrency=pool_concurrency(config.verify_concurrency),
         num_cpus=1,
     )

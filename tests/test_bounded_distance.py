@@ -1,0 +1,88 @@
+"""Bounded whole-string Levenshtein kernels: the Ukkonen diagonal version
+and the Hyyrö/Myers bit-parallel version must agree with a brute-force DP
+(and with each other) — dual-run discipline per SURVEY.md §5."""
+
+import random
+
+import pytest
+
+from fuzzysearch_ray.kernels.bounded_distance import (
+    bounded_levenshtein,
+    levenshtein_bitparallel,
+)
+
+
+def dp_distance(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        ai = a[i - 1]
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ai != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+CASES = [
+    ("", "", 0),
+    ("a", "", 1),
+    ("", "abc", 3),
+    ("kitten", "sitting", 3),
+    ("flaw", "lawn", 2),
+    ("abcdef", "abcdef", 0),
+    ("größe", "grosse", 3),  # multi-codepoint
+    ("aaaa", "bbbb", 4),
+]
+
+
+@pytest.mark.parametrize("a,b,want", CASES)
+@pytest.mark.parametrize("kernel", [bounded_levenshtein, levenshtein_bitparallel])
+def test_known_cases(kernel, a, b, want):
+    assert kernel(a, b, 10) == want
+    if want > 0:
+        assert kernel(a, b, want - 1) is None
+
+
+@pytest.mark.parametrize("kernel", [bounded_levenshtein, levenshtein_bitparallel])
+def test_randomized_vs_dp(kernel):
+    rnd = random.Random(7)
+    for _ in range(400):
+        a = "".join(rnd.choice("abcd") for _ in range(rnd.randint(0, 20)))
+        b = "".join(rnd.choice("abcd") for _ in range(rnd.randint(0, 20)))
+        true = dp_distance(a, b)
+        for cap in (0, 1, 3, 25):
+            want = true if true <= cap else None
+            assert kernel(a, b, cap) == want, (a, b, cap)
+
+
+def test_bitparallel_long_mutated():
+    rnd = random.Random(3)
+    base = "".join(rnd.choice("abcdefgh") for _ in range(3000))
+    edited = list(base)
+    for _ in range(40):
+        pos = rnd.randrange(len(edited))
+        op = rnd.random()
+        if op < 0.4:
+            edited[pos] = rnd.choice("abcdefgh")
+        elif op < 0.7:
+            edited.insert(pos, rnd.choice("abcdefgh"))
+        else:
+            del edited[pos]
+    edited = "".join(edited)
+    d = levenshtein_bitparallel(base, edited, 200)
+    assert d is not None and 1 <= d <= 80  # <= 2 per edit op, >= 1
+
+
+def test_bitparallel_work_guard():
+    # wildly dissimilar huge strings must return None quickly, not hang
+    a = "a" * 200_000
+    b = "b" * 200_000
+    assert levenshtein_bitparallel(a, b, 100) is None
+
+
+def test_identical_and_prefix_cases():
+    big = "x" * 100_000
+    assert levenshtein_bitparallel(big, big, 0) == 0
+    assert levenshtein_bitparallel(big, big + "yy", 5) == 2
+    assert levenshtein_bitparallel("ab" + big, big, 5) == 2

@@ -1,0 +1,158 @@
+"""Checkpoint/resume machinery: manifest lineage, atomic partition writes,
+and the staged resumable dedup run (north rule: "resumable from checkpoint
+with per-partition lineage + metrics")."""
+
+import json
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from fuzzysearch_ray.config import DedupConfig
+from fuzzysearch_ray.state.checkpoint import (
+    RunManifest,
+    config_fingerprint,
+    run_partitioned,
+    write_partition_atomic,
+)
+
+
+def test_config_fingerprint_stable_and_sensitive():
+    a = config_fingerprint(DedupConfig())
+    b = config_fingerprint(DedupConfig())
+    c = config_fingerprint(DedupConfig(shingle_k=7))
+    assert a == b
+    assert a != c
+
+
+def test_manifest_roundtrip(tmp_path):
+    out = str(tmp_path / "run")
+    cfg = DedupConfig()
+    m = RunManifest.load_or_create(out, cfg, ["in1.parquet"])
+    assert not m.is_complete("p0")
+    m.mark_complete("p0", {"rows": 10})
+    m.record_metrics({"x": 1})
+
+    m2 = RunManifest.load_or_create(out, cfg, ["in1.parquet"])
+    assert m2.is_complete("p0")
+    assert m2.state["metrics"]["x"] == 1
+    assert "completed_at" in m2.state["completed_partitions"]["p0"]
+
+    # config change invalidates prior progress
+    m3 = RunManifest.load_or_create(out, DedupConfig(shingle_k=9), ["in1.parquet"])
+    assert not m3.is_complete("p0")
+    # input change too
+    m4 = RunManifest.load_or_create(out, cfg, ["other.parquet"])
+    assert not m4.is_complete("p0")
+
+
+def test_write_partition_atomic(tmp_path):
+    out = str(tmp_path)
+    df = pd.DataFrame({"a": [1, 2, 3]})
+    final = write_partition_atomic(df, out, "x")
+    assert os.path.isdir(final)
+    assert not os.path.exists(final + ".tmp")
+    got = pq.read_table(final).to_pandas()
+    pd.testing.assert_frame_equal(got, df)
+    # overwrite replaces cleanly
+    write_partition_atomic(pd.DataFrame({"a": [9]}), out, "x")
+    assert pq.read_table(final).to_pandas()["a"].tolist() == [9]
+
+
+def test_run_partitioned_resumes(tmp_path):
+    out = str(tmp_path / "run")
+    cfg = DedupConfig()
+    calls = []
+
+    def run_one(part):
+        calls.append(part)
+        return {"output": pd.DataFrame({"part": [part]}), "rows": 1}
+
+    parts = ["a", "b", "c"]
+    run_partitioned(parts, run_one, out, cfg, ["i.parquet"])
+    assert calls == parts
+
+    calls.clear()
+    state = run_partitioned(parts, run_one, out, cfg, ["i.parquet"])
+    assert calls == []  # everything skipped
+    assert state["metrics"]["partitions_skipped_on_resume"] == 3
+
+
+@pytest.fixture(scope="module")
+def sharded_corpus(tmp_path_factory):
+    from fuzzysearch_ray.sources.corpus import generate_corpus_table
+
+    d = tmp_path_factory.mktemp("shards")
+    paths = []
+    tbl = generate_corpus_table(600, seed=42)
+    for i in range(3):
+        shard = tbl.slice(i * 200, 200)
+        p = str(d / ("shard_%02d.parquet" % i))
+        pq.write_table(shard, p)
+        paths.append(p)
+    return paths
+
+
+def test_checkpointed_run_matches_pipeline(ray_session, sharded_corpus, tmp_path):
+    import ray.data as rd
+
+    from fuzzysearch_ray.pipelines.checkpointed import run_dedup_checkpointed
+    from fuzzysearch_ray.pipelines.dedup import near_dup_pipeline
+
+    out = str(tmp_path / "ckpt")
+    cfg = DedupConfig()
+    state = run_dedup_checkpointed(sharded_corpus, out, cfg)
+    assert len(state["completed_partitions"]) == 3 + 3  # shards + edges/membership/clusters
+
+    clusters = pq.read_table(os.path.join(out, "part=clusters/all")).to_pandas()
+    direct = near_dup_pipeline(rd.read_parquet(sharded_corpus), cfg)["clusters"]
+    merged = clusters.sort_values("id").reset_index(drop=True)
+    direct = direct.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, direct)
+
+
+def test_checkpointed_run_resume_skips(ray_session, sharded_corpus, tmp_path):
+    from fuzzysearch_ray.pipelines.checkpointed import run_dedup_checkpointed
+
+    out = str(tmp_path / "ckpt2")
+    cfg = DedupConfig()
+    run_dedup_checkpointed(sharded_corpus, out, cfg)
+    before = json.load(open(os.path.join(out, "manifest.json")))
+
+    # resume: all signature shards skipped, outputs byte-stable
+    state = run_dedup_checkpointed(sharded_corpus, out, cfg)
+    assert state["metrics"]["signature_shards_skipped_on_resume"] == 3
+    after = json.load(open(os.path.join(out, "manifest.json")))
+    assert (
+        before["completed_partitions"]["clusters/all"]
+        == after["completed_partitions"]["clusters/all"]
+    )
+
+
+def test_checkpointed_partial_resume(ray_session, sharded_corpus, tmp_path):
+    """Simulate a crash after one signature shard: resume recomputes only the
+    missing shards and still produces the full result."""
+    from fuzzysearch_ray.pipelines.checkpointed import run_dedup_checkpointed
+    from fuzzysearch_ray.state.checkpoint import RunManifest
+
+    out = str(tmp_path / "ckpt3")
+    cfg = DedupConfig()
+
+    # full run, then surgically "lose" two signature shards from the manifest
+    run_dedup_checkpointed(sharded_corpus, out, cfg)
+    mpath = os.path.join(out, "manifest.json")
+    state = json.load(open(mpath))
+    kept = dict(state["completed_partitions"])
+    for k in list(kept):
+        if k.startswith("signatures/") and not k.endswith("00"):
+            del kept[k]
+    del kept["edges/all"]
+    del kept["clusters/all"]
+    kept.pop("membership/all", None)
+    state["completed_partitions"] = kept
+    json.dump(state, open(mpath, "w"))
+
+    resumed = run_dedup_checkpointed(sharded_corpus, out, cfg)
+    assert resumed["metrics"]["signature_shards_skipped_on_resume"] == 1
+    assert resumed["completed_partitions"]["clusters/all"]["rows"] == 600

@@ -1,0 +1,130 @@
+"""End-to-end dedup pipeline tests against the single-process oracle.
+
+The oracle (pipelines/oracle.py) computes ground-truth clusters by
+exhaustive all-pairs comparison with the SAME kernels and dup criterion;
+pipeline recall vs it isolates LSH candidate loss (BASELINE target >= 0.99).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from fuzzysearch_ray.config import DedupConfig
+from fuzzysearch_ray.functions.hashing import sha256_hex
+from fuzzysearch_ray.pipelines.dedup import (
+    dup_pairs_from_clusters,
+    near_dup_pipeline,
+    pair_recall,
+)
+from fuzzysearch_ray.pipelines.oracle import oracle_clusters
+from fuzzysearch_ray.sources.corpus import generate_corpus_table
+
+N_ROWS = 1200
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus_table():
+    return generate_corpus_table(N_ROWS, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(ray_session, corpus_table):
+    ds = rd.from_arrow(corpus_table)
+    return near_dup_pipeline(ds, DedupConfig())
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus_table):
+    return oracle_clusters(corpus_table, DedupConfig())
+
+
+def test_every_row_labeled(pipeline_result):
+    clusters = pipeline_result["clusters"]
+    assert len(clusters) == N_ROWS
+    assert set(clusters.columns) == {"id", "cluster_id"}
+    assert clusters["id"].is_unique
+    # cluster id is the min member id
+    mins = clusters.groupby("cluster_id")["id"].min()
+    assert (mins.index.to_numpy() == mins.to_numpy()).all()
+
+
+def test_exact_dups_clustered(pipeline_result):
+    """Corpus slots 10-12 of each 20-row group are exact copies of slot 0."""
+    clusters = pipeline_result["clusters"].set_index("id")["cluster_id"]
+    for g in range(N_ROWS // 20):
+        base = g * 20
+        for slot in (10, 11, 12):
+            assert clusters[base + slot] == clusters[base], (g, slot)
+
+
+def test_recall_vs_oracle(pipeline_result, oracle_result):
+    rec = pair_recall(pipeline_result["clusters"], oracle_result)
+    assert rec >= 0.99, rec
+
+
+def test_precision_vs_oracle(pipeline_result, oracle_result):
+    """Every pipeline dup pair must be an oracle dup pair: the verify gate is
+    the exact criterion, so false merges can only come from transitive
+    chaining the oracle also performs. Allow a tiny slack for capped-bucket
+    chain links."""
+    got = dup_pairs_from_clusters(pipeline_result["clusters"])
+    truth = dup_pairs_from_clusters(oracle_result)
+    if got:
+        precision = len(got & truth) / len(got)
+        assert precision >= 0.98, precision
+
+
+def test_sha256_invariant(ray_session, corpus_table):
+    """input_hint invariant: content passes through unchanged end-to-end."""
+    from fuzzysearch_ray.stages.preprocess import preprocess
+
+    ds = rd.from_arrow(corpus_table)
+    out = preprocess(ds).select_columns(["id", "content", "sha256"]).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    src = corpus_table.to_pandas().sort_values("id").reset_index(drop=True)
+    assert (out["content"] == src["content"]).all()
+    sample = out.iloc[:: max(1, len(out) // 50)]
+    for _, row in sample.iterrows():
+        assert row["sha256"] == sha256_hex(row["content"])
+
+
+def test_join_mode_matches_broadcast(ray_session, corpus_table):
+    """The 100-TB content path (hash join) and the broadcast path must
+    produce identical clusters."""
+    small = generate_corpus_table(400, seed=SEED)
+    ds_b = rd.from_arrow(small)
+    ds_j = rd.from_arrow(small)
+    res_b = near_dup_pipeline(ds_b, DedupConfig(), content_mode="broadcast")
+    res_j = near_dup_pipeline(ds_j, DedupConfig(), content_mode="join")
+    cb = res_b["clusters"].sort_values("id").reset_index(drop=True)
+    cj = res_j["clusters"].sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(cb, cj)
+
+
+def test_deterministic_across_runs(ray_session, corpus_table):
+    small = generate_corpus_table(300, seed=SEED)
+    r1 = near_dup_pipeline(rd.from_arrow(small), DedupConfig())
+    r2 = near_dup_pipeline(rd.from_arrow(small), DedupConfig())
+    pd.testing.assert_frame_equal(r1["clusters"], r2["clusters"])
+    assert r1["stats"] == r2["stats"]
+
+
+def test_components_distributed_matches_driver(ray_session):
+    from fuzzysearch_ray.stages.cluster import (
+        components_distributed,
+        components_driver,
+    )
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 300, size=500)
+    b = rng.integers(0, 300, size=500)
+    edges = pd.DataFrame({"a": a, "b": b})
+    want = components_driver(a, b)
+    got_df = components_distributed(rd.from_pandas(edges))
+    got = dict(zip(got_df["node"], got_df["label"]))
+    for node, label in got.items():
+        assert want[node] == label, node
+    assert set(got) == set(want)

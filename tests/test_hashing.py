@@ -1,0 +1,139 @@
+"""Hashing primitive tests: determinism, statistical behavior, and equality
+between the vectorized and scalar formulations (the engine analog of the
+reference's dual-run discipline, tox.ini:30-39 — accelerated and fallback
+paths must agree)."""
+
+import numpy as np
+import pytest
+
+from fuzzysearch_ray.config import DedupConfig
+from fuzzysearch_ray.functions.hashing import (
+    band_hashes,
+    exact_jaccard,
+    longest_common_run_at_least,
+    md5_hex,
+    minhash_coefficients,
+    minhash_signature,
+    run_window_hashes,
+    sha256_hex,
+    shares_long_run_hashed,
+    shingle_hashes,
+    simhash64,
+    simhash_hamming,
+)
+from fuzzysearch_ray.stages.signatures import band_hashes_matrix
+
+
+def test_sha256_and_md5_match_hashlib():
+    import hashlib
+
+    for text in ["", "a", "hello wörld", "x" * 10000]:
+        assert sha256_hex(text) == hashlib.sha256(text.encode()).hexdigest()
+        assert md5_hex(text) == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_shingle_hashes_deterministic_and_unique():
+    a = shingle_hashes("the quick brown fox", 5)
+    b = shingle_hashes("the quick brown fox", 5)
+    np.testing.assert_array_equal(a, b)
+    assert a.dtype == np.uint64
+    assert np.unique(a).size == a.size  # unique + sorted
+    assert np.all(a[1:] >= a[:-1])  # sorted ascending (np.unique output)
+
+
+def test_shingle_hashes_short_text():
+    # shorter than k: one hash of the whole text; empty text hashes too
+    assert shingle_hashes("ab", 5).size == 1
+    assert shingle_hashes("", 5).size == 1
+    assert shingle_hashes("ab", 5)[0] != shingle_hashes("ac", 5)[0]
+
+
+def test_shingle_position_independence():
+    # identical k-grams anywhere hash identically (set semantics)
+    h1 = shingle_hashes("abcdefabcdef", 5)
+    h2 = shingle_hashes("abcdef", 5)
+    assert set(h2.tolist()) <= set(h1.tolist())
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(0)
+    a, b = minhash_coefficients(128, seed=42)
+    base = rng.integers(0, 1 << 63, size=2000, dtype=np.uint64)
+    extra = rng.integers(0, 1 << 63, size=2000, dtype=np.uint64)
+    for frac in (0.5, 0.8, 0.9):
+        n_shared = int(2000 * frac)
+        s1 = np.unique(np.concatenate([base[:n_shared], extra[: 2000 - n_shared]]))
+        s2 = np.unique(base)
+        true_j = exact_jaccard(np.sort(s1), np.sort(s2))
+        sig1 = minhash_signature(s1, a, b)
+        sig2 = minhash_signature(s2, a, b)
+        est = (sig1 == sig2).mean()
+        assert abs(est - true_j) < 0.15, (frac, true_j, est)
+
+
+def test_minhash_empty_shingles():
+    a, b = minhash_coefficients(16, seed=1)
+    sig = minhash_signature(np.empty(0, dtype=np.uint64), a, b)
+    assert sig.size == 16
+    assert (sig == np.iinfo(np.uint64).max).all()
+
+
+def test_band_hashes_matrix_matches_scalar():
+    """Vectorized band explosion must equal the per-row reduction."""
+    rng = np.random.default_rng(3)
+    sigs = rng.integers(0, 1 << 63, size=(17, 128), dtype=np.uint64)
+    for nb in (21, 32, 16):
+        mat = band_hashes_matrix(sigs, nb)
+        for i in range(sigs.shape[0]):
+            np.testing.assert_array_equal(mat[i], band_hashes(sigs[i], nb))
+
+
+def test_simhash_similarity():
+    t = "def compute(a, b):\n    return a + b\n" * 20
+    h1 = simhash64(shingle_hashes(t, 5))
+    h2 = simhash64(shingle_hashes(t + "# small change\n", 5))
+    h3 = simhash64(shingle_hashes("completely different content " * 30, 5))
+    assert simhash_hamming(h1, h2) < simhash_hamming(h1, h3)
+    assert simhash_hamming(h1, h1) == 0
+
+
+def test_exact_jaccard_bounds():
+    x = np.array([1, 2, 3], dtype=np.uint64)
+    y = np.array([2, 3, 4], dtype=np.uint64)
+    assert exact_jaccard(x, x) == 1.0
+    assert abs(exact_jaccard(x, y) - 0.5) < 1e-12
+    assert exact_jaccard(np.empty(0, np.uint64), np.empty(0, np.uint64)) == 1.0
+
+
+@pytest.mark.parametrize("min_run", [8, 32])
+def test_shares_long_run_agrees_with_reference_impl(min_run):
+    import random
+
+    rnd = random.Random(11)
+    shared = "".join(rnd.choice("abcdef") for _ in range(min_run + 3))
+    cases = []
+    for _ in range(40):
+        x = "".join(rnd.choice("abcdef") for _ in range(rnd.randint(0, 80)))
+        y = "".join(rnd.choice("uvwxyz") for _ in range(rnd.randint(0, 80)))
+        cases.append((x, y))
+        cases.append((x + shared + y, y + shared))
+        cases.append((x + shared, y))
+    for x, y in cases:
+        want = longest_common_run_at_least(x, y, min_run)
+        got = shares_long_run_hashed(x, y, min_run)
+        got_cached = shares_long_run_hashed(
+            x, y, min_run,
+            hashes_a=run_window_hashes(x, min_run),
+            hashes_b=run_window_hashes(y, min_run),
+        )
+        assert got == want, (x, y)
+        assert got_cached == want, (x, y)
+
+
+def test_run_window_hashes_positional():
+    h = run_window_hashes("abcdefgh", 4)
+    assert h.size == 5  # 8 - 4 + 1
+    # window at offset 2 == hash of 'cdef' computed standalone
+    h2 = run_window_hashes("cdef", 4)
+    assert h[2] == h2[0]
+    assert run_window_hashes("abc", 4).size == 0
