@@ -14,7 +14,11 @@ from dataclasses import dataclass, field
 @dataclass(frozen=True)
 class DedupConfig:
     # --- signature scheme -------------------------------------------------
-    shingle_k: int = 5            # char (UTF-8 byte) n-gram size
+    # char (UTF-8 byte) n-gram size: 9 keeps true near-dups (bounded edit
+    # count) at jaccard ~0.95+ while collapsing the baseline similarity of
+    # template-heavy source code — 5-grams of code share so much vocabulary
+    # that unrelated files sit at s≈0.35, exploding LSH candidates ~10x
+    shingle_k: int = 9
     num_perm: int = 128           # MinHash permutations
     # 21 bands x 6 rows (uses the first 126 perms): P(candidate) at the
     # jaccard threshold 0.8 is 1-(1-0.8^6)^21 = 0.998, while pairs at s=0.5

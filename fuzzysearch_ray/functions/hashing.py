@@ -150,15 +150,40 @@ def rolling_fingerprint(text: str, window: int = 64, keep: int = 8) -> np.ndarra
 def run_window_hashes(text: str, window: int) -> np.ndarray:
     """Raw (positional, not uniqued) rolling hashes of every ``window``-byte
     UTF-8 substring of ``text``; empty array when the text is too short.
-    Index i of the result is the hash of bytes [i, i+window)."""
+    Index i of the result is the hash of bytes [i, i+window).
+
+    Doubling construction: width-(a+b) hashes combine width-a and width-b
+    hashes as ``H[i] = A[i] * P^b + B[i+a]`` — O(log window) vectorized
+    passes instead of O(window) shifted adds (32x for the default 256)."""
     data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     n = data.size
     if n < window:
         return np.empty(0, dtype=np.uint64)
-    acc = np.zeros(n - window + 1, dtype=np.uint64)
-    for j in range(window):
-        acc = (acc * _POLY_P + data[j : n - window + 1 + j].astype(np.uint64)).astype(np.uint64)
-    return _splitmix64(acc)
+    cur = data.astype(np.uint64)  # width-1 hashes
+    cur_w = 1
+    p_cur = _POLY_P  # P ** cur_w (mod 2^64)
+    acc: Optional[np.ndarray] = None
+    acc_w = 0
+    p_acc = np.uint64(1)
+    remaining = window
+    while remaining:
+        if remaining & cur_w:
+            if acc is None:
+                acc, acc_w, p_acc = cur, cur_w, p_cur
+            else:
+                m = n - acc_w - cur_w + 1
+                acc = (acc[:m] * p_cur + cur[acc_w : acc_w + m]).astype(np.uint64)
+                acc_w += cur_w
+                p_acc = np.uint64((int(p_acc) * int(p_cur)) & 0xFFFFFFFFFFFFFFFF)
+            remaining ^= cur_w
+        if not remaining:
+            break
+        m = n - 2 * cur_w + 1
+        if m > 0:
+            cur = (cur[:m] * p_cur + cur[cur_w : cur_w + m]).astype(np.uint64)
+        cur_w *= 2
+        p_cur = np.uint64((int(p_cur) * int(p_cur)) & 0xFFFFFFFFFFFFFFFF)
+    return _splitmix64(acc[: n - window + 1])
 
 
 def shares_long_run_hashed(

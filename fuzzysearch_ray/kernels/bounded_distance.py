@@ -34,6 +34,20 @@ def _strip_common(a: str, b: str):
     return a[pre : la - suf], b[pre : lb - suf]
 
 
+def hybrid_levenshtein(a: str, b: str, cap: int, small_cap: int = 16) -> Optional[int]:
+    """Bounded edit distance tuned for near-dup verification: most surviving
+    pairs have tiny true distance, so try Ukkonen's O(d²) diagonal algorithm
+    with a small budget first (d<=16 resolves in ~100 vectorized snakes),
+    falling back to the bit-parallel full computation only when the distance
+    is genuinely large. Same result as either kernel alone (both exact)."""
+    d = bounded_levenshtein(a, b, min(cap, small_cap))
+    if d is not None:
+        return d
+    if cap <= small_cap:
+        return None
+    return levenshtein_bitparallel(a, b, cap)
+
+
 def levenshtein_bitparallel(
     a: str, b: str, cap: int, max_word_ops: int = 50_000_000
 ) -> Optional[int]:

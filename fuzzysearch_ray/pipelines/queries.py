@@ -313,36 +313,16 @@ def q_simhash_signatures(sf_dir: str):
 
 
 def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
-    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= threshold,
-    generated by 4-way band blocking (16-bit chunks) then exact popcount."""
-    import ray
+    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= max_hamming,
+    via the distributed pigeonhole blocking shuffle (stages/lsh.py:
+    simhash_candidate_pairs) — 16-bit chunk buckets, per-partition vectorized
+    popcount, no driver-side collection."""
+    from ..stages.lsh import simhash_candidate_pairs
 
     corpus = read_documents_as_corpus(sf_dir)
-    sims = simhash_signatures(corpus, DedupConfig()).to_pandas()
-    ids = sims["id"].to_numpy().astype(np.int64)
-    codes = sims["simhash"].to_numpy().view(np.uint64)
-    # block on 16-bit chunks (pigeonhole: ≤3 differing bits → ≥1 intact chunk)
-    pairs = set()
-    for c in range(4):
-        chunk = (codes >> np.uint64(16 * c)) & np.uint64(0xFFFF)
-        order = np.argsort(chunk, kind="stable")
-        sc, si = chunk[order], ids[order]
-        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
-        ends = np.r_[starts[1:], sc.size]
-        for s, e in zip(starts, ends):
-            if e - s < 2 or e - s > 200:
-                continue
-            grp = np.sort(si[s:e])
-            for i in range(len(grp)):
-                for j in range(i + 1, len(grp)):
-                    pairs.add((int(grp[i]), int(grp[j])))
-    code_of = dict(zip(ids.tolist(), codes.tolist()))
-    rows = [
-        (a, b, bin(code_of[a] ^ code_of[b]).count("1"))
-        for (a, b) in sorted(pairs)
-    ]
-    rows = [(a, b, h) for (a, b, h) in rows if h <= max_hamming]
-    return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+    sims = simhash_signatures(corpus, DedupConfig())
+    out = simhash_candidate_pairs(sims, max_hamming=max_hamming).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 60, threshold: float = 0.5):

@@ -46,6 +46,107 @@ def _bucket_key(batch: pa.Table) -> np.ndarray:
     return _splitmix64(band_hash ^ _splitmix64(band_id + np.uint64(0x5151)))
 
 
+def simhash_candidate_pairs(
+    sim_ds,
+    max_hamming: int = 3,
+    num_chunks: int = 4,
+    num_partitions: int = 32,
+    bucket_limit: int = 200,
+):
+    """(id, simhash) → (a, b, hamming) pairs with hamming <= max_hamming.
+
+    Pigeonhole blocking on 16-bit chunks (<=3 differing bits leaves >=1 of 4
+    chunks intact), the same partitioned-bucket shuffle as ``candidate_pairs``
+    — no driver-side collection, so it scales with the corpus. Buckets larger
+    than ``bucket_limit`` are skipped (they are degenerate constant-hash
+    groups; exact dedup upstream removes identical content first).
+    """
+    bits = 64 // num_chunks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy().astype(np.int64)
+        codes = batch["simhash"].to_numpy().view(np.uint64)
+        n = ids.size
+        out_id = np.repeat(ids, num_chunks)
+        out_code = np.repeat(codes.view(np.int64), num_chunks)
+        chunk_id = np.tile(np.arange(num_chunks, dtype=np.uint64), n)
+        chunk_val = (np.repeat(codes, num_chunks) >> (chunk_id * np.uint64(bits))) & np.uint64(
+            (1 << bits) - 1
+        )
+        key = _splitmix64(chunk_val ^ _splitmix64(chunk_id + np.uint64(0x51)))
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.int64()),
+                "code": pa.array(out_code, pa.int64()),
+                "bucket": pa.array(key.view(np.int64), pa.int64()),
+                "part": pa.array(
+                    (key % np.uint64(num_partitions)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    keyed = sim_ds.map_batches(explode, batch_format="pyarrow")
+
+    def emit(block: pd.DataFrame) -> pd.DataFrame:
+        if len(block) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []}, dtype=np.int64)
+        ids = block["id"].to_numpy().astype(np.int64)
+        codes = block["code"].to_numpy().view(np.uint64)
+        buckets = block["bucket"].to_numpy()
+        order = np.lexsort((ids, buckets))
+        ids, codes, buckets = ids[order], codes[order], buckets[order]
+        starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        ends = np.r_[starts[1:], buckets.size]
+        rows_a, rows_b, rows_h = [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            m = e - s
+            if m < 2 or m > bucket_limit:
+                continue
+            gi, gc = ids[s:e], codes[s:e]
+            uniq, first = np.unique(gi, return_index=True)
+            gi, gc = uniq, gc[first]
+            iu, ju = np.triu_indices(gi.size, k=1)
+            if iu.size == 0:
+                continue
+            x = gc[iu] ^ gc[ju]
+            # vectorized popcount of uint64 via byte-table lookup
+            h = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            keep = h <= max_hamming
+            rows_a.append(gi[iu[keep]])
+            rows_b.append(gi[ju[keep]])
+            rows_h.append(h[keep].astype(np.int64))
+        if not rows_a:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []}, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(rows_a),
+                "b": np.concatenate(rows_b),
+                "hamming": np.concatenate(rows_h),
+            }
+        ).drop_duplicates(["a", "b"], ignore_index=True)
+
+    pairs = keyed.groupby("part").map_groups(emit, batch_format="pandas")
+
+    def dedup(block: pd.DataFrame) -> pd.DataFrame:
+        return block.drop_duplicates(["a", "b"])[["a", "b", "hamming"]]
+
+    def add_part2(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("part2", pa.array([], pa.int64()))
+        a = batch["a"].to_numpy().astype(np.uint64)
+        b = batch["b"].to_numpy().astype(np.uint64)
+        h = _splitmix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+        return batch.append_column(
+            "part2", pa.array((h % np.uint64(num_partitions)).astype(np.int64), pa.int64())
+        )
+
+    return (
+        pairs.map_batches(add_part2, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
 def candidate_pairs(band_ds, config: DedupConfig, num_partitions: int | None = None):
     """(id, band_id, band_hash) → distinct candidate (a, b) pairs, a < b.
 

@@ -32,7 +32,7 @@ from ..functions.hashing import (
     shares_long_run_hashed,
     shingle_hashes,
 )
-from ..kernels.bounded_distance import levenshtein_bitparallel
+from ..kernels.bounded_distance import hybrid_levenshtein
 
 PAIR_SCHEMA = pa.schema(
     [
@@ -51,16 +51,22 @@ class VerifyPairs:
         import ray
 
         if content_ref is not None:
-            # (sorted id vector, aligned Arrow string array): Arrow buffers
-            # come out of the object store zero-copy, so actor startup does
-            # not pay a content deserialization cost
+            # (sorted id vector, aligned Arrow string array). The array stays
+            # plasma-backed (zero-copy); strings materialize lazily into a
+            # per-actor cache keyed by position — repeated docs (dup clusters
+            # touch the same content many times) hit the heap, and the shared
+            # mmap is faulted once per doc per actor instead of once per pair.
             self.content_ids, self.content_col = ray.get(content_ref)
+            self._text_cache = {}
         else:
             self.content_ids = None
         if sig_ref is not None:
             # (sorted id vector, aligned (n, num_perm) signature matrix) for
-            # the vectorized estimated-Jaccard pre-gate
-            self.sig_ids, self.sig_mat = ray.get(sig_ref)
+            # the vectorized estimated-Jaccard pre-gate; copied to the heap
+            # for the same fault-contention reason as content
+            s_ids, s_mat = ray.get(sig_ref)
+            self.sig_ids = np.array(s_ids, copy=True)
+            self.sig_mat = np.array(s_mat, copy=True)
         else:
             self.sig_ids = None
         self._cache = {}
@@ -98,8 +104,15 @@ class VerifyPairs:
 
     def _texts(self, batch: pa.Table, col_ids: np.ndarray, col: str):
         if self.content_ids is not None:
-            idx = np.searchsorted(self.content_ids, col_ids)
-            return self.content_col.take(pa.array(idx, pa.int64())).to_pylist()
+            idx = np.searchsorted(self.content_ids, col_ids).tolist()
+            cache = self._text_cache
+            if len(cache) >= 16384:
+                cache.clear()  # BEFORE the miss scan, or we wipe hits we need
+            missing = sorted(set(i for i in idx if i not in cache))
+            if missing:
+                got = self.content_col.take(pa.array(missing, pa.int64())).to_pylist()
+                cache.update(zip(missing, got))
+            return [cache[i] for i in idx]
         return batch[col].to_pylist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -121,7 +134,7 @@ class VerifyPairs:
             if jac < cfg.jaccard_threshold:
                 continue
             cap = max(16, int(cfg.lev_cap_ratio * max(len(ta), len(tb))))
-            dist = levenshtein_bitparallel(ta, tb, cap)
+            dist = hybrid_levenshtein(ta, tb, cap)
             run = shares_long_run_hashed(
                 ta,
                 tb,

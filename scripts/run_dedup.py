@@ -1,0 +1,88 @@
+"""CLI entry point for the resumable dedup pipeline — the `ray job submit`
+target (north rule: "run via ray job submit on a fixed-size multi-node Ray
+cluster"). Re-running with the same out-dir resumes from the manifest.
+
+Usage:
+    python scripts/run_dedup.py --input 'shards/*.parquet' --out /tmp/run1 \
+        [--shingle-k 5] [--num-perm 128] [--num-bands 21] [--threshold 0.8]
+
+On a cluster: `ray job submit --working-dir . -- python scripts/run_dedup.py ...`
+(this script only initializes Ray when not already initialized, so it works
+both standalone and under a job driver).
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="parquet file, dir, or glob")
+    p.add_argument("--out", required=True, help="output/checkpoint directory")
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--num-perm", type=int, default=128)
+    p.add_argument("--num-bands", type=int, default=21)
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="only for standalone local runs")
+    args = p.parse_args()
+
+    paths = sorted(glob.glob(args.input))
+    if not paths and os.path.isdir(args.input):
+        paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not paths and os.path.exists(args.input):
+        paths = [args.input]
+    if not paths:
+        print("no input files match %r" % args.input, file=sys.stderr)
+        return 2
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, logging_level="ERROR")
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from fuzzysearch_ray.config import DedupConfig
+    from fuzzysearch_ray.pipelines.checkpointed import run_dedup_checkpointed
+
+    config = DedupConfig(
+        shingle_k=args.shingle_k,
+        num_perm=args.num_perm,
+        num_bands=args.num_bands,
+        jaccard_threshold=args.threshold,
+    )
+    t0 = time.time()
+    state = run_dedup_checkpointed(paths, args.out, config)
+    wall = time.time() - t0
+    done = state["completed_partitions"]
+    n_rows = sum(
+        v.get("rows") or 0 for k, v in done.items() if k.startswith("signatures/")
+    )
+    summary = {
+        "wall_sec": round(wall, 2),
+        "input_shards": len(paths),
+        "rows": n_rows,
+        "files_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
+        "partitions_completed": len(done),
+        "resume_skipped": state["metrics"].get("signature_shards_skipped_on_resume"),
+        "clusters": done.get("clusters/all", {}).get("rows"),
+        "multi_member_clusters": done.get("clusters/all", {}).get("n_clusters_multi"),
+        "out_dir": args.out,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

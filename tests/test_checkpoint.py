@@ -40,7 +40,7 @@ def test_manifest_roundtrip(tmp_path):
     assert "completed_at" in m2.state["completed_partitions"]["p0"]
 
     # config change invalidates prior progress
-    m3 = RunManifest.load_or_create(out, DedupConfig(shingle_k=9), ["in1.parquet"])
+    m3 = RunManifest.load_or_create(out, DedupConfig(shingle_k=11), ["in1.parquet"])
     assert not m3.is_complete("p0")
     # input change too
     m4 = RunManifest.load_or_create(out, cfg, ["other.parquet"])

@@ -1,0 +1,88 @@
+"""LSH candidate generation: bucket pairing, skew capping, and the
+distributed SimHash pigeonhole blocking vs a straightforward single-process
+re-computation (dual-run discipline)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fuzzysearch_ray.config import DedupConfig
+from fuzzysearch_ray.stages.lsh import bucket_pairs, simhash_candidate_pairs
+
+
+def test_bucket_pairs_all_pairs_under_cap():
+    ids = np.array([3, 7, 9], dtype=np.int64)
+    lo, hi = bucket_pairs(ids, cap=64, window=3)
+    got = set(zip(lo.tolist(), hi.tolist()))
+    assert got == {(3, 7), (3, 9), (7, 9)}
+
+
+def test_bucket_pairs_windowed_chain_over_cap():
+    ids = np.arange(10, dtype=np.int64)
+    lo, hi = bucket_pairs(ids, cap=4, window=2)
+    got = set(zip(lo.tolist(), hi.tolist()))
+    # chain connectivity: consecutive ids always linked
+    for i in range(9):
+        assert (i, i + 1) in got
+    # windowed: no pair farther than `window` apart
+    assert all(b - a <= 2 for a, b in got)
+
+
+def test_bucket_pairs_empty_and_single():
+    for n in (0, 1):
+        lo, hi = bucket_pairs(np.arange(n, dtype=np.int64), cap=4, window=2)
+        assert lo.size == 0 and hi.size == 0
+
+
+def _reference_simhash_pairs(ids, codes, max_hamming, bucket_limit=200):
+    pairs = set()
+    for c in range(4):
+        chunk = (codes >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+        order = np.argsort(chunk, kind="stable")
+        sc, si = chunk[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        ends = np.r_[starts[1:], sc.size]
+        for s, e in zip(starts, ends):
+            if e - s < 2 or e - s > bucket_limit:
+                continue
+            grp = np.unique(si[s:e])
+            for i in range(len(grp)):
+                for j in range(i + 1, len(grp)):
+                    pairs.add((int(grp[i]), int(grp[j])))
+    code_of = dict(zip(ids.tolist(), codes.tolist()))
+    return sorted(
+        (a, b, bin(code_of[a] ^ code_of[b]).count("1"))
+        for (a, b) in pairs
+        if bin(code_of[a] ^ code_of[b]).count("1") <= max_hamming
+    )
+
+
+def test_simhash_candidate_pairs_distributed_matches_reference(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    codes = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+    # plant near-dup pairs: flip <=3 bits
+    for i in range(0, 60, 2):
+        flip = np.uint64(0)
+        for bit in rng.choice(64, size=rng.integers(1, 4), replace=False):
+            flip |= np.uint64(1) << np.uint64(bit)
+        codes[i + 1] = codes[i] ^ flip
+
+    df = pd.DataFrame({"id": ids, "simhash": codes.view(np.int64)})
+    got = (
+        simhash_candidate_pairs(rd.from_pandas(df), max_hamming=3)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = _reference_simhash_pairs(ids, codes, 3)
+    got_set = set(zip(got["a"], got["b"], got["hamming"]))
+    assert got_set == set(want)
+    # the planted pairs must be found
+    for i in range(0, 60, 2):
+        h = bin(int(codes[i] ^ codes[i + 1])).count("1")
+        if h <= 3:
+            assert (i, i + 1, h) in got_set
