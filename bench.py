@@ -120,22 +120,31 @@ def run_scaling() -> dict:
     # default 120k-file corpus gives ~16 min of CPU work, enough for the 8→32
     # ratio to reflect real scaling rather than constant costs.
     rows = int(os.environ.get("GRAFT_SCALING_ROWS", "120000"))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
 
     def one(ncpu: int) -> dict:
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_CORPUS_ROWS=str(rows),
-            GRAFT_SCALING_CHILD="1",
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--corpus-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        """Best-of-N fresh-process runs: the sandbox host has noisy
+        neighbors (identical configs vary 2-3x across the day), so a single
+        sample per parallelism level is meaningless."""
+        best = None
+        for _ in range(repeats):
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                GRAFT_CORPUS_ROWS=str(rows),
+                GRAFT_SCALING_CHILD="1",
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--corpus-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
 
     lo, hi = 8, 32
     r_lo = one(lo)

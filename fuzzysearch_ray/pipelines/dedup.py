@@ -93,9 +93,12 @@ def near_dup_pipeline(
         content_mode = "broadcast" if n_reps <= config.broadcast_limit_rows else "join"
     if content_mode == "broadcast":
         # verify is the CPU-heaviest stage and the pair table is tiny integer
-        # rows here — spread it so the actor pool sees balanced, plentiful
-        # blocks (at join scale the pair table already has many blocks)
-        pairs = pairs.repartition(int(ray.cluster_resources().get("CPU", 8)) * 4)
+        # rows here — spread it so the actor pool sees balanced blocks, but
+        # cap the count: measured per-task overhead grows with task count on
+        # this workload, and >48 partitions costs more than the balance wins
+        # (at join scale the pair table already has many blocks)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        pairs = pairs.repartition(min(4 * cpus, 48))
     if content_mode == "broadcast":
         sig_tbl = pa.concat_tables(ray.get(sigs_ds.to_arrow_refs()))
         sig_ids = sig_tbl["id"].to_numpy()

@@ -167,7 +167,8 @@ def pool_concurrency(configured: tuple) -> tuple:
 
     lo, hi = configured
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return (max(lo, min(cpus // 2, hi // 2)), hi)
+    floor = min(max(lo, cpus // 2), hi, max(1, cpus - 1))
+    return (floor, hi)
 
 
 def verify_pairs_broadcast(pairs_ds, content_ref, config: DedupConfig, sig_ref=None):
