@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search_levenshtein": Q.q_fuzzy_search_levenshtein,
         "fuzzy_search_substitutions": Q.q_fuzzy_search_substitutions,
         "fuzzy_search_generic": Q.q_fuzzy_search_generic,
+        "fuzzy_search_chunked": Q.q_fuzzy_search_chunked,
         # near-dup dedup pipelines
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,

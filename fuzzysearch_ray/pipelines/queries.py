@@ -276,6 +276,20 @@ def q_fuzzy_search_substitutions(sf_dir: str, needle: str = "stream", max_subs: 
     )
 
 
+def q_fuzzy_search_chunked(sf_dir: str, needle: str = "stream", max_l_dist: int = 1):
+    """Streaming-chunk fuzzy search (find_near_matches_in_file analog): the
+    same results as q_fuzzy_search_levenshtein, produced by scanning each
+    document in small overlapping windows with match rebasing — exercises
+    the chunk-overlap path on every row."""
+    from .search import fuzzy_search_chunked
+
+    corpus = read_documents_as_corpus(sf_dir)
+    out = fuzzy_search_chunked(corpus, needle, chunk_size=512, max_l_dist=max_l_dist)
+    return out.rename_columns({"id": "doc_id"}).select_columns(
+        ["doc_id", "start", "end", "dist"]
+    )
+
+
 def q_fuzzy_search_generic(sf_dir: str, needle: str = "stream"):
     corpus = read_documents_as_corpus(sf_dir)
     out = fuzzy_search(

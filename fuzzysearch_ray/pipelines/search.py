@@ -83,6 +83,105 @@ def fuzzy_search(ds, needle: str, concurrency=(2, 8), batch_size: int = 1024, **
     )
 
 
+class ChunkedFuzzySearcher:
+    """Distributed analog of the reference's chunked file scan
+    (find_near_matches_in_file, /root/reference/src/fuzzysearch/__init__.py:
+    129-200): oversized documents are searched in fixed-size windows with a
+    retained overlap tail of ``len(needle) - 1 + extra_items_for_chunked_search``
+    so matches straddling a boundary are found in exactly one window, match
+    spans are rebased by the window offset, and per-document results are
+    consolidated the same way the reference consolidates the whole stream.
+    """
+
+    def __init__(
+        self,
+        needle: str,
+        chunk_size: int = 1 << 20,
+        max_substitutions: Optional[int] = None,
+        max_insertions: Optional[int] = None,
+        max_deletions: Optional[int] = None,
+        max_l_dist: Optional[int] = None,
+    ):
+        from ..kernels import extra_items_for_chunked_search
+        from ..kernels.match import consolidate_overlapping_matches
+
+        self.needle = needle
+        self.chunk_size = chunk_size
+        self.params = SearchParams(
+            max_substitutions, max_insertions, max_deletions, max_l_dist
+        )
+        self.family = choose_search_family(self.params)
+        self.overlap = len(needle) - 1 + extra_items_for_chunked_search(
+            self.family, self.params
+        )
+        self._consolidate = consolidate_overlapping_matches
+
+    def _search_one(self, text: str):
+        matches = []
+        step = self.chunk_size
+        offset = 0
+        n = len(text)
+        while True:
+            window = text[offset : offset + step + self.overlap]
+            for m in search_with_family(self.family, self.needle, window, self.params):
+                matches.append(
+                    m.__class__(
+                        start=m.start + offset,
+                        end=m.end + offset,
+                        dist=m.dist,
+                        matched=m.matched,
+                    )
+                )
+            offset += step
+            if offset >= n:
+                break
+        # overlap regions produce duplicate/overlapping matches — same final
+        # consolidation as the reference's stream (__init__.py:126)
+        return self._consolidate(matches)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        contents = batch["content"].to_pylist()
+        out_id, out_s, out_e, out_d, out_m = [], [], [], [], []
+        for i, text in zip(ids, contents):
+            for m in self._search_one(text):
+                out_id.append(int(i))
+                out_s.append(m.start)
+                out_e.append(m.end)
+                out_d.append(m.dist)
+                out_m.append(m.matched)
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.int64()),
+                "start": pa.array(out_s, pa.int64()),
+                "end": pa.array(out_e, pa.int64()),
+                "dist": pa.array(out_d, pa.int32()),
+                "matched": pa.array(out_m, pa.string()),
+            }
+        )
+
+
+def fuzzy_search_chunked(
+    ds,
+    needle: str,
+    chunk_size: int = 1 << 20,
+    concurrency=(2, 16),
+    batch_size: int = 64,
+    **limits,
+):
+    """Fuzzy search for corpora with very long rows: each document is scanned
+    in overlapping windows (small ``batch_size`` — rows are huge)."""
+    return ds.select_columns(["id", "content"]).map_batches(
+        ChunkedFuzzySearcher,
+        fn_constructor_args=(needle, chunk_size),
+        fn_constructor_kwargs=limits,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def substring_occurrence_counts(ds, needle: str, batch_size: int = 8192):
     """Per-row NON-overlapping occurrence count of a literal needle
     (Python ``str.count`` semantics == SQL replace-trick arithmetic), plus a

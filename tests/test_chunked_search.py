@@ -1,0 +1,82 @@
+"""Chunked (streaming) fuzzy search: the distributed analog of the
+reference's find_near_matches_in_file chunk loop — overlap retention, match
+rebasing, and final consolidation must make the chunked scan produce exactly
+the whole-string result, including matches that straddle chunk boundaries
+(reference pins the same property over chunk sizes in
+tests/test_find_near_matches_in_file.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fuzzysearch_ray.kernels import SearchParams, choose_search_family, search_with_family
+from fuzzysearch_ray.kernels.match import consolidate_overlapping_matches
+from fuzzysearch_ray.pipelines.search import ChunkedFuzzySearcher
+
+
+def whole_string_matches(needle, text, **limits):
+    params = SearchParams(**limits)
+    family = choose_search_family(params)
+    out = list(search_with_family(family, needle, text, params))
+    return consolidate_overlapping_matches(out)
+
+
+def make_text(positions, needle_variants, length, fill="ab"):
+    base = (fill * (length // len(fill) + 1))[:length]
+    chars = list(base)
+    for pos, variant in zip(positions, needle_variants):
+        chars[pos : pos + len(variant)] = list(variant)
+    return "".join(chars)
+
+
+@pytest.mark.parametrize("chunk_size", [100, 256, 1000])
+def test_chunked_equals_whole_string(chunk_size):
+    needle = "needleXYZ"
+    # plant exact + 1-edit occurrences, including ones straddling every
+    # chunk boundary for chunk_size=100/256/1000
+    positions = [5, 95, 250, 995, 2000, 3500]
+    variants = ["needleXYZ", "needleXYa", "needleXYZ", "neadleXYZ", "needleXYZ", "nedleXYZ"]
+    text = make_text(positions, variants, 4000)
+
+    searcher = ChunkedFuzzySearcher(needle, chunk_size=chunk_size, max_l_dist=1)
+    got = searcher._search_one(text)
+    want = whole_string_matches(needle, text, max_l_dist=1)
+    assert [(m.start, m.end, m.dist) for m in got] == [
+        (m.start, m.end, m.dist) for m in want
+    ]
+    assert len(got) >= len(positions)  # every planted site found
+
+
+def test_chunked_families_dispatch():
+    # substitutions-only family has zero extra overlap; generic has max
+    s1 = ChunkedFuzzySearcher("abcdef", chunk_size=64, max_substitutions=1,
+                              max_insertions=0, max_deletions=0)
+    assert s1.overlap == len("abcdef") - 1
+    s2 = ChunkedFuzzySearcher("abcdef", chunk_size=64, max_substitutions=1,
+                              max_insertions=2, max_deletions=1, max_l_dist=2)
+    assert s2.overlap >= len("abcdef") - 1 + 2
+
+
+def test_chunked_distributed(ray_session):
+    import ray.data as rd
+
+    from fuzzysearch_ray.pipelines.search import fuzzy_search_chunked
+
+    needle = "targetPattern"
+    rows = []
+    for i in range(6):
+        text = make_text([50 + 777 * i, 1500], [needle, needle[:-1] + "X"], 2200)
+        rows.append({"id": i, "content": text})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = (
+        fuzzy_search_chunked(ds, needle, chunk_size=512, max_l_dist=1)
+        .to_pandas()
+        .sort_values(["id", "start"])
+        .reset_index(drop=True)
+    )
+    for i in range(6):
+        per_row = out[out["id"] == i]
+        want = whole_string_matches(needle, rows[i]["content"], max_l_dist=1)
+        assert [(r.start, r.end, r.dist) for r in per_row.itertuples()] == [
+            (m.start, m.end, m.dist) for m in want
+        ]
