@@ -62,9 +62,12 @@ def shingle_hashes(text: str, k: int = DEFAULT_SHINGLE_K) -> np.ndarray:
         for j in range(n):
             h = (h * _POLY_P + np.uint64(data[j])).astype(np.uint64)
         return _splitmix64(h)
+    data64 = data.astype(np.uint64)
     acc = np.zeros(n - k + 1, dtype=np.uint64)
-    for j in range(k):
-        acc = (acc * _POLY_P + data[j : n - k + 1 + j].astype(np.uint64)).astype(np.uint64)
+    m = acc.size
+    for j in range(k):  # in-place: no temporaries in the hot loop
+        np.multiply(acc, _POLY_P, out=acc)
+        np.add(acc, data64[j : m + j], out=acc)
     return np.unique(_splitmix64(acc))
 
 
@@ -131,10 +134,19 @@ def simhash_hamming(x: int, y: int) -> int:
 
 
 def exact_jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
-    """Exact Jaccard similarity of two unique-shingle-hash arrays."""
+    """Exact Jaccard similarity of two unique *sorted* shingle-hash arrays
+    (shingle_hashes output is np.unique'd, hence sorted). Binary-search
+    membership count instead of intersect1d: no concatenate + re-sort,
+    ~4x less allocation in the verify hot path."""
     if sh_a.size == 0 and sh_b.size == 0:
         return 1.0
-    inter = np.intersect1d(sh_a, sh_b, assume_unique=True).size
+    if sh_a.size == 0 or sh_b.size == 0:
+        return 0.0
+    if sh_a.size > sh_b.size:
+        sh_a, sh_b = sh_b, sh_a
+    idx = np.searchsorted(sh_b, sh_a)
+    np.minimum(idx, sh_b.size - 1, out=idx)
+    inter = int(np.count_nonzero(sh_b[idx] == sh_a))
     union = sh_a.size + sh_b.size - inter
     return inter / union if union else 1.0
 

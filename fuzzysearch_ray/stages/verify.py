@@ -71,6 +71,13 @@ class VerifyPairs:
             self.sig_ids = None
         self._cache = {}
         self._run_cache = {}
+        # The broadcast tables and caches are long-lived: freeze them out of
+        # the cyclic GC's scan set so collections triggered by per-pair
+        # allocation churn stop walking hundreds of MB of stable objects.
+        import gc
+
+        gc.collect()
+        gc.freeze()
 
     def _est_gate(self, a_ids: np.ndarray, b_ids: np.ndarray) -> np.ndarray:
         """Boolean keep-mask from the MinHash agreement fraction."""
