@@ -1,0 +1,117 @@
+"""ANN (brute-force + SRP-bucketed) and multimodal plumbing tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fuzzysearch_ray.stages.ann import (
+    _normalize,
+    brute_force_topk,
+    srp_bucketed_topk,
+    srp_codes,
+    srp_planes,
+)
+from fuzzysearch_ray.stages.multimodal import (
+    MediaFeatureExtractor,
+    decode_image,
+    deterministic_payload_features,
+    extract_media_features,
+)
+
+
+def _make_embeddings(n=200, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, d))
+    return np.arange(n, dtype=np.int64), mat
+
+
+def _exact_topk(ids, mat, query_ids, k):
+    m = _normalize(mat)
+    out = {}
+    for qid in query_ids:
+        sims = m[qid] @ m.T
+        order = np.lexsort((ids, -sims))
+        neigh = [int(i) for i in ids[order] if i != qid][:k]
+        out[int(qid)] = neigh
+    return out
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data as rd
+
+    ids, mat = _make_embeddings()
+    df = pd.DataFrame({"vec_id": ids, "embedding": [row.tolist() for row in mat]})
+    ds = rd.from_pandas(df)
+    qids = [0, 1, 2]
+    got = brute_force_topk(ds, qids, mat[qids], k=5)
+    want = _exact_topk(ids, mat, qids, 5)
+    for qid in qids:
+        rows = got[got["query_id"] == qid]
+        assert rows["neighbor_id"].tolist() == want[qid]
+        sims = rows["sim"].to_numpy()
+        assert (np.diff(sims) <= 1e-12).all()  # descending
+
+
+def test_srp_bucketed_recall(ray_session):
+    import ray.data as rd
+
+    ids, mat = _make_embeddings(n=300)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [row.tolist() for row in mat]})
+    ds = rd.from_pandas(df)
+    qids = [0, 5]
+    exact = _exact_topk(ids, mat, qids, 5)
+    approx = srp_bucketed_topk(ds, qids, mat[qids], k=5, nbits=8, probe_hamming=2)
+    # approximate: at probe_hamming=2 of 8 bits most true neighbors survive
+    for qid in qids:
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"].tolist())
+        assert len(got & set(exact[qid])) >= 2
+
+
+def test_srp_codes_deterministic():
+    planes = srp_planes(16, nbits=10, seed=42)
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((50, 16))
+    c1 = srp_codes(mat, planes)
+    c2 = srp_codes(mat, srp_planes(16, nbits=10, seed=42))
+    np.testing.assert_array_equal(c1, c2)
+    assert c1.max() < 1 << 10
+
+
+def test_payload_features_deterministic():
+    f1 = deterministic_payload_features(b"hello media bytes", 8)
+    f2 = deterministic_payload_features(b"hello media bytes", 8)
+    f3 = deterministic_payload_features(b"different payload", 8)
+    np.testing.assert_array_equal(f1, f2)
+    assert not np.array_equal(f1, f3)
+    assert (np.abs(f1) <= 1.0).all()
+    assert deterministic_payload_features(b"", 4).tolist() == [0.0] * 4
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_media_extract_pipeline(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array(range(10), pa.int64()),
+            "kind": pa.array(["image"] * 10, pa.string()),
+            "payload": pa.array([b"payload-%d" % i * 50 for i in range(10)], pa.binary()),
+            "width": pa.array([64] * 10, pa.int32()),
+            "height": pa.array([64] * 10, pa.int32()),
+        }
+    )
+    out = extract_media_features(rd.from_arrow(tbl), dim=8).to_pandas()
+    assert len(out) == 10
+    assert set(out.columns) == {"media_id", "kind", "n_bytes", "features"}
+    assert all(len(f) == 8 for f in out["features"])
+    # deterministic across runs
+    out2 = extract_media_features(rd.from_arrow(tbl), dim=8).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("media_id").reset_index(drop=True),
+        out2.sort_values("media_id").reset_index(drop=True),
+    )
