@@ -46,6 +46,7 @@ class DedupConfig:
     max_content_bytes_for_lsh: int = 1 << 20  # truncate signature input beyond 1 MiB
     broadcast_limit_rows: int = 300_000       # content map broadcast vs shuffle join
     num_join_partitions: int = 32
+    driver_edges_limit: int = 10_000_000      # union-find on driver below; label propagation above
 
     # --- execution ----------------------------------------------------------
     signature_batch_size: int = 512

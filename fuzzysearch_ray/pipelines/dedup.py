@@ -126,11 +126,21 @@ def near_dup_pipeline(
     else:
         verified = verify_pairs_join(pairs, reps_ds, config)
 
-    edges_df = verified.to_pandas()
+    verified = verified.materialize()
     _mark("pairs+verify")
-    n_pairs = len(edges_df)
+    n_pairs = verified.count()
 
-    labels = components_driver(edges_df["a"].to_numpy(), edges_df["b"].to_numpy())
+    if n_pairs > config.driver_edges_limit:
+        # scale path: distributed min-label propagation to fixpoint over the
+        # edge Dataset — the full edge list never lands on the driver
+        from ..stages.cluster import components_distributed
+
+        labels_df = components_distributed(verified)
+        labels = dict(zip(labels_df["node"], labels_df["label"]))
+        edges_df = verified.limit(1_000_000).to_pandas()  # sample for callers
+    else:
+        edges_df = verified.to_pandas()
+        labels = components_driver(edges_df["a"].to_numpy(), edges_df["b"].to_numpy())
     clusters = assign_clusters(membership_df, labels)
     clusters = clusters.sort_values("id").reset_index(drop=True)
 

@@ -70,15 +70,17 @@ class FuzzySearcher:
         )
 
 
-def fuzzy_search(ds, needle: str, concurrency=(2, 8), batch_size: int = 1024, **limits):
+def fuzzy_search(ds, needle: str, concurrency=(2, 16), batch_size: int = 1024, **limits):
     """Exploded match table (id, start, end, dist, matched) for a needle."""
+    from ..stages.verify import pool_concurrency
+
     return ds.select_columns(["id", "content"]).map_batches(
         FuzzySearcher,
         fn_constructor_args=(needle,),
         fn_constructor_kwargs=limits,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool_concurrency(concurrency),
         num_cpus=1,
     )
 
