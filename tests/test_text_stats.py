@@ -1,0 +1,45 @@
+"""Text-analysis primitive tests (language-ID, quality, tokens, classes)."""
+
+from fuzzysearch_ray.functions.text_stats import (
+    bpe_ish_token_count,
+    count_char_classes,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+
+def test_char_classes():
+    assert count_char_classes("ab1 ,\n") == (2, 1, 2, 1)
+    assert count_char_classes("") == (0, 0, 0, 0)
+    # non-ASCII letters intentionally NOT counted (SQL-oracle parity)
+    assert count_char_classes("äöü")[0] == 0
+
+
+def test_token_counts():
+    assert token_count("  one two\tthree\nfour  ") == 4
+    assert token_count("") == 0
+    assert bpe_ish_token_count("hello world42!") == 4  # hello, world, 42, !
+    assert bpe_ish_token_count("") == 0
+
+
+def test_quality_score_bounds_and_monotonicity():
+    assert quality_score("") == 0.0
+    good = quality_score("The quick brown fox jumps over the lazy dog. " * 40)
+    junk = quality_score("@@@@#### $$$$ %%%% ^^^^ &&&& **** " * 40)
+    assert 0.0 <= junk < good <= 1.0
+
+
+def test_language_id():
+    assert language_id("the cat is on the mat and it is warm") == "en"
+    assert language_id("der Hund ist nicht auf der Straße und das ist gut") == "de"
+    assert language_id("le chat est dans la maison et il est content") == "fr"
+    assert language_id("el perro es grande y la casa es pequeña para los dos") == "es"
+    assert language_id("") == "und"
+    assert language_id("zxq wvu 123") == "und"
+
+
+def test_language_id_deterministic_ties():
+    # same text always resolves identically (fixed language order)
+    t = "de la"  # stopwords in several languages
+    assert language_id(t) == language_id(t)
