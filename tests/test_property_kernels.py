@@ -1,0 +1,105 @@
+"""Property-based kernel tests (hypothesis): the engine's searches must
+agree with brute-force oracles on arbitrary inputs — the randomized
+complement to the ported golden tables (SURVEY.md §5: the reference has no
+property tests; recall targets are statistical, so we add seeded randomized
+coverage)."""
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st
+
+from fuzzysearch_ray.kernels import (
+    SearchParams,
+    choose_search_family,
+    find_near_matches,
+    iter_exact_matches,
+)
+from fuzzysearch_ray.kernels.bounded_distance import (
+    bounded_levenshtein,
+    hybrid_levenshtein,
+    levenshtein_bitparallel,
+)
+
+ALPHA = "abc"
+short_text = st.text(alphabet=ALPHA, min_size=0, max_size=40)
+needle_text = st.text(alphabet=ALPHA, min_size=1, max_size=6)
+
+
+def brute_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[len(b)]
+
+
+def brute_best_match_dist(needle: str, haystack: str) -> int:
+    """Min edit distance of needle to ANY substring of haystack."""
+    best = len(needle)
+    for i in range(len(haystack) + 1):
+        for j in range(i, len(haystack) + 1):
+            best = min(best, brute_levenshtein(needle, haystack[i:j]))
+            if best == 0:
+                return 0
+    return best
+
+
+@settings(max_examples=150, deadline=None)
+@given(needle=needle_text, haystack=short_text, cap=st.integers(0, 3))
+def test_find_near_matches_finds_iff_brute_force_does(needle, haystack, cap):
+    """A match with dist <= cap exists exactly when the brute-force minimal
+    substring distance is <= cap (completeness + soundness of the search)."""
+    matches = find_near_matches(needle, haystack, max_l_dist=cap)
+    brute_best = brute_best_match_dist(needle, haystack)
+    if brute_best <= cap:
+        assert matches, (needle, haystack, cap, brute_best)
+        assert min(m.dist for m in matches) <= cap
+    else:
+        assert not matches, (needle, haystack, cap, brute_best)
+    for m in matches:
+        # every reported span really is within the distance budget
+        assert brute_levenshtein(needle, haystack[m.start : m.end]) <= cap
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=short_text, b=short_text, cap=st.integers(0, 50))
+def test_bounded_distance_kernels_agree_with_dp(a, b, cap):
+    true = brute_levenshtein(a, b)
+    want = true if true <= cap else None
+    assert bounded_levenshtein(a, b, cap) == want
+    assert levenshtein_bitparallel(a, b, cap) == want
+    assert hybrid_levenshtein(a, b, cap) == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(needle=needle_text, haystack=short_text)
+def test_exact_matches_are_str_find_positions(needle, haystack):
+    got = [m.start for m in iter_exact_matches(needle, haystack)]
+    want = []
+    i = haystack.find(needle)
+    while i != -1:
+        want.append(i)
+        i = haystack.find(needle, i + 1)
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    subs=st.one_of(st.none(), st.integers(0, 3)),
+    ins=st.one_of(st.none(), st.integers(0, 3)),
+    dels=st.one_of(st.none(), st.integers(0, 3)),
+    total=st.one_of(st.none(), st.integers(0, 3)),
+)
+def test_dispatch_total_function(subs, ins, dels, total):
+    """choose_search_family never crashes on any valid parameter combo and
+    returns a known family (the reference raises on all-unbounded)."""
+    if total is None and None in (subs, ins, dels):
+        with pytest.raises(Exception):
+            SearchParams(subs, ins, dels, total)
+        return
+    params = SearchParams(subs, ins, dels, total)
+    fam = choose_search_family(params)
+    assert fam in ("exact", "substitutions", "levenshtein", "generic")
