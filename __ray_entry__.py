@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_longest_docs": Q.q_top_longest_docs,
         "events_hourly": Q.q_events_hourly,
         "lineitem_pricing": Q.q_lineitem_pricing,
+        "customer_order_totals": Q.q_customer_order_totals,
+        "docs_contains": Q.q_docs_contains,
         # multimodal plumbing
         "media_features": Q.q_media_features,
     }
@@ -107,6 +109,16 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
             "COUNT(*) AS n_rows FROM lineitem "
             "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2"
+        ),
+        "customer_order_totals": (
+            "SELECT c.c_custkey, c.c_mktsegment, COUNT(*) AS n_orders, "
+            "ROUND(SUM(o.o_totalprice), 2) AS sum_total "
+            "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+            "GROUP BY 1, 2"
+        ),
+        "docs_contains": (
+            "SELECT doc_id, CAST(position('model' IN text) > 0 AS BIGINT) "
+            "AS has_needle FROM documents"
         ),
         "ann_topk": (
             "SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "

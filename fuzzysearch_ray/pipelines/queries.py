@@ -183,6 +183,47 @@ def q_lineitem_pricing(sf_dir: str):
     return out
 
 
+def q_customer_order_totals(sf_dir: str):
+    """Distributed hash join (customer ⋈ orders on custkey) + per-customer
+    aggregate — the relational-join operator with a SQL oracle. Partitions
+    capped to cluster CPUs (join aggregator actors are 1/partition)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = cust.join(
+        orders,
+        join_type="inner",
+        num_partitions=max(2, min(16, cpus)),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    out = (
+        joined.groupby(["c_custkey", "c_mktsegment"])
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="sum_total"),
+        )
+        .to_pandas()
+    )
+    out["sum_total"] = round_half_up(out["sum_total"], 2)
+    return out
+
+
+def q_docs_contains(sf_dir: str, needle: str = "model"):
+    """Vectorized substring containment via pyarrow.compute.match_substring —
+    the zero-copy Arrow fast path of the exact-search family."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def contains(batch: pa.Table) -> pa.Table:
+        flag = pc.cast(pc.match_substring(batch["text"], needle), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "has_needle": flag})
+
+    return ds.map_batches(contains, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
