@@ -88,7 +88,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "token_counts": (
-            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT) "
             "AS n_tokens FROM documents"
         ),
         "docs_by_lang": (

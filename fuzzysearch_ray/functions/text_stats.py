@@ -17,7 +17,9 @@ _RE_ALPHA = re.compile(r"[A-Za-z]")
 _RE_DIGIT = re.compile(r"[0-9]")
 _RE_SPACE = re.compile(r"[ \t\n\r]")
 _RE_PUNCT = re.compile(r"[.,;:!?]")
-_RE_TOKEN = re.compile(r"\S+")
+# ASCII-pinned token runs: Python's \S is Unicode-aware (NBSP etc. count as
+# whitespace) while DuckDB's RE2 \S is not — both sides use this class.
+_RE_TOKEN = re.compile(r"[^ \t\n\r\f\v]+")
 # BPE-ish word/number/symbol splitter for subword-flavoured token counts
 _RE_BPE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 

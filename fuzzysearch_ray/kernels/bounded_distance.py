@@ -182,8 +182,10 @@ def bounded_levenshtein(
                 best = f + 1  # deletion from a: advance a only
             if best == _NEG:
                 if k == -p or k == p:
-                    # fresh diagonal reachable purely by p ins/dels
-                    best = 0 if k < 0 else k
+                    # fresh diagonal reachable purely by p edits: p deletions
+                    # from `a` land at i=p on k=-p; p insertions land at i=0
+                    # on k=+p (so j = i + k is always >= 0 for snake())
+                    best = -k if k < 0 else 0
                 else:
                     continue
             i = min(best, n)

@@ -87,18 +87,19 @@ def q_substring_count(sf_dir: str, needle: str = "batch"):
 # --------------------------------------------------------------------------
 
 def q_char_class_stats(sf_dir: str):
+    """Per-doc character-class counts, fully vectorized with Arrow's RE2
+    kernel (pc.count_substring_regex) — zero Python per-row work."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def stats(batch: pa.Table) -> pa.Table:
-        rows = [count_char_classes(t) for t in batch["text"].to_pylist()]
-        arr = np.array(rows, dtype=np.int64).reshape(-1, 4)
+        text = batch["text"]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_alpha": pa.array(arr[:, 0], pa.int64()),
-                "n_digit": pa.array(arr[:, 1], pa.int64()),
-                "n_space": pa.array(arr[:, 2], pa.int64()),
-                "n_punct": pa.array(arr[:, 3], pa.int64()),
+                "n_alpha": pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.int64()),
+                "n_digit": pc.cast(pc.count_substring_regex(text, "[0-9]"), pa.int64()),
+                "n_space": pc.cast(pc.count_substring_regex(text, "[ \t\n\r]"), pa.int64()),
+                "n_punct": pc.cast(pc.count_substring_regex(text, "[.,;:!?]"), pa.int64()),
             }
         )
 
@@ -106,11 +107,13 @@ def q_char_class_stats(sf_dir: str):
 
 
 def q_token_counts(sf_dir: str):
+    """Whitespace-token counts via Arrow's RE2 kernel (ASCII-pinned class,
+    identical semantics in Python re / RE2 / the SQL oracle)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def counts(batch: pa.Table) -> pa.Table:
-        n = np.array([token_count(t) for t in batch["text"].to_pylist()], dtype=np.int64)
-        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())})
+        n = pc.count_substring_regex(batch["text"], "[^ \t\n\r\f\v]+")
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pc.cast(n, pa.int64())})
 
     return ds.map_batches(counts, batch_format="pyarrow")
 
@@ -139,10 +142,12 @@ def q_events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts"])
 
     def bucket(batch: pa.Table) -> pa.Table:
-        epoch_us = batch["ts"].cast(pa.int64())
-        hour = pc.divide(epoch_us, 3_600_000_000)
+        # floor division (numpy) to match the SQL oracle's `//`: Arrow's
+        # pc.divide truncates toward zero, diverging for pre-1970 timestamps
+        epoch_us = batch["ts"].cast(pa.int64()).to_numpy()
+        hour = np.floor_divide(epoch_us, 3_600_000_000)
         return pa.table(
-            {"event_type": batch["event_type"], "hour_bucket": pc.cast(hour, pa.int64())}
+            {"event_type": batch["event_type"], "hour_bucket": pa.array(hour, pa.int64())}
         )
 
     return (
@@ -400,7 +405,10 @@ def q_ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 60, threshold: float = 
     for a, b in itertools.combinations(sorted(ids), 2):
         ga, gb = grams[a], grams[b]
         union = len(ga | gb)
-        sim = (len(ga & gb) / union) if union else 1.0
+        if union == 0:
+            continue  # docs < 3 chars have no grams; the SQL oracle can
+            # never emit such pairs, so neither do we
+        sim = len(ga & gb) / union
         if sim >= threshold:
             rows.append((a, b, float(round_half_up(sim, 4))))
     return pd.DataFrame(rows, columns=["a", "b", "jacc_r"])

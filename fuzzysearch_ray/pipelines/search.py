@@ -105,6 +105,7 @@ class ChunkedFuzzySearcher:
         max_l_dist: Optional[int] = None,
     ):
         from ..kernels import extra_items_for_chunked_search
+        from ..kernels.dispatch import FAMILY_CONSOLIDATES
         from ..kernels.match import consolidate_overlapping_matches
 
         self.needle = needle
@@ -117,6 +118,14 @@ class ChunkedFuzzySearcher:
             self.family, self.params
         )
         self._consolidate = consolidate_overlapping_matches
+        # The reference consolidates the chunked stream only for families
+        # whose search class consolidates (FuzzySearchBase.consolidate_matches
+        # is identity for exact/substitutions — common.py:198-205 vs
+        # levenshtein.py:158-160 / generic_search.py:263-265). For those
+        # families the overlap tail is len(needle)-1, so no cross-window
+        # duplicates can occur; consolidating would only drop legitimate
+        # overlapping matches and diverge from the non-chunked search.
+        self._family_consolidates = FAMILY_CONSOLIDATES[self.family]
 
     def _search_one(self, text: str):
         matches = []
@@ -138,8 +147,12 @@ class ChunkedFuzzySearcher:
             if offset >= n:
                 break
         # overlap regions produce duplicate/overlapping matches — same final
-        # consolidation as the reference's stream (__init__.py:126)
-        return self._consolidate(matches)
+        # consolidation as the reference's stream (__init__.py:126), but only
+        # for the families that consolidate; others return the raw sorted
+        # match list (deduped defensively by (start, end, dist))
+        if self._family_consolidates:
+            return self._consolidate(matches)
+        return sorted(set(matches))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy()
