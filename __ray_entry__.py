@@ -66,6 +66,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _language_id_sql() -> str:
+    """Replicate the stopword-vote heuristic in SQL, generated from the same
+    stopword table the Ray-side kernel uses (single source of truth)."""
+    from fuzzysearch_ray.functions.text_stats import _STOPWORDS
+
+    hits = {
+        lang: "len(list_filter(ts, t -> list_contains([%s], t)))"
+        % ", ".join("'%s'" % w for w in sorted(_STOPWORDS[lang]))
+        for lang in ("en", "de", "fr", "es")
+    }
+    return (
+        "WITH toks AS (SELECT doc_id, list_transform("
+        "  list_slice(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+'), 1, 200),"
+        "  x -> trim(lower(x), '.,;:!?\"''()')) AS ts FROM documents), "
+        "c AS (SELECT doc_id, {en} AS en, {de} AS de, {fr} AS fr, {es} AS es FROM toks) "
+        "SELECT doc_id, CASE "
+        "WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en' "
+        "WHEN de >= fr AND de >= es AND de > 0 THEN 'de' "
+        "WHEN fr >= es AND fr > 0 THEN 'fr' "
+        "WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_pred FROM c"
+    ).format(**hits)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_groups": (
@@ -143,6 +166,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter i JOIN sizes sa ON sa.doc_id = i.a "
             "JOIN sizes sb ON sb.doc_id = i.b "
             "WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5"
+        ),
+        "language_id": _language_id_sql(),
+        "quality_scores": (
+            "WITH s AS (SELECT doc_id, length(text) AS n, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS na, "
+            "CAST(len(regexp_extract_all(text, '[ \\t\\n\\r]')) AS BIGINT) AS ns, "
+            "CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT) AS nt "
+            "FROM documents) "
+            "SELECT doc_id, CAST(CASE WHEN n = 0 THEN 0 ELSE "
+            "(40 * na) // n + (30 * LEAST(n, 2000)) // 2000 "
+            "+ (CASE WHEN nt > 0 AND 2 * nt <= (n - ns) AND (n - ns) <= 12 * nt "
+            "   THEN 15 ELSE 7 END) "
+            "+ (CASE WHEN 20 * ns >= n AND 2 * ns <= n THEN 15 ELSE 7 END) "
+            "END AS BIGINT) AS quality FROM s"
+        ),
+        "doc_fingerprints": (
+            "SELECT d.doc_id, MIN(md5(substr(d.text, CAST(i.i AS INTEGER), 32))) "
+            "AS fingerprint FROM documents d, "
+            "LATERAL (SELECT unnest(generate_series(1, GREATEST(length(d.text) - 31, 1))) AS i) i "
+            "GROUP BY d.doc_id"
+        ),
+        "embedding_cosine_dup_pairs": (
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_r "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35"
         ),
         "media_features": (
             "SELECT doc_id AS media_id, 'image' AS kind, "

@@ -52,6 +52,31 @@ def bpe_ish_token_count(text: str) -> int:
     return len(_RE_BPE.findall(text))
 
 
+def quality_score_int(text: str) -> int:
+    """Heuristic quality score in [0, 100], defined entirely in integer
+    arithmetic so the SQL oracle (DuckDB `//`, LEAST, comparisons) computes
+    the bit-identical value: 40·alpha-ratio + 30·length-term + 15/7
+    token-sanity + 15/7 whitespace-sanity.
+
+    Sanity bands are the same as ``quality_score``'s, expressed as exact
+    integer inequalities (mean token length in [2, 12]; space ratio in
+    [0.05, 0.5])."""
+    n = len(text)
+    if n == 0:
+        return 0
+    n_alpha, _, n_space, _ = count_char_classes(text)
+    n_tokens = token_count(text)
+    body = n - n_space
+    tok_sane = n_tokens > 0 and 2 * n_tokens <= body <= 12 * n_tokens
+    space_sane = 20 * n_space >= n and 2 * n_space <= n
+    return (
+        (40 * n_alpha) // n
+        + (30 * min(n, 2000)) // 2000
+        + (15 if tok_sane else 7)
+        + (15 if space_sane else 7)
+    )
+
+
 def quality_score(text: str) -> float:
     """Heuristic quality score in [0, 1]: length, alpha ratio, mean word
     length sanity, whitespace sanity. Deterministic, branch-free arithmetic."""
@@ -73,9 +98,11 @@ def language_id(text: str) -> str:
     """Stopword-vote language heuristic over a fixed 4-language table.
 
     Returns the language with the most stopword hits among the first 200
-    whitespace tokens, or 'und' (undetermined) when nothing scores.
+    whitespace tokens, or 'und' (undetermined) when nothing scores. Token
+    splitting uses the ASCII-pinned class so the SQL oracle (RE2
+    regexp_extract_all + trim/lower/list ops) tokenizes identically.
     """
-    tokens = [t.lower().strip(".,;:!?\"'()") for t in text.split()[:200]]
+    tokens = [t.lower().strip(".,;:!?\"'()") for t in _RE_TOKEN.findall(text)[:200]]
     if not tokens:
         return "und"
     best_lang, best_hits = "und", 0

@@ -17,13 +17,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import DedupConfig
-from ..functions.hashing import md5_hex, rolling_fingerprint, sha256_hex
-from ..functions.text_stats import (
-    count_char_classes,
-    language_id,
-    quality_score,
-    token_count,
-)
+from ..functions.hashing import md5_hex
+from ..functions.text_stats import language_id
 from ..sources.io import read_documents_as_corpus
 from ..stages.ann import brute_force_topk, srp_bucketed_topk, _stack_embeddings
 from ..stages.signatures import simhash_signatures
@@ -429,28 +424,41 @@ def q_language_id(sf_dir: str):
 
 
 def q_quality_scores(sf_dir: str):
+    """Integer quality score in [0, 100] (SQL-checkable: the formula is pure
+    integer arithmetic, identical in DuckDB — see quality_score_int)."""
+    from ..functions.text_stats import quality_score_int
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def score(batch: pa.Table) -> pa.Table:
-        s = np.array([quality_score(t) for t in batch["text"].to_pylist()], dtype=np.float64)
-        return pa.table({"doc_id": batch["doc_id"], "quality": pa.array(s, pa.float64())})
+        s = np.array(
+            [quality_score_int(t) for t in batch["text"].to_pylist()], dtype=np.int64
+        )
+        return pa.table({"doc_id": batch["doc_id"], "quality": pa.array(s, pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
 
 
 def q_doc_fingerprints(sf_dir: str):
+    """Winnowing-style document fingerprint: the minimum md5 over all 32-char
+    windows (whole text when shorter) — md5 chosen so DuckDB computes the
+    identical value (same trick as exact_dedup_groups). The engine's fast
+    internal fingerprint (functions/hashing.rolling_fingerprint, seeded
+    uint64 rolling hash) serves the non-oracled pipelines."""
+    import hashlib
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
-        mins = []
+        outs = []
         for t in batch["text"].to_pylist():
-            arr = rolling_fingerprint(t, window=32, keep=1)
-            mins.append(int(arr[0]) if arr.size else 0)
+            b = t.encode("utf-8")
+            n_win = max(len(b) - 31, 1)
+            outs.append(
+                min(hashlib.md5(b[i : i + 32]).hexdigest() for i in range(n_win))
+            )
         return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "fingerprint": pa.array(np.array(mins, dtype=np.uint64).view(np.int64), pa.int64()),
-            }
+            {"doc_id": batch["doc_id"], "fingerprint": pa.array(outs, pa.string())}
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
