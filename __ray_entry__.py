@@ -89,6 +89,65 @@ def _language_id_sql() -> str:
     ).format(**hits)
 
 
+def _hamming_expr(needle: str, pos_expr: str = "i.i") -> str:
+    """SQL expression: Hamming distance of needle vs the window starting at
+    1-based position ``pos_expr`` (per-position char comparisons)."""
+    terms = " + ".join(
+        "(substr(d.text, CAST(%s + %d AS INTEGER), 1) <> '%s')::INT" % (pos_expr, j, c)
+        for j, c in enumerate(needle)
+    )
+    return "CAST(%s AS BIGINT)" % terms
+
+
+def _subs_matches_sql(needle: str, k: int) -> str:
+    """All alignments with Hamming distance <= k (the substitutions family's
+    exact output set: substitutions_only.py:148-215 deduped by start)."""
+    m = len(needle)
+    return (
+        'WITH m AS (SELECT d.doc_id, CAST(i.i - 1 AS BIGINT) AS "start", '
+        "{ham} AS dist FROM documents d, "
+        "LATERAL (SELECT unnest(generate_series(1, length(d.text) - {m1})) AS i) i) "
+        'SELECT doc_id, "start", "start" + {m} AS "end", dist FROM m WHERE dist <= {k}'
+    ).format(ham=_hamming_expr(needle), m=m, m1=m - 1, k=k)
+
+
+def _lev_mindist_sql(needle: str, k: int) -> str:
+    """Per-doc minimum Levenshtein distance over every window whose width can
+    carry a match (widths m-k .. m+k; any other width exceeds k by length
+    difference alone)."""
+    m = len(needle)
+    widths = ", ".join("(%d)" % w for w in range(m - k, m + k + 1))
+    return (
+        "WITH w AS (SELECT d.doc_id, "
+        "levenshtein(substr(d.text, CAST(i.i AS INTEGER), wd.w), '{needle}') AS dist "
+        "FROM documents d, "
+        "LATERAL (SELECT unnest(generate_series(1, length(d.text))) AS i) i, "
+        "(VALUES {widths}) wd(w) "
+        "WHERE i.i + wd.w - 1 <= length(d.text)) "
+        "SELECT doc_id, CAST(MIN(dist) AS BIGINT) AS min_dist FROM w "
+        "GROUP BY doc_id HAVING MIN(dist) <= {k}"
+    ).format(needle=needle, widths=widths, k=k)
+
+
+def _generic_mindist_sql(needle: str) -> str:
+    """Per-doc minimum constrained edit distance for subs<=1, ins<=1, dels=0:
+    width-m windows cost Hamming (<=1); width-(m+1) windows cost levenshtein
+    (<=2), which with a 1-char length difference is exactly 1 insertion +
+    minimal substitutions (a deletion-bearing script costs >= 3)."""
+    m = len(needle)
+    return (
+        "WITH h AS (SELECT d.doc_id, {ham} AS dist FROM documents d, "
+        "LATERAL (SELECT unnest(generate_series(1, length(d.text) - {m1})) AS i) i), "
+        "l AS (SELECT d.doc_id, "
+        "levenshtein(substr(d.text, CAST(i.i AS INTEGER), {m2}), '{needle}') AS dist "
+        "FROM documents d, "
+        "LATERAL (SELECT unnest(generate_series(1, length(d.text) - {m})) AS i) i), "
+        "u AS (SELECT doc_id, dist FROM h WHERE dist <= 1 "
+        "UNION ALL SELECT doc_id, dist FROM l WHERE dist <= 2) "
+        "SELECT doc_id, CAST(MIN(dist) AS BIGINT) AS min_dist FROM u GROUP BY doc_id"
+    ).format(ham=_hamming_expr(needle), needle=needle, m=m, m1=m - 1, m2=m + 1)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_groups": (
@@ -167,6 +226,10 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sb ON sb.doc_id = i.b "
             "WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5"
         ),
+        "fuzzy_search_levenshtein": _lev_mindist_sql("stream", 1),
+        "fuzzy_search_chunked": _lev_mindist_sql("stream", 1),
+        "fuzzy_search_substitutions": _subs_matches_sql("stream", 1),
+        "fuzzy_search_generic": _generic_mindist_sql("stream"),
         "language_id": _language_id_sql(),
         "quality_scores": (
             "WITH s AS (SELECT doc_id, length(text) AS n, "
@@ -197,9 +260,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS media_id, 'image' AS kind, "
             "CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents"
         ),
-        # rows-only (non-SQL-expressible): fuzzy_search_* (approximate
-        # substring spans), near_dup_clusters / minhash_lsh_pairs / simhash_*
-        # (seeded signature schemes), ann_srp_bucketed (probabilistic
-        # bucketing), embedding_cosine_dup_pairs (float-threshold set),
-        # language_id / quality_scores / doc_fingerprints (heuristics).
+        # rows-only (non-SQL-expressible): near_dup_clusters /
+        # minhash_lsh_pairs / simhash_* (seeded signature schemes),
+        # ann_srp_bucketed (probabilistic bucketing).
     }

@@ -299,46 +299,85 @@ def q_embedding_cosine_dup_pairs(sf_dir: str, threshold: float = 0.35):
 # Fuzzy search (Levenshtein / substitutions / generic families)
 # --------------------------------------------------------------------------
 
-def q_fuzzy_search_levenshtein(sf_dir: str, needle: str = "stream", max_l_dist: int = 1):
-    corpus = read_documents_as_corpus(sf_dir)
-    out = fuzzy_search(corpus, needle, max_l_dist=max_l_dist)
-    return out.rename_columns({"id": "doc_id"}).select_columns(
-        ["doc_id", "start", "end", "dist"]
+def _min_dist_per_doc(match_ds):
+    """Exploded match rows → per-doc minimum distance (doc_id, min_dist).
+
+    The per-doc minimum over kernel matches equals the minimum over ALL
+    valid windows (pigeonhole: the optimal window contains some needle piece
+    verbatim, and the expansion from that piece hit finds a match at its
+    distance), which is what the DuckDB oracle enumerates — so this
+    aggregate is driver-verifiable while span-level parity stays pinned by
+    the pytest golden tables."""
+    from ray.data.aggregate import Min
+
+    agg = (
+        match_ds.rename_columns({"id": "doc_id"})
+        .groupby("doc_id")
+        .aggregate(Min("dist", alias_name="min_dist"))
     )
+
+    def cast64(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "min_dist": batch["min_dist"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(cast64, batch_format="pyarrow")
+
+
+def q_fuzzy_search_levenshtein(sf_dir: str, needle: str = "stream", max_l_dist: int = 1):
+    """Per-doc minimum Levenshtein match distance of the needle (docs with
+    any match within max_l_dist)."""
+    corpus = read_documents_as_corpus(sf_dir)
+    return _min_dist_per_doc(fuzzy_search(corpus, needle, max_l_dist=max_l_dist))
 
 
 def q_fuzzy_search_substitutions(sf_dir: str, needle: str = "stream", max_subs: int = 1):
+    """Every alignment within max_subs mismatches, at full match granularity
+    — the substitutions family emits exactly the windows with Hamming
+    distance <= cap (no consolidation), so the DuckDB oracle can enumerate
+    the identical set with per-position character comparisons."""
     corpus = read_documents_as_corpus(sf_dir)
     out = fuzzy_search(
         corpus, needle, max_substitutions=max_subs, max_insertions=0, max_deletions=0
     )
-    return out.rename_columns({"id": "doc_id"}).select_columns(
+    match_cols = out.rename_columns({"id": "doc_id"}).select_columns(
         ["doc_id", "start", "end", "dist"]
     )
+
+    def cast64(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("dist"), "dist", batch["dist"].cast(pa.int64())
+        )
+
+    return match_cols.map_batches(cast64, batch_format="pyarrow")
 
 
 def q_fuzzy_search_chunked(sf_dir: str, needle: str = "stream", max_l_dist: int = 1):
     """Streaming-chunk fuzzy search (find_near_matches_in_file analog): the
-    same results as q_fuzzy_search_levenshtein, produced by scanning each
-    document in small overlapping windows with match rebasing — exercises
-    the chunk-overlap path on every row."""
+    same per-doc result as q_fuzzy_search_levenshtein, produced by scanning
+    each document in small overlapping windows with match rebasing —
+    exercises the chunk-overlap path on every row, against the same oracle."""
     from .search import fuzzy_search_chunked
 
     corpus = read_documents_as_corpus(sf_dir)
     out = fuzzy_search_chunked(corpus, needle, chunk_size=512, max_l_dist=max_l_dist)
-    return out.rename_columns({"id": "doc_id"}).select_columns(
-        ["doc_id", "start", "end", "dist"]
-    )
+    return _min_dist_per_doc(out)
 
 
 def q_fuzzy_search_generic(sf_dir: str, needle: str = "stream"):
+    """Per-doc minimum constrained edit distance (subs<=1, ins<=1, dels=0).
+    SQL-checkable because the constraint pins window widths: width-m windows
+    cost their Hamming distance (no insertions possible) and width-(m+1)
+    windows cost levenshtein (which for a 1-char length difference is
+    exactly 1 insertion + minimal substitutions; deletions would cost >= 3)."""
     corpus = read_documents_as_corpus(sf_dir)
     out = fuzzy_search(
         corpus, needle, max_substitutions=1, max_insertions=1, max_deletions=0
     )
-    return out.rename_columns({"id": "doc_id"}).select_columns(
-        ["doc_id", "start", "end", "dist"]
-    )
+    return _min_dist_per_doc(out)
 
 
 # --------------------------------------------------------------------------
