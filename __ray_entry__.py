@@ -148,6 +148,43 @@ def _generic_mindist_sql(needle: str) -> str:
     ).format(ham=_hamming_expr(needle), needle=needle, m=m, m1=m - 1, m2=m + 1)
 
 
+def _simhash_sql(k: int = 9) -> str:
+    """SimHash-64 in SQL, bit-identical to the engine's md5-gram SimHash
+    (functions/hashing.md5_gram_hashes + simhash64): distinct k-char grams →
+    first 8 md5 bytes as a uint64 → per-bit majority vote (2·votes >= n).
+    The 64 vote sums and the int64 reassembly are generated here."""
+    nib = "(strpos('0123456789abcdef', substr(hx, %d, 1)) - 1)"
+    votes = ", ".join(
+        "SUM((%s >> %d) & 1) AS v%d" % (nib % (16 - j // 4), j % 4, j)
+        for j in range(64)
+    )
+    # bit 63 is the int64 sign bit: adding -2^63 reproduces the two's
+    # complement value the engine gets from viewing uint64 as int64
+    assemble = " + ".join(
+        "(CASE WHEN 2 * v%d >= n THEN %s ELSE 0 END)"
+        % (j, "-9223372036854775808" if j == 63 else "(1::BIGINT << %d)" % j)
+        for j in range(64)
+    )
+    return (
+        "WITH g AS (SELECT DISTINCT d.doc_id, "
+        "substr(d.text, CAST(i.i AS INTEGER), {k}) AS gram FROM documents d, "
+        "LATERAL (SELECT unnest(generate_series(1, GREATEST(length(d.text) - {k1}, 1))) AS i) i), "
+        "h AS (SELECT doc_id, substr(md5(gram), 1, 16) AS hx FROM g), "
+        "v AS (SELECT doc_id, COUNT(*) AS n, {votes} FROM h GROUP BY doc_id) "
+        "SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM v"
+    ).format(k=k, k1=k - 1, votes=votes, assemble=assemble)
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, k: int = 9) -> str:
+    return (
+        "WITH s AS ({sim}) "
+        "SELECT a.doc_id AS a, b.doc_id AS b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= {h}"
+    ).format(sim=_simhash_sql(k), h=max_hamming)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_groups": (
@@ -230,6 +267,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_search_chunked": _lev_mindist_sql("stream", 1),
         "fuzzy_search_substitutions": _subs_matches_sql("stream", 1),
         "fuzzy_search_generic": _generic_mindist_sql("stream"),
+        "simhash_signatures": _simhash_sql(9),
+        "simhash_dup_pairs": _simhash_pairs_sql(3, 9),
         "language_id": _language_id_sql(),
         "quality_scores": (
             "WITH s AS (SELECT doc_id, length(text) AS n, "

@@ -102,6 +102,26 @@ def minhash_signature(
     return sig
 
 
+def md5_gram_hashes(text: str, k: int = DEFAULT_SHINGLE_K) -> np.ndarray:
+    """uint64 hashes (first 8 md5 bytes, big-endian) of the DISTINCT k-char
+    grams of ``text`` (the whole text when shorter than k).
+
+    md5 is chosen — like ``md5_hex`` for exact dedup — because DuckDB's
+    ``md5()`` computes the identical bytes, making SimHash signatures built
+    on these hashes SQL-checkable bit for bit. Deduplication is by GRAM
+    STRING (not by hash) so both sides count the same multiset size.
+    """
+    n = len(text)
+    if n <= k:
+        grams = [text]
+    else:
+        grams = list({text[i : i + k] for i in range(n - k + 1)})
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
+    return out
+
+
 def simhash64(shingles: np.ndarray) -> int:
     """64-bit SimHash over the shingle hash multiset (sign of per-bit sums)."""
     if shingles.size == 0:

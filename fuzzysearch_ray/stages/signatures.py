@@ -19,6 +19,7 @@ import pyarrow as pa
 from ..config import DedupConfig
 from ..functions.hashing import (
     band_hashes,
+    md5_gram_hashes,
     minhash_coefficients,
     minhash_signature,
     shingle_hashes,
@@ -98,7 +99,11 @@ def bands_from_signatures(sig_ds, config: DedupConfig):
 
 
 class SimHashSignatures:
-    """content → (id, simhash) for the SimHash near-dup operator."""
+    """content → (id, simhash) for the SimHash near-dup operator.
+
+    Gram hashing uses md5 (md5_gram_hashes) so the signature — and every
+    operator derived from it — has an exact DuckDB oracle; the bit-vote
+    aggregation (simhash64) is shared with the seeded fast path."""
 
     def __init__(self, config: DedupConfig):
         self.config = config
@@ -107,7 +112,7 @@ class SimHashSignatures:
         cfg = self.config
         contents = batch["content"].to_pylist()
         values = np.array(
-            [simhash64(shingle_hashes(t[: cfg.max_content_bytes_for_lsh], cfg.shingle_k))
+            [simhash64(md5_gram_hashes(t[: cfg.max_content_bytes_for_lsh], cfg.shingle_k))
              for t in contents],
             dtype=np.uint64,
         )
