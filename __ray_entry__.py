@@ -185,6 +185,50 @@ def _simhash_pairs_sql(max_hamming: int = 3, k: int = 9) -> str:
     ).format(sim=_simhash_sql(k), h=max_hamming)
 
 
+_REP_GRAM_PAIRS_CTE = (
+    # exact-dup membership (md5 groups, min-id representative), then exact
+    # 9-char-gram Jaccard between representatives — the near-dup pipeline's
+    # own dup criterion (verify gates on EXACT shingle Jaccard >= 0.8, so
+    # with full LSH candidate recall its edge set equals this enumeration)
+    "m AS (SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id "
+    "FROM documents), "
+    "reps AS (SELECT doc_id, text FROM m WHERE doc_id = rep_id), "
+    "grams AS (SELECT DISTINCT r.doc_id, substr(r.text, CAST(i.i AS INTEGER), 9) AS g "
+    "FROM reps r, "
+    "LATERAL (SELECT unnest(generate_series(1, GREATEST(length(r.text) - 8, 1))) AS i) i), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i "
+    "FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "pairs AS (SELECT i.a, i.b, CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jacc "
+    "FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b "
+    "WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8)"
+)
+
+
+def _minhash_pairs_sql() -> str:
+    return (
+        "WITH " + _REP_GRAM_PAIRS_CTE + " "
+        "SELECT a, b, ROUND(jacc, 4) AS jaccard_r FROM pairs"
+    )
+
+
+def _near_dup_clusters_sql() -> str:
+    """Connected components (exact-dup membership edges + near-dup pairs)
+    via recursive label closure; cluster id = min doc_id in component."""
+    return (
+        "WITH RECURSIVE " + _REP_GRAM_PAIRS_CTE + ", "
+        "edges AS (SELECT a, b FROM pairs "
+        "UNION ALL SELECT rep_id AS a, doc_id AS b FROM m WHERE rep_id <> doc_id), "
+        "sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), "
+        "walk(node, label) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node) "
+        "SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id "
+        "FROM walk GROUP BY node"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_groups": (
@@ -267,6 +311,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_search_chunked": _lev_mindist_sql("stream", 1),
         "fuzzy_search_substitutions": _subs_matches_sql("stream", 1),
         "fuzzy_search_generic": _generic_mindist_sql("stream"),
+        "near_dup_clusters": _near_dup_clusters_sql(),
+        "minhash_lsh_pairs": _minhash_pairs_sql(),
         "simhash_signatures": _simhash_sql(9),
         "simhash_dup_pairs": _simhash_pairs_sql(3, 9),
         "language_id": _language_id_sql(),
