@@ -45,6 +45,10 @@ class DedupConfig:
     chain_window: int = 3         # neighbors linked per node in capped buckets
     max_content_bytes_for_lsh: int = 1 << 20  # truncate signature input beyond 1 MiB
     broadcast_limit_rows: int = 300_000       # content map broadcast vs shuffle join
+    # broadcast gate on BYTES of representative content (the real constraint:
+    # the shared object-store copy each node maps); rows alone is not a gate
+    # — 300k x 1 MiB files would be 300 GB
+    broadcast_limit_bytes: int = 2 << 30
     num_join_partitions: int = 32
     driver_edges_limit: int = 10_000_000      # union-find on driver below; label propagation above
 

@@ -68,6 +68,82 @@ def expand_prefix(
     return (best, best_len)
 
 
+def expand_prefix_banded(
+    needle: Sequence, window: Sequence, max_dist: int
+) -> Tuple[Optional[int], Optional[int]]:
+    """Banded O(k·n) variant of ``expand_prefix`` for long needles / small k.
+
+    Same contract and results as ``expand_prefix``; only cells on diagonals
+    within ±k of the main diagonal are computed (any cell with
+    |window_consumed - needle_consumed| > k costs > k by length difference
+    alone, so the full column is never needed). Parity target: the
+    reference's ``_py_expand_long`` active-band DP
+    (levenshtein_ngram.py:77-143) — this is the trick that keeps per-window
+    verify cost ~k instead of ~len(needle).
+    """
+    m = len(needle)
+    if m == 0:
+        return (0, 0)
+    k = max_dist
+    if k <= 0:
+        if len(window) >= m and window[:m] == needle:
+            return (0, m)
+        return (None, None)
+    INF = k + 1  # any value above k behaves identically
+
+    # i = 0 state: needle[:j+1] vs empty prefix = j+1 deletions
+    lo = 0
+    hi = min(m - 1, k - 1)  # j with cost j+1 <= k
+    band = [j + 1 for j in range(lo, hi + 1)]
+    best = m if m <= k else INF
+    best_len = 0
+
+    for i, ch in enumerate(window):
+        new_lo = max(0, i - k)
+        new_hi = min(m - 1, i + k)
+        if new_lo > m - 1:
+            break
+        cur = []
+        improved = False
+        for j in range(new_lo, new_hi + 1):
+            # previous-row cells (window[:i]): band covers [lo, hi]
+            up = band[j - lo] if lo <= j <= hi else INF
+            if j - 1 < 0:
+                diag = i if i <= k else INF  # needle[:0] vs window[:i]
+            elif lo <= j - 1 <= hi:
+                diag = band[j - 1 - lo]
+            else:
+                diag = INF
+            if j - 1 < new_lo:
+                left = i + 1 if i + 1 <= k else INF  # needle[:0] vs window[:i+1]
+            else:
+                left = cur[-1]
+            cost = min(diag + (ch != needle[j]), up + 1, left + 1)
+            cur.append(cost if cost <= k else INF)
+        lo, hi, band = new_lo, new_hi, cur
+        if hi == m - 1 and band[-1] <= best:
+            best = band[-1]
+            best_len = i + 1
+            improved = True
+        if not improved and min(band) >= best:
+            break
+
+    if best > k:
+        return (None, None)
+    return (best, best_len)
+
+
+def _expand(
+    needle: Sequence, window: Sequence, max_dist: int
+) -> Tuple[Optional[int], Optional[int]]:
+    """Short/long expansion selector — same threshold as the reference's
+    ``_expand`` (levenshtein_ngram.py:8-19): long needles with small budgets
+    take the banded O(k·n) path."""
+    if len(needle) > max(max_dist * 2, 10):
+        return expand_prefix_banded(needle, window, max_dist)
+    return expand_prefix(needle, window, max_dist)
+
+
 def find_near_matches_levenshtein_ngrams(
     needle: Sequence, haystack: Sequence, max_l_dist: int
 ) -> Iterator[Match]:
@@ -93,14 +169,14 @@ def find_near_matches_levenshtein_ngrams(
             # grow rightwards: match the needle suffix against the haystack
             # right of the hit, with the full budget
             right_window = haystack[hit + piece_len : hit - piece_start + m + k]
-            dist_r, len_r = expand_prefix(suffix, right_window, k)
+            dist_r, len_r = _expand(suffix, right_window, k)
             if dist_r is None:
                 continue
             # grow leftwards with whatever budget remains (both reversed so
             # the DP stays prefix-anchored)
             budget_l = k - dist_r
             left_window = haystack[max(0, hit - piece_start - budget_l) : hit][::-1]
-            dist_l, len_l = expand_prefix(prefix_reversed, left_window, budget_l)
+            dist_l, len_l = _expand(prefix_reversed, left_window, budget_l)
             if dist_l is None:
                 continue
             start = hit - len_l

@@ -8,6 +8,7 @@ with lineage before it counts as done):
     out_dir/
       manifest.json
       part=signatures/<shard>/          # (id, sha256, n_bytes, sig) per input shard
+      part=membership/all/              # (id, rep_id) exact-dup membership
       part=edges/all/                   # verified dup edges
       part=clusters/all/                # (id, cluster_id)
 
@@ -17,25 +18,36 @@ shard; the global stages (pair generation → verify → clustering) re-derive
 from the signature checkpoints. Content is re-read from the *input* shards
 only for pair verification — signatures are ~1000x smaller and never carry
 content (sha256 invariant: content is never rewritten anywhere).
+
+Scale discipline mirrors ``near_dup_pipeline``: every global stage is a
+Dataset, the broadcast-vs-join choice is gated on representative BYTES, the
+broadcast is sharded block refs (no driver concat), and clustering switches
+to distributed label propagation + hash-join assignment past the driver
+edge limit.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, DedupConfig
 from ..state.checkpoint import RunManifest, write_partition_atomic
-from ..stages.cluster import assign_clusters, components_driver
-from ..stages.exact_dedup import broadcast_id_filter
+from ..stages.cluster import (
+    assign_clusters_broadcast,
+    assign_clusters_join,
+    components_distributed,
+    components_driver,
+)
+from ..stages.exact_dedup import broadcast_id_filter, exact_dedup
 from ..stages.lsh import candidate_pairs
 from ..stages.preprocess import preprocess
 from ..stages.signatures import bands_from_signatures, minhash_signatures
-from ..stages.verify import verify_pairs_broadcast
+from ..stages.verify import verify_pairs_broadcast, verify_pairs_join
 
 
 def _shard_name(path: str) -> str:
@@ -46,15 +58,19 @@ def run_dedup_checkpointed(
     input_paths: List[str],
     out_dir: str,
     config: DedupConfig = DEFAULT_CONFIG,
+    content_mode: str = "auto",
 ) -> Dict:
     """Run (or resume) the staged dedup pipeline; returns the manifest state.
 
     Stage 1 (per input shard, skipped when checkpointed): signatures.
-    Stage 2 (global): exact dedup + LSH pairs + verify → edges.
+    Stage 2 (global): exact dedup + LSH pairs + verify → membership + edges.
     Stage 3 (global): connected components → clusters.
     """
     import ray
     import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _collect_ids
 
     input_paths = sorted(input_paths)
     manifest = RunManifest.load_or_create(out_dir, config, input_paths)
@@ -77,7 +93,7 @@ def run_dedup_checkpointed(
         )
     manifest.record_metrics({"signature_shards_skipped_on_resume": n_skipped})
 
-    # ---- stage 2: global edges ----------------------------------------
+    # ---- stage 2: global membership + edges ----------------------------
     sig_dir = os.path.join(out_dir, "part=signatures")
     if not manifest.is_complete("edges/all"):
         sig_files = sorted(
@@ -89,84 +105,100 @@ def run_dedup_checkpointed(
         )
         sig_ds = rd.read_parquet(sig_files).materialize()
 
-        sig_tbl = pa.concat_tables(ray.get(sig_ds.to_arrow_refs())).combine_chunks()
-        mem = sig_tbl.select(["id", "sha256"]).to_pandas()
-        rep = mem.groupby("sha256")["id"].transform("min")
-        membership = pd.DataFrame(
-            {"id": mem["id"].to_numpy(), "rep_id": rep.to_numpy()}
+        # exact-dup membership as a Dataset (id-keyed groupby, no driver
+        # pandas); only the rep-id vector is pulled for the broadcast filter
+        membership_ds = exact_dedup(sig_ds).materialize()
+        rep_ids = _collect_ids(
+            membership_ds.map_batches(
+                lambda t: t.filter(pc.equal(t["id"], t["rep_id"])),
+                batch_format="pyarrow",
+            )
         )
-        rep_ids = np.sort(
-            membership.loc[membership["id"] == membership["rep_id"], "id"].to_numpy()
-        )
+        rep_ref = ray.put(rep_ids)
 
-        reps_sig_ds = broadcast_id_filter(
-            sig_ds.select_columns(["id", "sig"]), ray.put(rep_ids)
-        )
+        reps_sig_ds = broadcast_id_filter(sig_ds, rep_ref).materialize()
         bands = bands_from_signatures(reps_sig_ds, config)
         pairs = candidate_pairs(bands, config)
-        pairs = pairs.repartition(int(ray.cluster_resources().get("CPU", 8)) * 4)
+        pairs = pairs.repartition(
+            min(4 * int(ray.cluster_resources().get("CPU", 8)), 48)
+        )
 
-        # broadcast the signature matrix for the estimated-jaccard pre-gate
-        keep = np.isin(sig_tbl["id"].to_numpy(), rep_ids)
-        s_ids = sig_tbl["id"].to_numpy()[keep]
-        s_mat = (
-            sig_tbl["sig"].combine_chunks().flatten().to_numpy().view(np.uint64)
-        ).reshape(len(sig_tbl), -1)[keep]
-        order = np.argsort(s_ids)
-        sig_ref = ray.put((s_ids[order], np.ascontiguousarray(s_mat[order])))
+        if content_mode == "auto":
+            rep_bytes = (
+                reps_sig_ds.select_columns(["n_bytes"]).aggregate(
+                    Sum("n_bytes", alias_name="total")
+                )["total"]
+                or 0
+            )
+            mode = (
+                "broadcast"
+                if (
+                    len(rep_ids) <= config.broadcast_limit_rows
+                    and rep_bytes <= config.broadcast_limit_bytes
+                )
+                else "join"
+            )
+        else:
+            mode = content_mode
 
-        # content re-read from the INPUT shards, reps only, broadcast
+        # content re-read from the INPUT shards, representatives only;
+        # materialized so the two join passes (and their boundary sampling)
+        # consume settled blocks instead of racing the read for CPU slots
         content_ds = broadcast_id_filter(
-            rd.read_parquet(input_paths).select_columns(["id", "content"]),
-            ray.put(rep_ids),
-        )
-        c_tbl = pa.concat_tables(ray.get(content_ds.to_arrow_refs())).combine_chunks()
-        c_ids = c_tbl["id"].to_numpy()
-        c_order = np.argsort(c_ids)
-        content_ref = ray.put(
-            (c_ids[c_order], c_tbl["content"].take(pa.array(c_order, pa.int64())))
-        )
-
-        edges = verify_pairs_broadcast(pairs, content_ref, config, sig_ref=sig_ref)
-        edges_df = edges.to_pandas()
-        write_partition_atomic(edges_df, out_dir, "edges/all")
-        write_partition_atomic(membership, out_dir, "membership/all")
+            rd.read_parquet(input_paths, columns=["id", "content"]), rep_ref
+        ).materialize()
+        if mode == "broadcast":
+            content_refs = content_ds.to_arrow_refs()
+            sig_refs = reps_sig_ds.select_columns(["id", "sig"]).materialize().to_arrow_refs()
+            edges = verify_pairs_broadcast(pairs, content_refs, config, sig_refs=sig_refs)
+        else:
+            edges = verify_pairs_join(pairs, content_ds, config)
+        edges = edges.materialize()
+        n_edges = edges.count()
+        write_partition_atomic(edges, out_dir, "edges/all")
+        write_partition_atomic(membership_ds, out_dir, "membership/all")
         manifest.mark_complete(
             "edges/all",
             {
-                "rows": len(edges_df),
+                "rows": int(n_edges),
                 "n_representatives": int(len(rep_ids)),
+                "content_mode": mode,
                 "inputs": ["stage=signatures"] + input_paths,
             },
         )
-        manifest.mark_complete("membership/all", {"rows": len(membership)})
+        manifest.mark_complete(
+            "membership/all", {"rows": int(membership_ds.count())}
+        )
 
     # ---- stage 3: clusters --------------------------------------------
     if not manifest.is_complete("clusters/all"):
-        edges_df = _read_part(out_dir, "edges/all")
-        membership = _read_part(out_dir, "membership/all")
-        labels = components_driver(
-            edges_df["a"].to_numpy(), edges_df["b"].to_numpy()
-        )
-        clusters = assign_clusters(membership, labels).sort_values("id")
-        write_partition_atomic(clusters.reset_index(drop=True), out_dir, "clusters/all")
+        edges_ds = rd.read_parquet(_part_dir(out_dir, "edges/all"))
+        membership_ds = rd.read_parquet(_part_dir(out_dir, "membership/all"))
+        n_edges = edges_ds.count()
+        if n_edges > config.driver_edges_limit:
+            labels_ds = components_distributed(edges_ds)
+            clusters = assign_clusters_join(membership_ds, labels_ds)
+        else:
+            small = edges_ds.select_columns(["a", "b"]).to_pandas()
+            labels = components_driver(small["a"].to_numpy(), small["b"].to_numpy())
+            clusters = assign_clusters_broadcast(membership_ds, labels)
+        clusters = clusters.materialize()
+        from ray.data.aggregate import Count
+
+        sizes = clusters.groupby("cluster_id").aggregate(Count(alias_name="n"))
+        n_multi = sizes.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+        ).count()
+        write_partition_atomic(clusters, out_dir, "clusters/all")
         manifest.mark_complete(
             "clusters/all",
-            {
-                "rows": len(clusters),
-                "n_clusters_multi": int(
-                    (clusters.groupby("cluster_id").size() > 1).sum()
-                ),
-            },
+            {"rows": int(clusters.count()), "n_clusters_multi": int(n_multi)},
         )
     return manifest.state
 
 
-def _read_part(out_dir: str, partition: str) -> pd.DataFrame:
-    import pyarrow.parquet as pq
-
-    d = os.path.join(out_dir, "part=%s" % partition)
-    return pq.read_table(d).to_pandas()
+def _part_dir(out_dir: str, partition: str) -> str:
+    return os.path.join(out_dir, "part=%s" % partition)
 
 
 def _zip_by_id(hashes_ds, sigs_ds) -> pa.Table:

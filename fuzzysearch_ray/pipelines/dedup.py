@@ -5,26 +5,50 @@ config → read → preprocess(sha256) → exact-dup groupby → representatives
 verify actor pool (broadcast or join content access) → connected components
 → (id, cluster_id) — SURVEY.md §3.4 / §7.1.
 
-Content columns never pass through a shuffle: the band and pair exchanges
-move only small integer columns, and content is re-attached either by
-broadcast lookup or by an id-keyed hash join right before verification.
+Scale discipline:
+- content never passes through a shuffle: band and pair exchanges move only
+  small integer columns; content is re-attached by sharded zero-copy
+  broadcast (block refs, no driver concat) or by an id-keyed hash join;
+- every stage output is a Dataset — membership, edges and clusters stream to
+  their consumers; the driver holds only counters, the rep-id filter array,
+  and (when the edge set is small) the union-find label map;
+- broadcast vs join is gated on BYTES of representative content, not rows.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, DedupConfig
-from ..stages.cluster import assign_clusters, components_driver
+from ..stages.cluster import (
+    assign_clusters_broadcast,
+    assign_clusters_join,
+    components_distributed,
+    components_driver,
+)
 from ..stages.exact_dedup import broadcast_id_filter, exact_dedup
 from ..stages.lsh import candidate_pairs
 from ..stages.preprocess import preprocess
 from ..stages.signatures import bands_from_signatures, minhash_signatures
 from ..stages.verify import verify_pairs_broadcast, verify_pairs_join
+
+
+def _collect_ids(ds, column: str = "id") -> np.ndarray:
+    """Driver-side sorted id vector from a Dataset — ids ONLY (8 bytes/row),
+    used for the broadcast rep filter. At extreme scale swap for a bloom
+    filter or semi-join; the array stays ~1000x smaller than content."""
+    import ray
+    import pyarrow as pa
+
+    parts = [t[column].to_numpy() for t in ray.get(ds.to_arrow_refs())]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(parts).astype(np.int64))
 
 
 def near_dup_pipeline(
@@ -33,17 +57,18 @@ def near_dup_pipeline(
     content_mode: str = "auto",
 ) -> Dict[str, object]:
     """Run the full dedup pipeline on a corpus Dataset with columns
-    (id, content, ...). Returns dict with ``clusters`` (pandas DataFrame
-    (id, cluster_id), cluster_id = min member id), ``edges`` (pandas), and
-    ``stats`` counters per stage.
+    (id, content, ...). Returns a dict of Datasets — ``clusters``
+    (id, cluster_id; cluster_id = min member id), ``edges`` (verified dup
+    pairs), ``membership`` (id, rep_id) — plus ``stats`` counters.
 
-    content_mode: 'broadcast' | 'join' | 'auto' (auto picks broadcast while
-    the representative set is under config.broadcast_limit_rows).
+    content_mode: 'broadcast' | 'join' | 'auto' (auto broadcasts while the
+    representative content fits comfortably: bytes AND rows gates).
     """
     import os
     import time
 
     import ray
+    from ray.data.aggregate import Sum
 
     _trace = os.environ.get("GRAFT_TIMING")
     _t = time.time()
@@ -72,14 +97,18 @@ def near_dup_pipeline(
     n_rows = pre.count()
     _mark("preprocess+repartition")
 
-    membership_df = exact_dedup(pre).to_pandas()
-    rep_ids = np.sort(
-        membership_df.loc[membership_df["id"] == membership_df["rep_id"], "id"].to_numpy()
+    # membership stays a Dataset; only the (much smaller) rep-id vector is
+    # collected for the broadcast filter
+    membership_ds = exact_dedup(pre).materialize()
+    rep_ids = _collect_ids(
+        membership_ds.map_batches(
+            lambda t: t.filter(pc.equal(t["id"], t["rep_id"])),
+            batch_format="pyarrow",
+        )
     )
-
+    n_reps = len(rep_ids)
     _mark("exact_dedup")
     reps_ds = broadcast_id_filter(pre, ray.put(rep_ids)).materialize()
-    n_reps = len(rep_ids)
     _mark("rep_filter")
 
     # signature table: ~1000x smaller than content; computed once, used for
@@ -90,7 +119,20 @@ def near_dup_pipeline(
     pairs = candidate_pairs(bands, config)
 
     if content_mode == "auto":
-        content_mode = "broadcast" if n_reps <= config.broadcast_limit_rows else "join"
+        rep_bytes = (
+            reps_ds.select_columns(["n_bytes"]).aggregate(
+                Sum("n_bytes", alias_name="total")
+            )["total"]
+            or 0
+        )
+        content_mode = (
+            "broadcast"
+            if (
+                n_reps <= config.broadcast_limit_rows
+                and rep_bytes <= config.broadcast_limit_bytes
+            )
+            else "join"
+        )
     if content_mode == "broadcast":
         # verify is the CPU-heaviest stage and the pair table is tiny integer
         # rows here — spread it so the actor pool sees balanced blocks, but
@@ -99,30 +141,12 @@ def near_dup_pipeline(
         # (at join scale the pair table already has many blocks)
         cpus = int(ray.cluster_resources().get("CPU", 8))
         pairs = pairs.repartition(min(4 * cpus, 48))
-    if content_mode == "broadcast":
-        sig_tbl = pa.concat_tables(ray.get(sigs_ds.to_arrow_refs()))
-        sig_ids = sig_tbl["id"].to_numpy()
-        sig_mat = (
-            sig_tbl["sig"].combine_chunks().flatten().to_numpy().view(np.uint64)
-        ).reshape(len(sig_ids), -1)
-        order = np.argsort(sig_ids)
-        sig_ref = ray.put((sig_ids[order], np.ascontiguousarray(sig_mat[order])))
-
-        content_tbl = pa.concat_tables(
-            ray.get(reps_ds.select_columns(["id", "content"]).to_arrow_refs())
-        )
-        c_ids = content_tbl["id"].to_numpy()
-        c_order = np.argsort(c_ids)
-        content_ref = ray.put(
-            (
-                c_ids[c_order],
-                content_tbl["content"]
-                .combine_chunks()
-                .take(pa.array(c_order, pa.int64())),
-            )
-        )
+        # sharded zero-copy broadcasts: raw block refs, indexed per actor —
+        # the driver never concatenates signatures or content
+        sig_refs = sigs_ds.to_arrow_refs()
+        content_refs = reps_ds.select_columns(["id", "content"]).materialize().to_arrow_refs()
         _mark("broadcasts")
-        verified = verify_pairs_broadcast(pairs, content_ref, config, sig_ref=sig_ref)
+        verified = verify_pairs_broadcast(pairs, content_refs, config, sig_refs=sig_refs)
     else:
         verified = verify_pairs_join(pairs, reps_ds, config)
 
@@ -132,33 +156,48 @@ def near_dup_pipeline(
 
     if n_pairs > config.driver_edges_limit:
         # scale path: distributed min-label propagation to fixpoint over the
-        # edge Dataset — the full edge list never lands on the driver
-        from ..stages.cluster import components_distributed
-
-        labels_df = components_distributed(verified)
-        labels = dict(zip(labels_df["node"], labels_df["label"]))
-        edges_df = verified.limit(1_000_000).to_pandas()  # sample for callers
+        # edge Dataset; labels stay a Dataset and attach via hash join —
+        # the full edge list never lands on the driver
+        labels_ds = components_distributed(verified)
+        clusters_ds = assign_clusters_join(membership_ds, labels_ds)
     else:
-        edges_df = verified.to_pandas()
-        labels = components_driver(edges_df["a"].to_numpy(), edges_df["b"].to_numpy())
-    clusters = assign_clusters(membership_df, labels)
-    clusters = clusters.sort_values("id").reset_index(drop=True)
+        edges_small = verified.select_columns(["a", "b"]).to_pandas()
+        labels = components_driver(
+            edges_small["a"].to_numpy(), edges_small["b"].to_numpy()
+        )
+        clusters_ds = assign_clusters_broadcast(membership_ds, labels)
+    clusters_ds = clusters_ds.materialize()
+    _mark("clustering")
+
+    # stats: distributed aggregate over the (int, int) cluster table
+    from ray.data.aggregate import Count
+
+    sizes = clusters_ds.groupby("cluster_id").aggregate(Count(alias_name="n"))
+    n_multi = sizes.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+    ).count()
+    _mark("stats")
 
     return {
-        "clusters": clusters,
-        "edges": edges_df,
-        "membership": membership_df,
+        "clusters": clusters_ds,
+        "edges": verified,
+        "membership": membership_ds,
         "stats": {
             "n_rows": int(n_rows),
             "n_representatives": int(n_reps),
             "n_exact_dup_rows": int(n_rows - n_reps),
             "n_verified_edges": int(n_pairs),
-            "n_clusters_multi": int(
-                (clusters.groupby("cluster_id").size() > 1).sum()
-            ),
+            "n_clusters_multi": int(n_multi),
             "content_mode": content_mode,
         },
     }
+
+
+def clusters_to_pandas(result: Dict[str, object]) -> pd.DataFrame:
+    """Small-scale convenience for tests/queries: materialize the cluster
+    Dataset to a sorted pandas frame (NOT part of the scale path)."""
+    df = result["clusters"].to_pandas()
+    return df.sort_values("id").reset_index(drop=True)
 
 
 def dup_pairs_from_clusters(clusters: pd.DataFrame) -> set:

@@ -385,17 +385,20 @@ def q_fuzzy_search_generic(sf_dir: str, needle: str = "stream"):
 # --------------------------------------------------------------------------
 
 def q_near_dup_clusters(sf_dir: str):
-    """Flagship: full MinHash/LSH dedup over documents → (doc_id, cluster_id)."""
+    """Flagship: full MinHash/LSH dedup over documents → (doc_id, cluster_id).
+    The pipeline returns Datasets end to end; the pandas conversion here is
+    the driver-compare adapter, not part of the pipeline."""
+    from .dedup import clusters_to_pandas
+
     corpus = read_documents_as_corpus(sf_dir)
     res = near_dup_pipeline(corpus, DedupConfig())
-    df = res["clusters"].rename(columns={"id": "doc_id"})
-    return df
+    return clusters_to_pandas(res).rename(columns={"id": "doc_id"})
 
 
 def q_minhash_lsh_pairs(sf_dir: str):
     corpus = read_documents_as_corpus(sf_dir)
     res = near_dup_pipeline(corpus, DedupConfig())
-    edges = res["edges"][["a", "b", "jaccard"]].copy()
+    edges = res["edges"].select_columns(["a", "b", "jaccard"]).to_pandas()
     edges["jaccard_r"] = round_half_up(edges["jaccard"], 4)
     return edges[["a", "b", "jaccard_r"]].sort_values(["a", "b"]).reset_index(drop=True)
 

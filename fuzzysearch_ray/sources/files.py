@@ -1,0 +1,136 @@
+"""Raw-file sources: fuzzy search directly over binary/text files on disk.
+
+Engine parity for the reference's only I/O connector,
+``find_near_matches_in_file`` (/root/reference/src/fuzzysearch/__init__.py:
+86-200): files are ingested with ``ray.data.read_binary_files`` (one row per
+file), and each file is scanned in fixed-size chunks with the retained
+overlap tail ``len(needle) - 1 + extra_items_for_chunked_search`` so a match
+straddling a chunk boundary is found in exactly one window; spans are
+rebased by the chunk offset and consolidated per the family's policy —
+the same semantics as the reference's preallocated-buffer loop
+(__init__.py:129-171 binary / 174-200 unicode), expressed as a Dataset
+stage instead of a manual file loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+MATCH_SCHEMA = pa.schema(
+    [
+        ("path", pa.string()),
+        ("start", pa.int64()),
+        ("end", pa.int64()),
+        ("dist", pa.int32()),
+        ("matched", pa.binary()),
+    ]
+)
+
+
+class FileFuzzySearcher:
+    """Actor: chunk-scan one needle over whole files (bytes or decoded text).
+
+    ``encoding=None`` → binary search (str needles are UTF-8 encoded);
+    otherwise file bytes are decoded and the needle searched as text.
+    """
+
+    def __init__(
+        self,
+        needle,
+        encoding: Optional[str] = None,
+        chunk_size: int = 1 << 20,
+        max_substitutions: Optional[int] = None,
+        max_insertions: Optional[int] = None,
+        max_deletions: Optional[int] = None,
+        max_l_dist: Optional[int] = None,
+    ):
+        from ..kernels import SearchParams, choose_search_family
+        from ..kernels.dispatch import FAMILY_CONSOLIDATES, extra_items_for_chunked_search
+        from ..kernels.match import consolidate_overlapping_matches
+
+        self.encoding = encoding
+        if encoding is None and isinstance(needle, str):
+            needle = needle.encode("utf-8")
+        if encoding is not None and isinstance(needle, (bytes, bytearray)):
+            needle = bytes(needle).decode(encoding)
+        self.needle = needle
+        self.chunk_size = chunk_size
+        self.params = SearchParams(
+            max_substitutions, max_insertions, max_deletions, max_l_dist
+        )
+        self.family = choose_search_family(self.params)
+        self.overlap = len(needle) - 1 + extra_items_for_chunked_search(
+            self.family, self.params
+        )
+        self._consolidates = FAMILY_CONSOLIDATES[self.family]
+        self._consolidate = consolidate_overlapping_matches
+
+    def _search_one(self, data):
+        from ..kernels import search_with_family
+
+        matches = []
+        step = self.chunk_size
+        offset = 0
+        n = len(data)
+        while True:
+            window = data[offset : offset + step + self.overlap]
+            for m in search_with_family(self.family, self.needle, window, self.params):
+                matches.append(m.shifted(offset))
+            offset += step
+            if offset >= n:
+                break
+        if self._consolidates:
+            return self._consolidate(matches)
+        return sorted(set(matches))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        out_p, out_s, out_e, out_d, out_m = [], [], [], [], []
+        for path, blob in zip(paths, blobs):
+            data = blob.decode(self.encoding) if self.encoding else blob
+            for m in self._search_one(data):
+                out_p.append(path)
+                out_s.append(m.start)
+                out_e.append(m.end)
+                out_d.append(m.dist)
+                matched = m.matched
+                if isinstance(matched, str):
+                    matched = matched.encode("utf-8")
+                out_m.append(matched)
+        return pa.table(
+            {
+                "path": pa.array(out_p, pa.string()),
+                "start": pa.array(out_s, pa.int64()),
+                "end": pa.array(out_e, pa.int64()),
+                "dist": pa.array(out_d, pa.int32()),
+                "matched": pa.array(out_m, pa.binary()),
+            }
+        )
+
+
+def find_near_matches_in_files(
+    paths,
+    needle,
+    encoding: Optional[str] = None,
+    chunk_size: int = 1 << 20,
+    concurrency=(1, 8),
+    **limits,
+):
+    """Match table (path, start, end, dist, matched) of ``needle`` over raw
+    files. Files stream as binary blobs (one row each, small batch sizes —
+    rows can be huge); each actor compiles the needle/params once."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(
+        FileFuzzySearcher,
+        fn_constructor_args=(needle, encoding, chunk_size),
+        fn_constructor_kwargs=limits,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

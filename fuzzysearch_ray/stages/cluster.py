@@ -54,89 +54,157 @@ def components_driver(edges_a: np.ndarray, edges_b: np.ndarray) -> Dict[int, int
     return uf.labels()
 
 
-def components_distributed(edges_ds, max_rounds: int = 25):
-    """Min-label propagation over the edge Dataset.
+def components_distributed(edges_ds, max_rounds: int = 25, num_partitions: int | None = None):
+    """Dataset-native min-label propagation over the edge Dataset.
 
-    State per round: labels (node, label). Each round: every edge forwards
-    min(label_a, label_b) to both endpoints via a node-keyed groupby; stop at
-    fixpoint. Returns a pandas DataFrame (node, label). Edge labels are
-    re-derived per round from the node labels via broadcast, keeping each
-    round to ONE shuffle on ``node``.
+    Fully distributed state: labels live as a (node, label) Dataset; each
+    round is one hash join (attach each peer's current label to the edge) +
+    one node-keyed groupby-min + one label merge. The driver holds only the
+    per-round changed-count (O(1)), never a label map or node set — the
+    100-TB-safe replacement for a driver union-find when the edge set is
+    large. Converges in O(component diameter) rounds; dup clusters are
+    near-cliques, so 2-3 rounds typical. Returns a Dataset (node, label).
     """
+    import pyarrow as pa
     import ray
+    from ray.data.aggregate import Min, Sum
 
-    edges = edges_ds.select_columns(["a", "b"])
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    np_parts = num_partitions or max(2, min(16, cpus))
 
     def symmetrize(batch):
-        import pyarrow as pa
-
         a = batch["a"].to_numpy()
         b = batch["b"].to_numpy()
         return pa.table(
             {
-                "node": np.concatenate([a, b]),
-                "peer": np.concatenate([b, a]),
+                "node": np.concatenate([a, b]).astype(np.int64),
+                "peer": np.concatenate([b, a]).astype(np.int64),
             }
         )
 
-    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    sym = edges_ds.select_columns(["a", "b"]).map_batches(
+        symmetrize, batch_format="pyarrow"
+    ).materialize()
 
-    # labels start as identity; stored driver-side per round as a broadcast
-    # map only for the propagation bookkeeping (node set = edge endpoints,
-    # already a tiny fraction of the corpus)
-    label_map: Dict[int, int] = {}
-    all_nodes: set = set()
+    # round 0 without a join: label(node) = min(node, min over peers)
+    def seed_label(batch):
+        lbl = np.minimum(batch["node"].to_numpy(), batch["min_peer"].to_numpy())
+        return pa.table({"node": batch["node"], "label": pa.array(lbl, pa.int64())})
 
-    def lookup(x: int) -> int:
-        return label_map.get(x, x)
+    labels = (
+        sym.groupby("node")
+        .aggregate(Min("peer", alias_name="min_peer"))
+        .map_batches(seed_label, batch_format="pyarrow")
+        .materialize()
+    )
 
     for _ in range(max_rounds):
-        ref = ray.put(label_map)
-
-        def forward(batch):
-            import pyarrow as pa
-
-            lm = ray.get(ref)
-            node = batch["node"].to_numpy()
-            peer = batch["peer"].to_numpy()
-            peer_label = np.array([lm.get(int(p), int(p)) for p in peer], dtype=np.int64)
-            return pa.table({"node": node, "incoming": peer_label})
-
-        from ray.data.aggregate import Min
-
-        new_min = (
-            sym.map_batches(forward, batch_format="pyarrow")
+        # attach each peer's label to the edge, then take the per-node min
+        incoming = (
+            sym.join(
+                labels,
+                join_type="inner",
+                num_partitions=np_parts,
+                on=("peer",),
+                right_on=("node",),
+                right_suffix="_r",
+            )
             .groupby("node")
-            .aggregate(Min("incoming", alias_name="min_incoming"))
+            .aggregate(Min("label", alias_name="incoming"))
         )
-        updates = new_min.to_pandas()
-        if not all_nodes:
-            # round 1 reaches every edge endpoint — roots included, whose
-            # label never changes and so never enters label_map
-            all_nodes = set(int(n) for n in updates["node"].to_numpy())
-        changed = 0
-        for node, incoming in zip(
-            updates["node"].to_numpy(), updates["min_incoming"].to_numpy()
-        ):
-            node, incoming = int(node), int(incoming)
-            best = min(lookup(node), incoming)
-            if best != lookup(node):
-                label_map[node] = best
-                changed += 1
-        # path-compress transitively (labels may point at relabeled nodes)
-        for node in list(label_map):
-            root = label_map[node]
-            seen = set()
-            while root in label_map and label_map[root] != root and root not in seen:
-                seen.add(root)
-                root = label_map[root]
-            label_map[node] = root
+
+        def merge(batch):
+            old = batch["label"].to_numpy()
+            new = np.minimum(old, batch["incoming"].to_numpy())
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "label": pa.array(new, pa.int64()),
+                    "changed": pa.array((new != old).astype(np.int64), pa.int64()),
+                }
+            )
+
+        merged = (
+            labels.join(
+                incoming,
+                join_type="inner",
+                num_partitions=np_parts,
+                on=("node",),
+                right_suffix="_r",
+            )
+            .map_batches(merge, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = merged.aggregate(Sum("changed", alias_name="n"))["n"] or 0
+        labels = merged.select_columns(["node", "label"])
         if changed == 0:
             break
-    rows = sorted((n, lookup(n)) for n in all_nodes)
-    return pd.DataFrame(
-        {"node": [r[0] for r in rows], "label": [r[1] for r in rows]}
+    return labels
+
+
+def assign_clusters_broadcast(membership_ds, labels: Dict[int, int]):
+    """membership Dataset (id, rep_id) + small driver label map → Dataset
+    (id, cluster_id). The labels cover only edge endpoints (a tiny fraction
+    of the corpus); they are broadcast once as sorted key/value arrays and
+    looked up vectorized per batch — membership itself never leaves the
+    cluster."""
+    import pyarrow as pa
+    import ray
+
+    keys = np.fromiter(labels.keys(), dtype=np.int64, count=len(labels))
+    vals = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], vals[order]))
+
+    def assign(batch):
+        k, v = ray.get(ref)
+        rep = batch["rep_id"].to_numpy()
+        if k.size:
+            idx = np.searchsorted(k, rep)
+            np.minimum(idx, k.size - 1, out=idx)
+            hit = k[idx] == rep
+            cluster = np.where(hit, v[idx], rep)
+        else:
+            cluster = rep
+        return pa.table(
+            {
+                "id": batch["id"].cast(pa.int64()),
+                "cluster_id": pa.array(cluster.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return membership_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def assign_clusters_join(membership_ds, labels_ds, num_partitions: int | None = None):
+    """Scale path: attach near-dup labels to membership via a hash join on
+    rep_id (left outer; unlabeled reps keep rep_id as their cluster)."""
+    import pyarrow as pa
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    np_parts = num_partitions or max(2, min(16, cpus))
+    joined = membership_ds.join(
+        labels_ds,
+        join_type="left_outer",
+        num_partitions=np_parts,
+        on=("rep_id",),
+        right_on=("node",),
+        right_suffix="_r",
     )
+
+    def finish(batch):
+        rep = batch["rep_id"].to_numpy()
+        lbl = batch["label"].to_numpy(zero_copy_only=False)
+        cluster = np.where(pa.compute.is_null(batch["label"]).to_numpy(zero_copy_only=False), rep, lbl)
+        return pa.table(
+            {
+                "id": batch["id"].cast(pa.int64()),
+                "cluster_id": pa.array(cluster.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def assign_clusters(membership_df: pd.DataFrame, labels: Dict[int, int]) -> pd.DataFrame:

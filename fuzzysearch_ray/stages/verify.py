@@ -45,30 +45,96 @@ PAIR_SCHEMA = pa.schema(
 )
 
 
-class VerifyPairs:
-    def __init__(self, config: DedupConfig, content_ref=None, sig_ref=None):
-        self.cfg = config
+class ShardedIdLookup:
+    """Per-actor, id-addressed view over the Arrow blocks of a materialized
+    Dataset — the broadcast side of the verify stage, built WITHOUT any
+    driver-side concat, sort, or shuffle.
+
+    The driver hands each actor the raw block ObjectRefs; ``ray.get`` maps
+    them zero-copy from the shared object store. Only the 8-byte id vectors
+    are copied per actor (to build one sorted (id → block, offset) index);
+    the payload columns stay plasma-backed until a row is actually read.
+    """
+
+    def __init__(self, refs, column: str):
         import ray
 
-        if content_ref is not None:
-            # (sorted id vector, aligned Arrow string array). The array stays
-            # plasma-backed (zero-copy); strings materialize lazily into a
-            # per-actor cache keyed by position — repeated docs (dup clusters
-            # touch the same content many times) hit the heap, and the shared
-            # mmap is faulted once per doc per actor instead of once per pair.
-            self.content_ids, self.content_col = ray.get(content_ref)
+        tables = ray.get(list(refs))
+        self.cols = [t[column].combine_chunks() for t in tables]
+        id_parts = [t["id"].to_numpy() for t in tables]
+        lens = [a.size for a in id_parts]
+        if sum(lens) == 0:
+            self.sorted_ids = np.empty(0, dtype=np.int64)
+            self.blk = np.empty(0, dtype=np.int32)
+            self.off = np.empty(0, dtype=np.int64)
+            return
+        ids = np.concatenate(id_parts)
+        blk = np.repeat(np.arange(len(lens), dtype=np.int32), lens)
+        off = np.concatenate([np.arange(n, dtype=np.int64) for n in lens])
+        order = np.argsort(ids, kind="stable")
+        self.sorted_ids = ids[order]
+        self.blk = blk[order]
+        self.off = off[order]
+
+    def positions(self, q_ids: np.ndarray) -> np.ndarray:
+        """Global sorted positions of ``q_ids`` (stable cache keys)."""
+        return np.searchsorted(self.sorted_ids, q_ids)
+
+    def take_values(self, positions: np.ndarray) -> list:
+        """Python values for global positions, gathered block-wise."""
+        blk = self.blk[positions]
+        off = self.off[positions]
+        out = [None] * len(positions)
+        for b in np.unique(blk):
+            sel = np.flatnonzero(blk == b)
+            vals = self.cols[b].take(pa.array(off[sel], pa.int64())).to_pylist()
+            for i, v in zip(sel.tolist(), vals):
+                out[i] = v
+        return out
+
+
+class ShardedSigLookup(ShardedIdLookup):
+    """Sharded (id → MinHash signature row) lookup; blocks are viewed as
+    (n, num_perm) uint64 matrices zero-copy."""
+
+    def __init__(self, refs, num_perm: int):
+        super().__init__(refs, "sig")
+        self.mats = [
+            c.flatten().to_numpy().view(np.uint64).reshape(-1, num_perm)
+            for c in self.cols
+        ]
+        self.num_perm = num_perm
+
+    def gather_rows(self, positions: np.ndarray) -> np.ndarray:
+        blk = self.blk[positions]
+        off = self.off[positions]
+        out = np.empty((len(positions), self.num_perm), dtype=np.uint64)
+        for b in np.unique(blk):
+            sel = blk == b
+            out[sel] = self.mats[b][off[sel]]
+        return out
+
+
+class VerifyPairs:
+    def __init__(self, config: DedupConfig, content_refs=None, sig_refs=None):
+        self.cfg = config
+
+        if content_refs is not None:
+            # Zero-copy sharded broadcast (see ShardedIdLookup). Strings
+            # materialize lazily into a per-actor cache keyed by global
+            # position — repeated docs (dup clusters touch the same content
+            # many times) hit the heap, and the shared mmap is faulted once
+            # per doc per actor instead of once per pair.
+            self._content = ShardedIdLookup(content_refs, "content")
             self._text_cache = {}
         else:
-            self.content_ids = None
-        if sig_ref is not None:
-            # (sorted id vector, aligned (n, num_perm) signature matrix) for
-            # the vectorized estimated-Jaccard pre-gate; copied to the heap
-            # for the same fault-contention reason as content
-            s_ids, s_mat = ray.get(sig_ref)
-            self.sig_ids = np.array(s_ids, copy=True)
-            self.sig_mat = np.array(s_mat, copy=True)
+            self._content = None
+        if sig_refs is not None:
+            # sharded (id → signature row) lookup for the vectorized
+            # estimated-Jaccard pre-gate
+            self._sigs = ShardedSigLookup(sig_refs, config.num_perm)
         else:
-            self.sig_ids = None
+            self._sigs = None
         self._cache = {}
         self._run_cache = {}
         # The broadcast tables and caches are long-lived: freeze them out of
@@ -82,11 +148,11 @@ class VerifyPairs:
     def _est_gate(self, a_ids: np.ndarray, b_ids: np.ndarray) -> np.ndarray:
         """Boolean keep-mask from the MinHash agreement fraction."""
         gate = self.cfg.est_jaccard_gate
-        if self.sig_ids is None or gate <= 0:
+        if self._sigs is None or gate <= 0:
             return np.ones(len(a_ids), dtype=bool)
-        ia = np.searchsorted(self.sig_ids, a_ids)
-        ib = np.searchsorted(self.sig_ids, b_ids)
-        est = (self.sig_mat[ia] == self.sig_mat[ib]).mean(axis=1)
+        rows_a = self._sigs.gather_rows(self._sigs.positions(a_ids))
+        rows_b = self._sigs.gather_rows(self._sigs.positions(b_ids))
+        est = (rows_a == rows_b).mean(axis=1)
         return est >= gate
 
     def _shingles(self, doc_id: int, text: str) -> np.ndarray:
@@ -110,14 +176,14 @@ class VerifyPairs:
         return rh
 
     def _texts(self, batch: pa.Table, col_ids: np.ndarray, col: str):
-        if self.content_ids is not None:
-            idx = np.searchsorted(self.content_ids, col_ids).tolist()
+        if self._content is not None:
+            idx = self._content.positions(col_ids).tolist()
             cache = self._text_cache
             if len(cache) >= 16384:
                 cache.clear()  # BEFORE the miss scan, or we wipe hits we need
             missing = sorted(set(i for i in idx if i not in cache))
             if missing:
-                got = self.content_col.take(pa.array(missing, pa.int64())).to_pylist()
+                got = self._content.take_values(np.array(missing, dtype=np.int64))
                 cache.update(zip(missing, got))
             return [cache[i] for i in idx]
         return batch[col].to_pylist()
@@ -178,10 +244,14 @@ def pool_concurrency(configured: tuple) -> tuple:
     return (floor, hi)
 
 
-def verify_pairs_broadcast(pairs_ds, content_ref, config: DedupConfig, sig_ref=None):
+def verify_pairs_broadcast(pairs_ds, content_refs, config: DedupConfig, sig_refs=None):
+    """Broadcast-mode verify: ``content_refs`` / ``sig_refs`` are the block
+    ObjectRefs of materialized (id, content) / (id, sig) Datasets — the
+    driver never concatenates or re-sorts them (ShardedIdLookup indexes the
+    blocks per actor, zero-copy from the object store)."""
     return pairs_ds.map_batches(
         VerifyPairs,
-        fn_constructor_args=(config, content_ref, sig_ref),
+        fn_constructor_args=(config, list(content_refs), list(sig_refs) if sig_refs else None),
         batch_format="pyarrow",
         batch_size=config.verify_batch_size,
         concurrency=pool_concurrency(config.verify_concurrency),

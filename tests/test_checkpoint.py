@@ -98,7 +98,7 @@ def test_checkpointed_run_matches_pipeline(ray_session, sharded_corpus, tmp_path
     import ray.data as rd
 
     from fuzzysearch_ray.pipelines.checkpointed import run_dedup_checkpointed
-    from fuzzysearch_ray.pipelines.dedup import near_dup_pipeline
+    from fuzzysearch_ray.pipelines.dedup import clusters_to_pandas, near_dup_pipeline
 
     out = str(tmp_path / "ckpt")
     cfg = DedupConfig()
@@ -106,10 +106,34 @@ def test_checkpointed_run_matches_pipeline(ray_session, sharded_corpus, tmp_path
     assert len(state["completed_partitions"]) == 3 + 3  # shards + edges/membership/clusters
 
     clusters = pq.read_table(os.path.join(out, "part=clusters/all")).to_pandas()
-    direct = near_dup_pipeline(rd.read_parquet(sharded_corpus), cfg)["clusters"]
+    direct = clusters_to_pandas(near_dup_pipeline(rd.read_parquet(sharded_corpus), cfg))
     merged = clusters.sort_values("id").reset_index(drop=True)
-    direct = direct.sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(merged, direct)
+
+
+def test_checkpointed_join_mode_matches_broadcast(ray_session, sharded_corpus, tmp_path):
+    """The scale path (hash-join content access, no broadcast) must produce
+    identical checkpointed clusters to broadcast mode."""
+    from fuzzysearch_ray.pipelines.checkpointed import run_dedup_checkpointed
+
+    cfg = DedupConfig()
+    out_b = str(tmp_path / "ckpt_b")
+    out_j = str(tmp_path / "ckpt_j")
+    run_dedup_checkpointed(sharded_corpus, out_b, cfg, content_mode="broadcast")
+    run_dedup_checkpointed(sharded_corpus, out_j, cfg, content_mode="join")
+    cb = (
+        pq.read_table(os.path.join(out_b, "part=clusters/all"))
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    cj = (
+        pq.read_table(os.path.join(out_j, "part=clusters/all"))
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(cb, cj)
 
 
 def test_checkpointed_run_resume_skips(ray_session, sharded_corpus, tmp_path):

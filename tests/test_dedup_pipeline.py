@@ -14,6 +14,7 @@ import ray.data as rd
 from fuzzysearch_ray.config import DedupConfig
 from fuzzysearch_ray.functions.hashing import sha256_hex
 from fuzzysearch_ray.pipelines.dedup import (
+    clusters_to_pandas,
     dup_pairs_from_clusters,
     near_dup_pipeline,
     pair_recall,
@@ -33,7 +34,10 @@ def corpus_table():
 @pytest.fixture(scope="module")
 def pipeline_result(ray_session, corpus_table):
     ds = rd.from_arrow(corpus_table)
-    return near_dup_pipeline(ds, DedupConfig())
+    res = near_dup_pipeline(ds, DedupConfig())
+    # the pipeline returns Datasets; tests inspect the small result in pandas
+    res["clusters"] = clusters_to_pandas(res)
+    return res
 
 
 @pytest.fixture(scope="module")
@@ -99,8 +103,8 @@ def test_join_mode_matches_broadcast(ray_session, corpus_table):
     ds_j = rd.from_arrow(small)
     res_b = near_dup_pipeline(ds_b, DedupConfig(), content_mode="broadcast")
     res_j = near_dup_pipeline(ds_j, DedupConfig(), content_mode="join")
-    cb = res_b["clusters"].sort_values("id").reset_index(drop=True)
-    cj = res_j["clusters"].sort_values("id").reset_index(drop=True)
+    cb = clusters_to_pandas(res_b)
+    cj = clusters_to_pandas(res_j)
     pd.testing.assert_frame_equal(cb, cj)
 
 
@@ -108,7 +112,7 @@ def test_deterministic_across_runs(ray_session, corpus_table):
     small = generate_corpus_table(300, seed=SEED)
     r1 = near_dup_pipeline(rd.from_arrow(small), DedupConfig())
     r2 = near_dup_pipeline(rd.from_arrow(small), DedupConfig())
-    pd.testing.assert_frame_equal(r1["clusters"], r2["clusters"])
+    pd.testing.assert_frame_equal(clusters_to_pandas(r1), clusters_to_pandas(r2))
     assert r1["stats"] == r2["stats"]
 
 
@@ -123,7 +127,7 @@ def test_components_distributed_matches_driver(ray_session):
     b = rng.integers(0, 300, size=500)
     edges = pd.DataFrame({"a": a, "b": b})
     want = components_driver(a, b)
-    got_df = components_distributed(rd.from_pandas(edges))
+    got_df = components_distributed(rd.from_pandas(edges)).to_pandas()
     got = dict(zip(got_df["node"], got_df["label"]))
     for node, label in got.items():
         assert want[node] == label, node

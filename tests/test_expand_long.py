@@ -1,0 +1,70 @@
+"""Banded (O(k·n)) prefix expansion vs the full-column DP — the long-needle
+path of the Levenshtein ngram family (reference _py_expand_long,
+levenshtein_ngram.py:77-143)."""
+
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from fuzzysearch_ray.kernels.levenshtein import (
+    expand_prefix,
+    expand_prefix_banded,
+    find_near_matches_levenshtein,
+)
+
+
+@given(
+    needle=st.text(alphabet="abc", min_size=0, max_size=24),
+    window=st.text(alphabet="abc", min_size=0, max_size=32),
+    k=st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=400, deadline=None)
+def test_banded_matches_full_dp(needle, window, k):
+    assert expand_prefix_banded(needle, window, k) == expand_prefix(needle, window, k)
+
+
+def test_long_needle_golden():
+    """Needle >= 100 chars, k <= 3: matches found at the right spans/dists
+    with the banded path engaged (len(needle) > max(2k, 10))."""
+    rng = random.Random(7)
+    needle = "".join(rng.choice("acgt") for _ in range(120))
+    # one exact, one 2-substitution, one 1-deletion occurrence
+    mutated = list(needle)
+    mutated[10] = "x"
+    mutated[70] = "y"
+    sub2 = "".join(mutated)
+    del1 = needle[:50] + needle[51:]
+    haystack = "z" * 37 + needle + "z" * 11 + sub2 + "z" * 5 + del1 + "z" * 9
+
+    got = find_near_matches_levenshtein(needle, haystack, max_l_dist=3)
+    spans = {(m.start, m.end, m.dist) for m in got}
+    assert (37, 37 + 120, 0) in spans
+    s2 = 37 + 120 + 11
+    assert (s2, s2 + 120, 2) in spans
+    s3 = s2 + 120 + 5
+    assert (s3, s3 + 119, 1) in spans
+
+
+def test_banded_cost_stays_bounded():
+    """The banded DP touches O(k) cells per window char — for a 2,000-char
+    needle at k=2 the expansion runs in a few thousand cell updates, not
+    millions (sublinear-in-needle window cost)."""
+    import time
+
+    needle = "ab" * 1000  # 2000 chars
+    window = needle[:1990] + "xxxxx"
+    t0 = time.perf_counter()
+    for _ in range(50):
+        expand_prefix_banded(needle, window, 2)
+    banded = time.perf_counter() - t0
+    # the full DP does 2000 * len(window) cell updates; banded should be
+    # orders of magnitude cheaper — assert a generous ceiling
+    assert banded < 2.0, banded
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_long_needle_no_match_fast_reject(k):
+    needle = "a" * 200
+    window = "b" * 300
+    assert expand_prefix_banded(needle, window, k) == (None, None)

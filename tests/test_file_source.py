@@ -1,0 +1,78 @@
+"""E2E raw-file source: fuzzy search over binary/text files on disk
+(parity with the reference's find_near_matches_in_file round-trip tests,
+/root/reference/tests/test_find_near_matches_in_file.py:20-60)."""
+
+import pytest
+
+from fuzzysearch_ray.kernels import find_near_matches
+from fuzzysearch_ray.sources.files import find_near_matches_in_files
+
+TEXT = "Lorem ipsum dolor sit amet, consectetur adipisicing elit"
+NEEDLE = "adipiscing"  # one deletion away from 'adipisicing'
+
+
+@pytest.fixture(scope="module")
+def sample_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("files")
+    paths = []
+    for i, body in enumerate([TEXT, TEXT.replace("elit", "elte"), "no match here"]):
+        p = d / ("doc_%d.txt" % i)
+        p.write_text(body, encoding="utf-8")
+        paths.append(str(p))
+    return paths
+
+
+def _rows(ds):
+    df = ds.to_pandas()
+    return sorted(
+        (r["path"], int(r["start"]), int(r["end"]), int(r["dist"]))
+        for _, r in df.iterrows()
+    )
+
+
+def test_binary_file_search(ray_session, sample_files):
+    out = _rows(find_near_matches_in_files(sample_files, NEEDLE, max_l_dist=1))
+    # two files contain the fuzzy needle once each, one contains nothing
+    assert len(out) == 2
+    want = find_near_matches(NEEDLE.encode(), TEXT.encode(), max_l_dist=1)
+    assert {(s, e, d) for _, s, e, d in out} == {
+        (m.start, m.end, m.dist) for m in want
+    }
+
+
+def test_text_mode_matches_binary_for_ascii(ray_session, sample_files):
+    b = _rows(find_near_matches_in_files(sample_files, NEEDLE, max_l_dist=1))
+    t = _rows(
+        find_near_matches_in_files(sample_files, NEEDLE, encoding="utf-8", max_l_dist=1)
+    )
+    assert b == t
+
+
+def test_chunked_file_scan_matches_whole(ray_session, tmp_path):
+    """A needle straddling every chunk boundary is still found exactly once
+    per occurrence (overlap tail semantics, reference __init__.py:129-171)."""
+    body = ("x" * 95 + NEEDLE) * 8  # occurrences straddle 100-byte chunks
+    p = tmp_path / "big.bin"
+    p.write_bytes(body.encode())
+    whole = find_near_matches(NEEDLE.encode(), body.encode(), max_l_dist=1)
+    chunked = find_near_matches_in_files(
+        [str(p)], NEEDLE, chunk_size=100, max_l_dist=1
+    ).to_pandas()
+    assert sorted(
+        (int(r["start"]), int(r["end"]), int(r["dist"])) for _, r in chunked.iterrows()
+    ) == sorted((m.start, m.end, m.dist) for m in whole)
+
+
+def test_unicode_encodings(ray_session, tmp_path):
+    """Text-mode search over non-UTF-8 encodings decodes before searching."""
+    body = "prefix éé adipisicing suffix"
+    for enc in ("utf-8", "latin-1", "utf-16"):
+        p = tmp_path / ("enc_%s.txt" % enc.replace("-", ""))
+        p.write_text(body, encoding=enc)
+        out = find_near_matches_in_files(
+            [str(p)], NEEDLE, encoding=enc, max_l_dist=1
+        ).to_pandas()
+        want = find_near_matches(NEEDLE, body, max_l_dist=1)
+        assert sorted(
+            (int(r["start"]), int(r["end"]), int(r["dist"])) for _, r in out.iterrows()
+        ) == sorted((m.start, m.end, m.dist) for m in want), enc
