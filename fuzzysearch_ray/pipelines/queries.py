@@ -258,41 +258,13 @@ def q_ann_srp_bucketed(sf_dir: str, nq: int = 5, k: int = 5):
 
 
 def q_embedding_cosine_dup_pairs(sf_dir: str, threshold: float = 0.35):
-    """Embedding near-dup pairs: all (a < b) with cosine >= threshold.
+    """Embedding near-dup pairs: all (a < b) with cosine >= threshold,
+    via the blocked self-product (stages/ann.cosine_pairs_blocked) — no node
+    or driver ever loads the full matrix."""
+    from ..stages.ann import cosine_pairs_blocked
 
-    Distributed as block-vs-broadcast matmul (the full matrix at testdata
-    scale is small; at real scale this becomes SRP-bucketed same as ANN)."""
-    import ray
-
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_ids = tbl["vec_id"].to_numpy().astype(np.int64)
-    mat = _stack_embeddings(tbl["embedding"])
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((all_ids, mat))
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids_all, m_all = ray.get(ref)
-        ids_b = batch["vec_id"].to_numpy().astype(np.int64)
-        mb = _stack_embeddings(batch["embedding"])
-        mb = mb / np.maximum(np.linalg.norm(mb, axis=1, keepdims=True), 1e-12)
-        sims = mb @ m_all.T
-        bi, aj = np.nonzero(sims >= threshold)
-        a = ids_b[bi]
-        b = ids_all[aj]
-        keep = a < b  # dedup + drop self-pairs
-        out_sim = sims[bi[keep], aj[keep]]
-        return pa.table(
-            {
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
-                "cos_r": pa.array(round_half_up(out_sim, 4), pa.float64()),
-            }
-        )
-
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    return cosine_pairs_blocked(ds, threshold)
 
 
 # --------------------------------------------------------------------------
@@ -424,31 +396,142 @@ def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
 
 def q_ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 60, threshold: float = 0.5):
     """Character-3-gram Jaccard similarity for all doc pairs with
-    doc_id < max_doc_id — SQL-checkable (DuckDB generates the same 3-gram
-    sets with substring + range)."""
-    import itertools
+    doc_id < max_doc_id, as a distributed gram-inverted-index pipeline:
+    explode distinct grams → gram-keyed groupby emits co-occurrence pairs →
+    pair-keyed count = intersection size → Jaccard against broadcast doc
+    gram-set sizes. SQL-checkable (DuckDB generates the same 3-gram sets
+    with substring + range).
 
-    import pyarrow.parquet as pq
+    Skew note: a gram shared by g docs emits O(g²) pairs; for open-ended
+    corpora this needs the LSH-style bucket cap — here the doc filter bounds
+    g, and genuinely hot grams are exactly what Jaccard>=0.5 pairs share."""
+    import ray
+    from ray.data.aggregate import Count
 
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    mask = pc.less(tbl["doc_id"], max_doc_id)
-    tbl = tbl.filter(mask)
-    ids = tbl["doc_id"].to_pylist()
-    texts = tbl["text"].to_pylist()
-    grams = {
-        i: {t[j : j + 3] for j in range(max(0, len(t) - 2))} for i, t in zip(ids, texts)
-    }
-    rows = []
-    for a, b in itertools.combinations(sorted(ids), 2):
-        ga, gb = grams[a], grams[b]
-        union = len(ga | gb)
-        if union == 0:
-            continue  # docs < 3 chars have no grams; the SQL oracle can
-            # never emit such pairs, so neither do we
-        sim = len(ga & gb) / union
-        if sim >= threshold:
-            rows.append((a, b, float(round_half_up(sim, 4))))
-    return pd.DataFrame(rows, columns=["a", "b", "jacc_r"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], max_doc_id)),
+        batch_format="pyarrow",
+    )
+
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        out_id, out_g = [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            grams = {t[j : j + 3] for j in range(max(0, len(t) - 2))}
+            out_id.extend([i] * len(grams))
+            out_g.extend(grams)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()), "g": pa.array(out_g, pa.string())}
+        )
+
+    grams_ds = ds.map_batches(explode_grams, batch_format="pyarrow").materialize()
+
+    # per-doc gram-set sizes: partial counts per batch (grams are distinct
+    # per doc), summed on the driver — a shuffle-free aggregate over one
+    # tiny int table, broadcast for the final ratio
+    def partial_sizes(batch: pa.Table) -> pa.Table:
+        ids, counts = np.unique(batch["doc_id"].to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    sizes_df = (
+        grams_ds.map_batches(partial_sizes, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("doc_id", as_index=False)["n"]
+        .sum()
+    )
+    size_keys = sizes_df["doc_id"].to_numpy().astype(np.int64)
+    size_vals = sizes_df["n"].to_numpy().astype(np.int64)
+    order = np.argsort(size_keys)
+    sizes_ref = ray.put((size_keys[order], size_vals[order]))
+
+    # partitioned-bucket shuffle (same pattern as stages/lsh.py): grams hash
+    # into coarse partitions — ONE shuffle, then each partition emits all its
+    # gram-bucket pairs vectorized, instead of one Python call per gram
+    P = 16
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        # deterministic across worker processes (builtin hash() is salted)
+        h = np.array(
+            [
+                int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little") >> 1
+                for g in batch["g"].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "gh": pa.array(h, pa.int64()),
+                "part": pa.array(h % P, pa.int64()),
+            }
+        )
+
+    def emit_pairs(block: pd.DataFrame) -> pd.DataFrame:
+        ids = block["doc_id"].to_numpy().astype(np.int64)
+        gh = block["gh"].to_numpy()
+        order = np.lexsort((ids, gh))
+        ids, gh = ids[order], gh[order]
+        starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]])
+        ends = np.r_[starts[1:], gh.size]
+        los, his = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s < 2:
+                continue
+            grp = ids[s:e]
+            iu, ju = np.triu_indices(grp.size, k=1)
+            los.append(grp[iu])
+            his.append(grp[ju])
+        if not los:
+            return pd.DataFrame({"a": [], "b": [], "cnt": []}, dtype=np.int64)
+        # partial pre-aggregation (combiner): collapse this partition's pair
+        # multiplicities before the global shuffle — hot grams otherwise
+        # inflate the exchange quadratically
+        a = np.concatenate(los)
+        b = np.concatenate(his)
+        key = (a << np.int64(31)) | b
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {
+                "a": (uniq >> np.int64(31)).astype(np.int64),
+                "b": (uniq & np.int64((1 << 31) - 1)).astype(np.int64),
+                "cnt": cnt.astype(np.int64),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    inter = (
+        grams_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Sum("cnt", alias_name="i"))
+    )
+
+    def jaccard(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(sizes_ref)
+        a = batch["a"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        inter_n = batch["i"].to_numpy().astype(np.int64)
+        na = v[np.searchsorted(k, a)]
+        nb = v[np.searchsorted(k, b)]
+        sim = inter_n / (na + nb - inter_n)
+        keep = sim >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "jacc_r": pa.array(round_half_up(sim[keep], 4), pa.float64()),
+            }
+        )
+
+    return inter.map_batches(jaccard, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------

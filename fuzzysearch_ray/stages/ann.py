@@ -109,6 +109,83 @@ def srp_planes(dim: int, nbits: int = 12, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((nbits, dim))
 
 
+def cosine_pairs_blocked(
+    embeddings_ds, threshold: float, round_decimals: int = 4
+):
+    """All (a < b) pairs with cosine similarity >= threshold, computed as a
+    blocked self-product: normalized blocks are materialized to the object
+    store ONCE, and each of the B(B+1)/2 block pairs is a single matmul task
+    reading two blocks by ref — no node ever sees the full matrix, the
+    driver holds only block refs. This is the scale path for low-threshold
+    all-pairs similarity, where bucketing (SRP) cannot reach high recall.
+
+    (The block-pair fan-out is expressed as a Dataset over (i, j) index rows
+    whose map task fetches the two blocks — the Dataset API has no native
+    self-cartesian; SURVEY.md §2 custom-operator rule (b).)
+    """
+    import ray
+    import ray.data as rd
+
+    def normalize_block(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_stack_embeddings(batch["embedding"]))
+        dim = mat.shape[1]
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "nvec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), pa.float64()), dim
+                ),
+            }
+        )
+
+    norm = embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        normalize_block, batch_format="pyarrow", batch_size=8192
+    ).materialize()
+    refs = norm.to_arrow_refs()
+    B = len(refs)
+    index = [{"i": i, "j": j} for i in range(B) for j in range(i, B)]
+
+    def unpack(tbl: pa.Table):
+        ids = tbl["vec_id"].to_numpy()
+        col = tbl["nvec"].combine_chunks()
+        mat = col.flatten().to_numpy().reshape(len(ids), -1)
+        return ids, mat
+
+    def block_pair(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_s = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_i, mat_i = unpack(ray.get(refs[i]))
+            ids_j, mat_j = unpack(ray.get(refs[j]))
+            sims = mat_i @ mat_j.T
+            if i == j:
+                ii, jj = np.triu_indices(len(ids_i), k=1)
+                keep = sims[ii, jj] >= threshold
+                a, b, s = ids_i[ii[keep]], ids_j[jj[keep]], sims[ii[keep], jj[keep]]
+            else:
+                ii, jj = np.nonzero(sims >= threshold)
+                a, b, s = ids_i[ii], ids_j[jj], sims[ii, jj]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(s)
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        s = np.concatenate(out_s) if out_s else np.empty(0, np.float64)
+        factor = 10.0 ** round_decimals
+        s_r = np.floor(s * factor + 0.5) / factor  # round half up, DuckDB-style
+        return pa.table(
+            {
+                "a": pa.array(a.astype(np.int64), pa.int64()),
+                "b": pa.array(b.astype(np.int64), pa.int64()),
+                "cos_r": pa.array(s_r, pa.float64()),
+            }
+        )
+
+    index_ds = rd.from_items(index)
+    return index_ds.map_batches(block_pair, batch_format="pyarrow", batch_size=1)
+
+
 def srp_bucketed_topk(
     embeddings_ds,
     query_ids,
