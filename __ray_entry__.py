@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact substring search (search_exact per-row occurrences)
         "substring_count": Q.q_substring_count,
         # fuzzy-search families (levenshtein / substitutions / generic)
+        "fuzzy_scan_ends": Q.q_fuzzy_scan_ends,
         "fuzzy_search_levenshtein": Q.q_fuzzy_search_levenshtein,
         "fuzzy_search_substitutions": Q.q_fuzzy_search_substitutions,
         "fuzzy_search_generic": Q.q_fuzzy_search_generic,
@@ -126,6 +127,24 @@ def _lev_mindist_sql(needle: str, k: int) -> str:
         "WHERE i.i + wd.w - 1 <= length(d.text)) "
         "SELECT doc_id, CAST(MIN(dist) AS BIGINT) AS min_dist FROM w "
         "GROUP BY doc_id HAVING MIN(dist) <= {k}"
+    ).format(needle=needle, widths=widths, k=k)
+
+
+def _scan_ends_sql(needle: str, k: int) -> str:
+    """Per-position best-ending-match distances (the Myers scan semantics):
+    for each end position j, min levenshtein over the windows ending at j
+    whose width can carry a match."""
+    m = len(needle)
+    widths = ", ".join("(%d)" % w for w in range(m - k, m + k + 1))
+    return (
+        "WITH w AS (SELECT d.doc_id, i.i AS j, "
+        "levenshtein(substr(d.text, CAST(i.i - wd.w + 1 AS INTEGER), wd.w), '{needle}') AS dist "
+        "FROM documents d, "
+        "LATERAL (SELECT unnest(generate_series(1, length(d.text))) AS i) i, "
+        "(VALUES {widths}) wd(w) "
+        "WHERE i.i - wd.w + 1 >= 1) "
+        'SELECT doc_id, CAST(j AS BIGINT) AS "end", CAST(MIN(dist) AS BIGINT) AS dist '
+        "FROM w GROUP BY doc_id, j HAVING MIN(dist) <= {k}"
     ).format(needle=needle, widths=widths, k=k)
 
 
@@ -307,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sb ON sb.doc_id = i.b "
             "WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5"
         ),
+        "fuzzy_scan_ends": _scan_ends_sql("stream", 1),
         "fuzzy_search_levenshtein": _lev_mindist_sql("stream", 1),
         "fuzzy_search_chunked": _lev_mindist_sql("stream", 1),
         "fuzzy_search_substitutions": _subs_matches_sql("stream", 1),

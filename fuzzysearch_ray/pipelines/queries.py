@@ -339,6 +339,17 @@ def q_fuzzy_search_chunked(sf_dir: str, needle: str = "stream", max_l_dist: int 
     return _min_dist_per_doc(out)
 
 
+def q_fuzzy_scan_ends(sf_dir: str, needle: str = "stream", max_l_dist: int = 1):
+    """Vectorized lockstep Myers scan: (doc_id, end, dist) for every text
+    position whose best-ending-match distance is within max_l_dist — a
+    position-level result with an exact SQL oracle (window enumeration),
+    complementing the kernel family's span-level matches."""
+    from ..stages.scan import fuzzy_scan_ends
+
+    corpus = read_documents_as_corpus(sf_dir)
+    return fuzzy_scan_ends(corpus, needle, max_l_dist)
+
+
 def q_fuzzy_search_generic(sf_dir: str, needle: str = "stream"):
     """Per-doc minimum constrained edit distance (subs<=1, ins<=1, dels=0).
     SQL-checkable because the constraint pins window widths: width-m windows

@@ -1,0 +1,136 @@
+"""Vectorized streaming fuzzy scan: Myers' bit-parallel approximate search
+run in LOCKSTEP across every document of a batch.
+
+This is the batch-shaped re-derivation of the reference's per-haystack scan
+loops (the candidate automaton of levenshtein.py:52-148 walks one haystack
+character at a time; Myers' algorithm packs that DP column into machine
+words): one numpy step advances ALL documents by one character, so a batch
+of N documents costs ~max_len vectorized passes over N-wide uint64 arrays
+instead of N Python loops. Public algorithm: G. Myers, "A fast bit-vector
+algorithm for approximate string matching based on dynamic programming",
+JACM 46(3), 1999 (the search variant with free start, i.e. column 0 = 0).
+
+Output semantics (exactly SQL-enumerable, see __ray_entry__.oracle_sql):
+for every text position j (1-based), D[j] = min edit distance of the needle
+vs any substring ending at j; rows (doc_id, end=j, dist=D[j]) are emitted
+for D[j] <= max_l_dist. Positions are BYTE offsets of the UTF-8 encoding
+(identical to char offsets for ASCII corpora).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class MyersScan:
+    """Actor: one needle (m <= 63 bytes), all per-batch documents in lockstep."""
+
+    def __init__(self, needle: str, max_l_dist: int):
+        pattern = needle.encode("utf-8")
+        m = len(pattern)
+        if not 0 < m <= 63:
+            raise ValueError("needle must be 1..63 bytes for the bit-parallel scan")
+        self.m = m
+        self.k = int(max_l_dist)
+        peq = np.zeros(256, dtype=np.uint64)
+        for i, c in enumerate(pattern):
+            peq[c] |= np.uint64(1) << np.uint64(i)
+        self.peq = peq
+        self.msb = np.uint64(1) << np.uint64(m - 1)
+        self.full = (np.uint64(1) << np.uint64(m)) - np.uint64(1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t.encode("utf-8") for t in batch["content"].to_pylist()]
+        ids = batch["id"].to_numpy().astype(np.int64)
+        n = len(texts)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "end": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        max_len = int(lens.max())
+        # (n, max_len) uint8 char matrix, zero-padded (padding is masked out)
+        chars = np.zeros((n, max_len), dtype=np.uint8)
+        for i, t in enumerate(texts):
+            chars[i, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+
+        one = np.uint64(1)
+        vp = np.full(n, self.full, dtype=np.uint64)
+        vn = np.zeros(n, dtype=np.uint64)
+        score = np.full(n, self.m, dtype=np.int64)
+        out_doc, out_end, out_dist = [], [], []
+
+        for j in range(max_len):
+            eq = self.peq[chars[:, j]]
+            xv = eq | vn
+            xh = (((eq & vp) + vp) ^ vp) | eq
+            hp = vn | (~(xh | vp) & self.full)
+            hn = vp & xh
+            score += ((hp & self.msb) != 0).astype(np.int64)
+            score -= ((hn & self.msb) != 0).astype(np.int64)
+            # search variant: the row-0 boundary stays 0 (free match start),
+            # so the horizontal shift carries in 0 — the global-distance
+            # variant (kernels/bounded_distance.py) carries in 1 there
+            hp = (hp << one) & self.full
+            hn = (hn << one) & self.full
+            vp = (hn | (~(xv | hp) & self.full)) & self.full
+            vn = hp & xv
+            hits = np.flatnonzero((score <= self.k) & (j < lens))
+            if hits.size:
+                out_doc.append(ids[hits])
+                out_end.append(np.full(hits.size, j + 1, dtype=np.int64))
+                out_dist.append(score[hits].copy())
+
+        doc = np.concatenate(out_doc) if out_doc else np.empty(0, np.int64)
+        end = np.concatenate(out_end) if out_end else np.empty(0, np.int64)
+        dist = np.concatenate(out_dist) if out_dist else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "end": pa.array(end, pa.int64()),
+                "dist": pa.array(dist, pa.int64()),
+            }
+        )
+
+
+def fuzzy_scan_ends(ds, needle: str, max_l_dist: int = 1, batch_size: int = 1024):
+    """(id, content) Dataset → (doc_id, end, dist) rows for every position
+    whose best-match distance is within ``max_l_dist`` (actor-pool stage;
+    the Peq table compiles once per actor)."""
+    from .verify import pool_concurrency
+
+    return ds.select_columns(["id", "content"]).map_batches(
+        MyersScan,
+        fn_constructor_args=(needle, max_l_dist),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_concurrency((2, 16)),
+        num_cpus=1,
+    )
+
+
+def scan_ends_reference(needle: str, text: str, max_l_dist: int):
+    """Brute-force oracle for tests: min levenshtein over all substrings
+    ending at each position (O(n·m·k) windows)."""
+    from ..kernels.bounded_distance import bounded_levenshtein
+
+    b = text.encode("utf-8")
+    nb = needle.encode("utf-8")
+    m = len(nb)
+    out = []
+    for j in range(1, len(b) + 1):
+        best = None
+        for w in range(max(0, m - max_l_dist), min(j, m + max_l_dist) + 1):
+            d = bounded_levenshtein(
+                b[j - w : j].decode("latin-1"), nb.decode("latin-1"), max_l_dist
+            )
+            if d is not None and (best is None or d < best):
+                best = d
+        if best is not None:
+            out.append((j, best))
+    return out

@@ -1,0 +1,77 @@
+"""Lockstep Myers bit-parallel scan vs a brute-force window oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from fuzzysearch_ray.stages.scan import MyersScan, scan_ends_reference
+
+
+def _run_batch(needle, texts, k):
+    scan = MyersScan(needle, k)
+    batch = pa.table(
+        {
+            "id": pa.array(list(range(len(texts))), pa.int64()),
+            "content": pa.array(texts, pa.string()),
+        }
+    )
+    out = scan(batch)
+    got = {}
+    for d, e, dist in zip(
+        out["doc_id"].to_pylist(), out["end"].to_pylist(), out["dist"].to_pylist()
+    ):
+        got.setdefault(d, []).append((e, dist))
+    return got
+
+
+@given(
+    texts=st.lists(st.text(alphabet="abcx", min_size=0, max_size=40), min_size=1, max_size=6),
+    k=st.integers(min_value=0, max_value=2),
+)
+@settings(max_examples=150, deadline=None)
+def test_scan_matches_bruteforce(texts, k):
+    needle = "abcab"
+    got = _run_batch(needle, texts, k)
+    for i, t in enumerate(texts):
+        want = scan_ends_reference(needle, t, k)
+        assert got.get(i, []) == want, (t, k)
+
+
+def test_exact_hit_positions():
+    got = _run_batch("stream", ["xxstreamyy", "nothing here"], 0)
+    assert got == {0: [(8, 0)]}
+
+
+def test_one_edit_neighborhood():
+    # 'stresm' is one substitution from 'stream'
+    got = _run_batch("stream", ["stresm"], 1)
+    assert (6, 1) in got[0]
+    # ends adjacent to an exact hit carry dist-1 truncated/extended windows
+    got0 = _run_batch("stream", ["stream"], 1)
+    assert got0[0] == [(5, 1), (6, 0)]
+
+
+def test_needle_length_guard():
+    with pytest.raises(ValueError):
+        MyersScan("x" * 64, 1)
+    with pytest.raises(ValueError):
+        MyersScan("", 1)
+
+
+def test_distributed_scan(ray_session):
+    import ray.data as rd
+
+    from fuzzysearch_ray.stages.scan import fuzzy_scan_ends
+
+    texts = ["the stream flows", "no match", "streamstream"]
+    ds = rd.from_items(
+        [{"id": i, "content": t} for i, t in enumerate(texts)]
+    )
+    df = fuzzy_scan_ends(ds, "stream", 1).to_pandas()
+    by_doc = {
+        d: sorted(zip(g["end"], g["dist"])) for d, g in df.groupby("doc_id")
+    }
+    for i, t in enumerate(texts):
+        want = scan_ends_reference("stream", t, 1)
+        assert by_doc.get(i, []) == want
