@@ -139,48 +139,67 @@ def bounded_levenshtein(
     if not b:
         return len(a) if len(a) <= cap else None
 
-    av = _codepoints(a)
-    bv = _codepoints(b)
-    n, m = av.size, bv.size
+    n, m = len(a), len(b)
     if m < n:  # keep b the longer side; diagonal of the goal = m - n >= 0
-        av, bv = bv, av
+        a, b = b, a
         n, m = m, n
     goal_k = m - n
+    av = bv = None  # codepoint views built lazily, only if a long run appears
 
     def snake(i: int, k: int) -> int:
-        """Extend a run of equal characters from a-row i on diagonal k."""
+        """Extend a run of equal characters from a-row i on diagonal k.
+
+        Typical snakes end within a couple of characters, where a direct
+        Python scan beats numpy's per-call overhead ~50x (the measured hot
+        spot of the verify stage); genuinely long runs (near-identical
+        tails) fall through to one vectorized comparison."""
+        nonlocal av, bv
         j = i + k
         limit = min(n - i, m - j)
         if limit <= 0:
             return i
-        neq = av[i : i + limit] != bv[j : j + limit]
+        c = 0
+        fast = 32 if limit > 32 else limit
+        while c < fast and a[i + c] == b[j + c]:
+            c += 1
+        if c < fast or c == limit:
+            return i + c
+        if av is None:
+            av = _codepoints(a)
+            bv = _codepoints(b)
+        neq = av[i + c : i + limit] != bv[j + c : j + limit]
         hit = int(np.argmax(neq))
         if not neq[hit]:
             return i + limit
-        return i + hit
+        return i + c + hit
 
-    # f[p][k] = furthest a-row i reachable on diagonal k with p edits
-    prev = {0: snake(0, 0)}
-    if prev[0] >= n and prev[0] + 0 >= m and goal_k == 0:
+    # f[p][k] = furthest a-row i reachable on diagonal k with p edits.
+    # Diagonals live in a flat list (offset k+p) with _NEG sentinels — the
+    # dict version's hashing dominated the verify stage profile.
+    first = snake(0, 0)
+    if first >= n and goal_k == 0:
         return 0 if 0 <= cap else None
+    prev = [first]
     cells = 0
+    unreachable = _NEG + 2  # anything below this came from a _NEG parent
     for p in range(1, cap + 1):
         cells += 2 * p + 1
         if cells > max_cells:
             return None
-        cur = {}
-        for k in range(-p, p + 1):
-            best = _NEG
-            f = prev.get(k, _NEG)
-            if f != _NEG:
-                best = f + 1  # substitution: advance both
-            f = prev.get(k - 1, _NEG)
-            if f != _NEG and f > best:
-                best = f  # insertion into a (advance b only): diagonal up
-            f = prev.get(k + 1, _NEG)
-            if f != _NEG and f + 1 > best:
-                best = f + 1  # deletion from a: advance a only
-            if best == _NEG:
+        # pad so prev diagonal k is at pp[k + p + 1] for k in [-p+1, p-1]
+        pp = [_NEG, _NEG] + prev + [_NEG, _NEG]
+        cur = [_NEG] * (2 * p + 1)
+        any_set = False
+        for i0 in range(2 * p + 1):
+            k = i0 - p
+            best = pp[i0 + 1] + 1  # substitution: advance both
+            f = pp[i0]  # insertion into a (advance b only): diagonal up
+            if f > best:
+                best = f
+            f = pp[i0 + 2] + 1  # deletion from a: advance a only
+            if f > best:
+                best = f
+            if best < unreachable:
                 if k == -p or k == p:
                     # fresh diagonal reachable purely by p edits: p deletions
                     # from `a` land at i=p on k=-p; p insertions land at i=0
@@ -188,14 +207,15 @@ def bounded_levenshtein(
                     best = -k if k < 0 else 0
                 else:
                     continue
-            i = min(best, n)
+            i = best if best < n else n
             if i + k > m:
                 continue
             i = snake(i, k)
-            cur[k] = i
+            cur[i0] = i
+            any_set = True
             if k == goal_k and i >= n:
                 return p
         prev = cur
-        if not prev:
+        if not any_set:
             break
     return None

@@ -208,13 +208,22 @@ class VerifyPairs:
                 continue
             cap = max(16, int(cfg.lev_cap_ratio * max(len(ta), len(tb))))
             dist = hybrid_levenshtein(ta, tb, cap)
-            run = shares_long_run_hashed(
-                ta,
-                tb,
-                cfg.min_exact_run,
-                hashes_a=self._run_hashes(int(a_ids[i]), ta),
-                hashes_b=self._run_hashes(int(b_ids[i]), tb),
-            )
+            # Pigeonhole shortcut: d edits split the shorter string into at
+            # most d+1 preserved segments totalling >= len-d chars, each a
+            # verbatim common substring — when the longest guaranteed
+            # segment already reaches min_exact_run, the hash probe is
+            # provably True and skipped (most verified near-dups hit this).
+            min_len = min(len(ta), len(tb))
+            if dist is not None and (min_len - dist) >= (dist + 1) * cfg.min_exact_run:
+                run = True
+            else:
+                run = shares_long_run_hashed(
+                    ta,
+                    tb,
+                    cfg.min_exact_run,
+                    hashes_a=self._run_hashes(int(a_ids[i]), ta),
+                    hashes_b=self._run_hashes(int(b_ids[i]), tb),
+                )
             out_a.append(int(a_ids[i]))
             out_b.append(int(b_ids[i]))
             out_j.append(float(jac))
