@@ -83,23 +83,41 @@ def minhash_coefficients(num_perm: int = DEFAULT_NUM_PERM, seed: int = 42) -> Tu
 
 
 def minhash_signature(
-    shingles: np.ndarray, a: np.ndarray, b: np.ndarray
+    shingles: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    scratch: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """128-perm MinHash signature: ``min_i((a_j * x_i + b_j) mod 2^64)``.
 
-    Outer-product formulation; chunks the shingle axis so the temporary stays
-    under ~16 MiB regardless of document size.
+    Outer-product formulation; chunks the shingle axis so the working set
+    stays cache-sized. ``scratch`` (a reusable (num_perm, chunk) uint64
+    buffer from ``minhash_scratch``) removes the per-document temporary —
+    signature batches over large corpora otherwise allocate ~300 KB per doc
+    of fresh (page-zeroed) memory, which at pool concurrency turns the
+    stage memory-bandwidth-bound.
     """
     num_perm = a.size
     if shingles.size == 0:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    chunk = max(1, (2 * 1024 * 1024) // num_perm)  # 2M cells ≈ 16 MiB temp
+    if scratch is None:
+        scratch = minhash_scratch(num_perm)
+    chunk = scratch.shape[1]
     for off in range(0, shingles.size, chunk):
         part = shingles[off : off + chunk]
-        hashed = (a[:, None] * part[None, :] + b[:, None]).astype(np.uint64)
-        np.minimum(sig, hashed.min(axis=1), out=sig)
+        h = scratch[:, : part.size]
+        np.multiply(a[:, None], part[None, :], out=h)
+        np.add(h, b[:, None], out=h)
+        np.minimum(sig, h.min(axis=1), out=sig)
     return sig
+
+
+def minhash_scratch(num_perm: int = DEFAULT_NUM_PERM, chunk: int = 512) -> np.ndarray:
+    """Reusable per-actor scratch for ``minhash_signature`` (512 KiB —
+    sized to stay L2-resident per core, so the outer-product writes never
+    reach DRAM even with a full actor pool per node)."""
+    return np.empty((num_perm, chunk), dtype=np.uint64)
 
 
 def md5_gram_hashes(text: str, k: int = DEFAULT_SHINGLE_K) -> np.ndarray:

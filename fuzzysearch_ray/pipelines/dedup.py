@@ -43,9 +43,14 @@ def _collect_ids(ds, column: str = "id") -> np.ndarray:
     used for the broadcast rep filter. At extreme scale swap for a bloom
     filter or semi-join; the array stays ~1000x smaller than content."""
     import ray
-    import pyarrow as pa
 
-    parts = [t[column].to_numpy() for t in ray.get(ds.to_arrow_refs())]
+    # empty blocks can surface schema-less (Ray drops the schema of 0-row
+    # map_batches outputs at high parallelism) — skip them
+    parts = [
+        t[column].to_numpy()
+        for t in ray.get(ds.to_arrow_refs())
+        if column in t.column_names and t.num_rows
+    ]
     if not parts:
         return np.empty(0, dtype=np.int64)
     return np.sort(np.concatenate(parts).astype(np.int64))
@@ -82,18 +87,12 @@ def near_dup_pipeline(
     # Small inputs bundle into very few tasks (Ray packs blocks up to
     # target_max_block_size); spread them so every downstream stage —
     # signatures, the band shuffle, verify — can use the whole cluster.
-    # At real scale the input's natural block count exceeds this (no-op).
-    target_blocks = int(ray.cluster_resources().get("CPU", 8)) * 2
-    pre = preprocess(corpus_ds)
-    try:
-        known_blocks = corpus_ds.num_blocks()  # materialized inputs only
-    except NotImplementedError:
-        known_blocks = None
-    if known_blocks is not None and known_blocks < target_blocks:
-        pre = pre.repartition(target_blocks)  # fused into the same pass
-    pre = pre.materialize()
-    if pre.num_blocks() < target_blocks:
-        pre = pre.repartition(target_blocks).materialize()
+    # Parquet reads already split blocks aggressively (SplitBlocks), so the
+    # repartition only fires for genuinely under-partitioned inputs.
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    pre = preprocess(corpus_ds).materialize()
+    if pre.num_blocks() < cpus:
+        pre = pre.repartition(2 * cpus).materialize()
     n_rows = pre.count()
     _mark("preprocess+repartition")
 
@@ -111,13 +110,6 @@ def near_dup_pipeline(
     reps_ds = broadcast_id_filter(pre, ray.put(rep_ids)).materialize()
     _mark("rep_filter")
 
-    # signature table: ~1000x smaller than content; computed once, used for
-    # band keys AND the verify pre-gate
-    sigs_ds = minhash_signatures(reps_ds, config).materialize()
-    _mark("signatures")
-    bands = bands_from_signatures(sigs_ds, config)
-    pairs = candidate_pairs(bands, config)
-
     if content_mode == "auto":
         rep_bytes = (
             reps_ds.select_columns(["n_bytes"]).aggregate(
@@ -133,6 +125,16 @@ def near_dup_pipeline(
             )
             else "join"
         )
+
+    # signature table: ~1000x smaller than content; computed once, used for
+    # band keys AND the verify est-Jaccard pre-gate. (A with_shingles=True
+    # variant that precomputes the exact shingle sets exists — it makes the
+    # verify actors ~20% faster but costs more than that writing the ~8x
+    # larger signature blocks, so the gate path is the default.)
+    sigs_ds = minhash_signatures(reps_ds, config).materialize()
+    _mark("signatures")
+    bands = bands_from_signatures(sigs_ds, config)
+    pairs = candidate_pairs(bands, config)
     if content_mode == "broadcast":
         # verify is the CPU-heaviest stage and the pair table is tiny integer
         # rows here — spread it so the actor pool sees balanced blocks, but
@@ -142,9 +144,11 @@ def near_dup_pipeline(
         cpus = int(ray.cluster_resources().get("CPU", 8))
         pairs = pairs.repartition(min(4 * cpus, 48))
         # sharded zero-copy broadcasts: raw block refs, indexed per actor —
-        # the driver never concatenates signatures or content
+        # the driver never concatenates signatures or content; the rep
+        # blocks are reused AS-IS (extra columns cost nothing, the lookup
+        # only touches id + content), avoiding a select+rewrite pass
         sig_refs = sigs_ds.to_arrow_refs()
-        content_refs = reps_ds.select_columns(["id", "content"]).materialize().to_arrow_refs()
+        content_refs = reps_ds.to_arrow_refs()
         _mark("broadcasts")
         verified = verify_pairs_broadcast(pairs, content_refs, config, sig_refs=sig_refs)
     else:

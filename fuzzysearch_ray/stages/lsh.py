@@ -209,7 +209,10 @@ def candidate_pairs(band_ds, config: DedupConfig, num_partitions: int | None = N
         )
 
     def dedup_partition(block: pd.DataFrame) -> pd.DataFrame:
-        return block.drop_duplicates(["a", "b"])[["a", "b"]]
+        # sorted by (a, b): consecutive verify pairs share their `a` doc, so
+        # the verify actors' per-doc caches (shingles/codepoints/texts) get
+        # locality instead of fully random access over the whole rep set
+        return block.drop_duplicates(["a", "b"]).sort_values(["a", "b"])[["a", "b"]]
 
     deduped = (
         pairs.map_batches(add_pair_part, batch_format="pyarrow")

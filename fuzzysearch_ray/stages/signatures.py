@@ -35,31 +35,55 @@ class MinHashSignatures:
     pre-gates candidate pairs on the estimated Jaccard (fraction of equal
     signature slots) before touching any content."""
 
-    def __init__(self, config: DedupConfig):
+    def __init__(self, config: DedupConfig, with_shingles: bool = False):
+        from ..functions.hashing import minhash_scratch
+
         self.config = config
+        self.with_shingles = with_shingles
         self.a, self.b = minhash_coefficients(config.num_perm, config.seed)
+        # reusable outer-product buffer: one allocation per ACTOR, not per doc
+        self.scratch = minhash_scratch(config.num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
         contents = batch["content"].to_pylist()
         n = len(contents)
         sigs = np.empty((n, cfg.num_perm), dtype=np.uint64)
+        shingle_parts = [] if self.with_shingles else None
         for i, text in enumerate(contents):
             if len(text) > cfg.max_content_bytes_for_lsh:
                 # oversize routing: signature over a prefix; stored content
                 # (and the sha256 invariant) is untouched
                 text = text[: cfg.max_content_bytes_for_lsh]
             sh = shingle_hashes(text, cfg.shingle_k)
-            sigs[i] = minhash_signature(sh, self.a, self.b)
-        return pa.table(
-            {
-                "id": batch["id"],
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sigs.reshape(-1).view(np.int64), pa.int64()),
-                    cfg.num_perm,
-                ),
-            }
-        )
+            sigs[i] = minhash_signature(sh, self.a, self.b, scratch=self.scratch)
+            if shingle_parts is not None:
+                shingle_parts.append(sh)
+        cols = {
+            "id": batch["id"],
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1).view(np.int64), pa.int64()),
+                cfg.num_perm,
+            ),
+        }
+        if shingle_parts is not None:
+            # sorted-unique shingle sets, carried once in the object store so
+            # the verify stage computes EXACT Jaccard from zero-copy views
+            # instead of re-hashing content per actor (a space-for-bandwidth
+            # trade bounded by the broadcast gate; the join/scale path
+            # recomputes from content instead)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum([p.size for p in shingle_parts], out=offsets[1:])
+            flat = (
+                np.concatenate(shingle_parts)
+                if shingle_parts and offsets[-1]
+                else np.empty(0, dtype=np.uint64)
+            )
+            cols["shingles"] = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()),
+                pa.array(flat.view(np.int64), pa.int64()),
+            )
+        return pa.table(cols)
 
 
 def band_hashes_matrix(sigs: np.ndarray, num_bands: int) -> np.ndarray:
@@ -77,7 +101,10 @@ def band_hashes_matrix(sigs: np.ndarray, num_bands: int) -> np.ndarray:
 
 
 def bands_from_signatures(sig_ds, config: DedupConfig):
-    """(id, sig) → exploded (id, band_id, band_hash); stateless + vectorized."""
+    """(id, sig) → exploded (id, band_id, band_hash); stateless + vectorized.
+    Prunes to the two needed columns (the signature table may also carry the
+    broadcast shingle sets)."""
+    sig_ds = sig_ds.select_columns(["id", "sig"])
     nb = config.num_bands
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -124,12 +151,12 @@ class SimHashSignatures:
         )
 
 
-def minhash_signatures(ds, config: DedupConfig):
+def minhash_signatures(ds, config: DedupConfig, with_shingles: bool = False):
     from .verify import pool_concurrency
 
     return ds.select_columns(["id", "content"]).map_batches(
         MinHashSignatures,
-        fn_constructor_args=(config,),
+        fn_constructor_args=(config, with_shingles),
         batch_format="pyarrow",
         batch_size=config.signature_batch_size,
         concurrency=pool_concurrency(config.signature_concurrency),

@@ -59,9 +59,30 @@ class ShardedIdLookup:
     def __init__(self, refs, column: str):
         import ray
 
-        tables = ray.get(list(refs))
-        self.cols = [t[column].combine_chunks() for t in tables]
-        id_parts = [t["id"].to_numpy() for t in tables]
+        tables = [
+            t
+            for t in ray.get(list(refs))
+            # 0-row blocks can arrive schema-less; they carry nothing anyway
+            if t.num_rows and column in t.column_names
+        ]
+        # Shards are individual CHUNKS, never combined: combine_chunks would
+        # copy the payload into each actor's heap, and N actors × hundreds
+        # of MB of simultaneous page-zeroing is exactly the contention that
+        # wrecked multi-actor scaling. Only the 8-byte id vectors are copied
+        # (for one sorted index); payload chunks stay plasma-backed views.
+        self.cols = []
+        id_parts = []
+        for t in tables:
+            vals = t[column]
+            ids = t["id"]
+            if [len(c) for c in vals.chunks] == [len(c) for c in ids.chunks]:
+                for ic, vc in zip(ids.chunks, vals.chunks):
+                    id_parts.append(ic.to_numpy())
+                    self.cols.append(vc)
+            else:  # misaligned chunking (rare): fall back to one copy
+                tc = t.combine_chunks()
+                id_parts.append(tc["id"].to_numpy())
+                self.cols.append(tc[column].combine_chunks())
         lens = [a.size for a in id_parts]
         if sum(lens) == 0:
             self.sorted_ids = np.empty(0, dtype=np.int64)
@@ -93,9 +114,30 @@ class ShardedIdLookup:
         return out
 
 
+class ShardedShingleLookup(ShardedIdLookup):
+    """Sharded (id → sorted-unique shingle-hash array) lookup over the
+    signature table's ``shingles`` list column: per chunk, the list offsets
+    and flat values become numpy views, so fetching a document's shingle set
+    is a zero-copy slice — no per-actor hashing, caching, or heap copies."""
+
+    def __init__(self, refs):
+        super().__init__(refs, "shingles")
+        self.offsets = []
+        self.values = []
+        for c in self.cols:
+            self.offsets.append(c.offsets.to_numpy())
+            self.values.append(c.values.to_numpy().view(np.uint64))
+
+    def get_row(self, position: int) -> np.ndarray:
+        b = self.blk[position]
+        i = self.off[position]
+        off = self.offsets[b]
+        return self.values[b][off[i] : off[i + 1]]
+
+
 class ShardedSigLookup(ShardedIdLookup):
-    """Sharded (id → MinHash signature row) lookup; blocks are viewed as
-    (n, num_perm) uint64 matrices zero-copy."""
+    """Sharded (id → MinHash signature row) lookup; chunks are viewed as
+    (n, num_perm) uint64 matrices zero-copy (FixedSizeList flatten)."""
 
     def __init__(self, refs, num_perm: int):
         super().__init__(refs, "sig")
@@ -116,7 +158,13 @@ class ShardedSigLookup(ShardedIdLookup):
 
 
 class VerifyPairs:
-    def __init__(self, config: DedupConfig, content_refs=None, sig_refs=None):
+    def __init__(
+        self,
+        config: DedupConfig,
+        content_refs=None,
+        sig_refs=None,
+        shingle_refs=None,
+    ):
         self.cfg = config
 
         if content_refs is not None:
@@ -131,10 +179,17 @@ class VerifyPairs:
             self._content = None
         if sig_refs is not None:
             # sharded (id → signature row) lookup for the vectorized
-            # estimated-Jaccard pre-gate
+            # estimated-Jaccard pre-gate (used when precomputed shingle sets
+            # are not available)
             self._sigs = ShardedSigLookup(sig_refs, config.num_perm)
         else:
             self._sigs = None
+        if shingle_refs is not None:
+            # precomputed shingle sets: exact Jaccard from zero-copy views —
+            # no est-gate needed, no per-actor hashing or shingle cache
+            self._shingles = ShardedShingleLookup(shingle_refs)
+        else:
+            self._shingles = None
         self._cache = {}
         self._run_cache = {}
         # The broadcast tables and caches are long-lived: freeze them out of
@@ -155,10 +210,12 @@ class VerifyPairs:
         est = (rows_a == rows_b).mean(axis=1)
         return est >= gate
 
-    def _shingles(self, doc_id: int, text: str) -> np.ndarray:
+    def _shingles_cached(self, doc_id: int, text: str) -> np.ndarray:
+        """Join-mode shingle sets: computed from content, cached per actor
+        (broadcast mode reads precomputed sets via ShardedShingleLookup)."""
         sh = self._cache.get(doc_id)
         if sh is None:
-            if len(self._cache) >= 8192:
+            if len(self._cache) >= 2048:
                 self._cache.clear()
             sh = shingle_hashes(
                 text[: self.cfg.max_content_bytes_for_lsh], self.cfg.shingle_k
@@ -169,7 +226,7 @@ class VerifyPairs:
     def _run_hashes(self, doc_id: int, text: str) -> np.ndarray:
         rh = self._run_cache.get(doc_id)
         if rh is None:
-            if len(self._run_cache) >= 4096:
+            if len(self._run_cache) >= 1024:
                 self._run_cache.clear()
             rh = run_window_hashes(text, self.cfg.min_exact_run)
             self._run_cache[doc_id] = rh
@@ -179,7 +236,7 @@ class VerifyPairs:
         if self._content is not None:
             idx = self._content.positions(col_ids).tolist()
             cache = self._text_cache
-            if len(cache) >= 16384:
+            if len(cache) >= 8192:
                 cache.clear()  # BEFORE the miss scan, or we wipe hits we need
             missing = sorted(set(i for i in idx if i not in cache))
             if missing:
@@ -190,22 +247,48 @@ class VerifyPairs:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        keep = self._est_gate(batch["a"].to_numpy(), batch["b"].to_numpy())
-        if not keep.all():
-            batch = batch.filter(pa.array(keep))
-        a_ids = batch["a"].to_numpy()
-        b_ids = batch["b"].to_numpy()
-        texts_a = self._texts(batch, a_ids, "content_a")
-        texts_b = self._texts(batch, b_ids, "content_b")
+        if self._shingles is not None:
+            # broadcast-with-precomputed-shingles path: exact Jaccard first
+            # (zero-copy set views), content touched only for survivors
+            a_all = batch["a"].to_numpy()
+            b_all = batch["b"].to_numpy()
+            n = len(a_all)
+            pos_a = self._shingles.positions(a_all)
+            pos_b = self._shingles.positions(b_all)
+            get_row = self._shingles.get_row
+            jacs = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                jacs[i] = exact_jaccard(get_row(pos_a[i]), get_row(pos_b[i]))
+            keep = np.flatnonzero(jacs >= cfg.jaccard_threshold)
+            a_ids = a_all[keep]
+            b_ids = b_all[keep]
+            out_j = jacs[keep]
+            texts_a = self._texts(batch, a_ids, "content_a")
+            texts_b = self._texts(batch, b_ids, "content_b")
+        else:
+            est_keep = self._est_gate(batch["a"].to_numpy(), batch["b"].to_numpy())
+            if not est_keep.all():
+                batch = batch.filter(pa.array(est_keep))
+            a_all = batch["a"].to_numpy()
+            b_all = batch["b"].to_numpy()
+            texts_all_a = self._texts(batch, a_all, "content_a")
+            texts_all_b = self._texts(batch, b_all, "content_b")
+            jacs = np.empty(len(a_all), dtype=np.float64)
+            for i in range(len(a_all)):
+                jacs[i] = exact_jaccard(
+                    self._shingles_cached(int(a_all[i]), texts_all_a[i]),
+                    self._shingles_cached(int(b_all[i]), texts_all_b[i]),
+                )
+            keep = np.flatnonzero(jacs >= cfg.jaccard_threshold)
+            a_ids = a_all[keep]
+            b_ids = b_all[keep]
+            out_j = jacs[keep]
+            texts_a = [texts_all_a[i] for i in keep.tolist()]
+            texts_b = [texts_all_b[i] for i in keep.tolist()]
 
-        out_a, out_b, out_j, out_d, out_r = [], [], [], [], []
+        out_d, out_r = [], []
         for i in range(len(a_ids)):
             ta, tb = texts_a[i], texts_b[i]
-            jac = exact_jaccard(
-                self._shingles(int(a_ids[i]), ta), self._shingles(int(b_ids[i]), tb)
-            )
-            if jac < cfg.jaccard_threshold:
-                continue
             cap = max(16, int(cfg.lev_cap_ratio * max(len(ta), len(tb))))
             dist = hybrid_levenshtein(ta, tb, cap)
             # Pigeonhole shortcut: d edits split the shorter string into at
@@ -224,15 +307,12 @@ class VerifyPairs:
                     hashes_a=self._run_hashes(int(a_ids[i]), ta),
                     hashes_b=self._run_hashes(int(b_ids[i]), tb),
                 )
-            out_a.append(int(a_ids[i]))
-            out_b.append(int(b_ids[i]))
-            out_j.append(float(jac))
             out_d.append(-1 if dist is None else int(dist))
             out_r.append(bool(run))
         return pa.table(
             {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
+                "a": pa.array(a_ids.astype(np.int64), pa.int64()),
+                "b": pa.array(b_ids.astype(np.int64), pa.int64()),
                 "jaccard": pa.array(out_j, pa.float64()),
                 "lev_dist": pa.array(out_d, pa.int64()),
                 "shares_long_run": pa.array(out_r, pa.bool_()),
@@ -253,14 +333,23 @@ def pool_concurrency(configured: tuple) -> tuple:
     return (floor, hi)
 
 
-def verify_pairs_broadcast(pairs_ds, content_refs, config: DedupConfig, sig_refs=None):
-    """Broadcast-mode verify: ``content_refs`` / ``sig_refs`` are the block
-    ObjectRefs of materialized (id, content) / (id, sig) Datasets — the
+def verify_pairs_broadcast(
+    pairs_ds, content_refs, config: DedupConfig, sig_refs=None, shingle_refs=None
+):
+    """Broadcast-mode verify: ``content_refs`` / ``sig_refs`` /
+    ``shingle_refs`` are the block ObjectRefs of materialized Datasets — the
     driver never concatenates or re-sorts them (ShardedIdLookup indexes the
-    blocks per actor, zero-copy from the object store)."""
+    blocks per actor, zero-copy from the object store). With
+    ``shingle_refs`` the exact-Jaccard gate reads precomputed shingle sets
+    and content is only touched for surviving pairs."""
     return pairs_ds.map_batches(
         VerifyPairs,
-        fn_constructor_args=(config, list(content_refs), list(sig_refs) if sig_refs else None),
+        fn_constructor_args=(
+            config,
+            list(content_refs),
+            list(sig_refs) if sig_refs else None,
+            list(shingle_refs) if shingle_refs else None,
+        ),
         batch_format="pyarrow",
         batch_size=config.verify_batch_size,
         concurrency=pool_concurrency(config.verify_concurrency),

@@ -86,3 +86,60 @@ def test_simhash_candidate_pairs_distributed_matches_reference(ray_session):
         h = bin(int(codes[i] ^ codes[i + 1])).count("1")
         if h <= 3:
             assert (i, i + 1, h) in got_set
+
+
+def test_verify_shingle_and_gate_paths_agree(ray_session):
+    """Broadcast verify has two Jaccard paths — precomputed shingle sets
+    (zero-copy views, no gate) and the est-Jaccard pre-gate with per-actor
+    hashing. Both must emit the identical verified edge set."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from fuzzysearch_ray.config import DedupConfig
+    from fuzzysearch_ray.sources.corpus import generate_corpus_table
+    from fuzzysearch_ray.stages.exact_dedup import broadcast_id_filter, exact_dedup
+    from fuzzysearch_ray.stages.lsh import candidate_pairs
+    from fuzzysearch_ray.stages.preprocess import preprocess
+    from fuzzysearch_ray.stages.signatures import (
+        bands_from_signatures,
+        minhash_signatures,
+    )
+    from fuzzysearch_ray.stages.verify import verify_pairs_broadcast
+
+    cfg = DedupConfig()
+    pre = preprocess(rd.from_arrow(generate_corpus_table(500, seed=3))).materialize()
+    mem = exact_dedup(pre).materialize()
+    rep_ids = np.sort(
+        np.concatenate(
+            [
+                t.filter(pc.equal(t["id"], t["rep_id"]))["id"].to_numpy()
+                for t in ray.get(mem.to_arrow_refs())
+                if t.num_rows
+            ]
+        )
+    )
+    reps = broadcast_id_filter(pre, ray.put(rep_ids)).materialize()
+    sigs = minhash_signatures(reps, cfg, with_shingles=True).materialize()
+    pairs = candidate_pairs(bands_from_signatures(sigs, cfg), cfg).materialize()
+    content_refs = reps.to_arrow_refs()
+    via_shingles = (
+        verify_pairs_broadcast(
+            pairs, content_refs, cfg, shingle_refs=sigs.to_arrow_refs()
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    via_gate = (
+        verify_pairs_broadcast(
+            pairs,
+            content_refs,
+            cfg,
+            sig_refs=sigs.select_columns(["id", "sig"]).materialize().to_arrow_refs(),
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(via_shingles, via_gate)
