@@ -245,7 +245,16 @@ def shares_long_run_hashed(
 ) -> bool:
     """True iff ``a`` and ``b`` share a common substring of >= min_run bytes,
     using (optionally precomputed/cached) rolling window hashes; candidate
-    hash hits are confirmed against the actual bytes to rule out collisions."""
+    hash hits are confirmed against the actual bytes to rule out collisions.
+
+    Completeness bound (documented, by design): only the first 256 candidate
+    hash hits are byte-confirmed. A FALSE result is therefore guaranteed
+    correct unless >256 distinct window-hash collisions precede every true
+    shared run — with 64-bit hashes that requires ~2^64-scale adversarial
+    construction, not natural data (expected spurious hits for n-byte docs:
+    n²/2^64). A TRUE result is always byte-confirmed exact. This replaces
+    the survey's suffix-array long-run index: same signal, O(n) build per
+    doc instead of O(n log n), and cacheable per actor (SURVEY.md §2.3)."""
     if min_run <= 0:
         return True
     ha = run_window_hashes(a, min_run) if hashes_a is None else hashes_a

@@ -163,23 +163,37 @@ def near_dup_pipeline(
         # edge Dataset; labels stay a Dataset and attach via hash join —
         # the full edge list never lands on the driver
         labels_ds = components_distributed(verified)
-        clusters_ds = assign_clusters_join(membership_ds, labels_ds)
+        clusters_ds = assign_clusters_join(membership_ds, labels_ds).materialize()
+        _mark("clustering")
+        # stats: distributed aggregate over the (int, int) cluster table
+        from ray.data.aggregate import Count
+
+        sizes = clusters_ds.groupby("cluster_id").aggregate(Count(alias_name="n"))
+        n_multi = sizes.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+        ).count()
     else:
         edges_small = verified.select_columns(["a", "b"]).to_pandas()
         labels = components_driver(
             edges_small["a"].to_numpy(), edges_small["b"].to_numpy()
         )
-        clusters_ds = assign_clusters_broadcast(membership_ds, labels)
-    clusters_ds = clusters_ds.materialize()
-    _mark("clustering")
-
-    # stats: distributed aggregate over the (int, int) cluster table
-    from ray.data.aggregate import Count
-
-    sizes = clusters_ds.groupby("cluster_id").aggregate(Count(alias_name="n"))
-    n_multi = sizes.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
-    ).count()
+        clusters_ds = assign_clusters_broadcast(membership_ds, labels).materialize()
+        _mark("clustering")
+        # stats without another shuffle: a cluster is multi-member iff it has
+        # a near-dup edge (a distinct label root) OR an exact-dup group of
+        # size >= 2; both sets are tiny and already driver-visible
+        dup_reps = _collect_ids(
+            membership_ds.map_batches(
+                lambda t: t.filter(pc.not_equal(t["id"], t["rep_id"])).select(
+                    ["rep_id"]
+                ),
+                batch_format="pyarrow",
+            ),
+            column="rep_id",
+        )
+        multi_roots = {labels.get(int(r), int(r)) for r in np.unique(dup_reps)}
+        multi_roots.update(labels.values())
+        n_multi = len(multi_roots)
     _mark("stats")
 
     return {
