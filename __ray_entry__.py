@@ -248,6 +248,40 @@ def _near_dup_clusters_sql() -> str:
     )
 
 
+def _ann_srp_sql(nq: int = 5, k: int = 5, nbits: int = 10, probe_hamming: int = 2) -> str:
+    """SRP-bucketed ANN, fully in SQL: the seeded hyperplanes (the SAME
+    ``srp_planes(64, nbits, 42)`` matrix the Ray stage uses) are inlined as
+    DOUBLE[] literals, bucket codes via sign of list_dot_product (the sign is
+    normalization-invariant, so codes over raw embeddings match the stage's
+    codes over normalized ones), probing via bit_count(xor(code, qcode)) <=
+    probe_hamming on the UNION of all query probe sets (the stage filters on
+    the union, then scores every query against all survivors)."""
+    from fuzzysearch_ray.stages.ann import srp_planes
+
+    planes = srp_planes(64, nbits, 42)
+
+    def arr(p) -> str:
+        return "[" + ",".join(repr(float(v)) for v in p) + "]::DOUBLE[]"
+
+    code_expr = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], %s) >= 0 THEN %d ELSE 0 END)"
+        % (arr(planes[j]), 1 << j)
+        for j in range(nbits)
+    )
+    return (
+        f"WITH codes AS (SELECT vec_id, embedding, {code_expr} AS code FROM embeddings), "
+        f"qcodes AS (SELECT vec_id AS qid, code FROM codes WHERE vec_id < {nq}), "
+        "probed AS (SELECT DISTINCT c.vec_id, c.embedding FROM codes c, qcodes q "
+        f"WHERE bit_count(xor(c.code, q.code)) <= {probe_hamming}) "
+        "SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
+        "ROUND(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) AS sim_r "
+        f"FROM embeddings q JOIN probed n ON n.vec_id <> q.vec_id WHERE q.vec_id < {nq} "
+        "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC, "
+        f"n.vec_id) <= {k}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_groups": (
@@ -365,7 +399,5 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS media_id, 'image' AS kind, "
             "CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents"
         ),
-        # rows-only (non-SQL-expressible): near_dup_clusters /
-        # minhash_lsh_pairs / simhash_* (seeded signature schemes),
-        # ann_srp_bucketed (probabilistic bucketing).
+        "ann_srp_bucketed": _ann_srp_sql(),
     }

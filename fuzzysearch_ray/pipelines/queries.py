@@ -249,7 +249,8 @@ def q_ann_topk(sf_dir: str, nq: int = 5, k: int = 5):
 
 
 def q_ann_srp_bucketed(sf_dir: str, nq: int = 5, k: int = 5):
-    """Approximate variant (rows-only check: deterministic but not SQL)."""
+    """Approximate (bucketed) variant; SQL-oracled via inlined hyperplane
+    literals + bit_count probing (__ray_entry__._ann_srp_sql)."""
     ids, mat = _load_queries(sf_dir, nq)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     df = srp_bucketed_topk(ds, ids, mat, k=k, nbits=10, probe_hamming=2)
