@@ -26,6 +26,10 @@ class DedupConfig:
     # the verify stage at equal recall.
     num_bands: int = 21           # LSH bands (rows per band = num_perm // num_bands)
     seed: int = 42
+    # "oph" = one-permutation hashing + rotation densification (O(S) per doc,
+    # the scale default); "perm" = classic 128-permutation outer product
+    # (O(num_perm * S), kept as the reference estimator for A/B tests)
+    minhash_scheme: str = "oph"
 
     # --- dup decision ------------------------------------------------------
     jaccard_threshold: float = 0.8
@@ -72,6 +76,10 @@ class DedupConfig:
             raise ValueError("jaccard_threshold must be in (0, 1]")
         if self.shingle_k <= 0 or self.bucket_cap < 2:
             raise ValueError("invalid shingle_k / bucket_cap")
+        if self.minhash_scheme not in ("oph", "perm"):
+            raise ValueError("minhash_scheme must be 'oph' or 'perm'")
+        if self.minhash_scheme == "oph" and self.num_perm & (self.num_perm - 1):
+            raise ValueError("oph requires power-of-two num_perm")
 
 
 DEFAULT_CONFIG = DedupConfig()

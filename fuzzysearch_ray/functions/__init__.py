@@ -7,6 +7,7 @@ from .hashing import (
     md5_hex,
     minhash_coefficients,
     minhash_signature,
+    oph_minhash_signature,
     rolling_fingerprint,
     sha256_hex,
     shingle_hashes,

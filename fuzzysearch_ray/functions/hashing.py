@@ -113,6 +113,47 @@ def minhash_signature(
     return sig
 
 
+def oph_minhash_signature(
+    shingles: np.ndarray, num_perm: int = DEFAULT_NUM_PERM
+) -> np.ndarray:
+    """One-permutation MinHash with rotation densification.
+
+    Same contract as ``minhash_signature`` — a ``num_perm``-slot uint64
+    vector whose cross-document slot-agreement fraction estimates Jaccard —
+    at ~1/num_perm of the FLOPs: one pass over the shingle set instead of a
+    num_perm-wide outer product (Li/Owen/Zhang, "One Permutation Hashing",
+    NIPS 2012; Shrivastava/Li densification, ICML 2014).
+
+    Mechanics: each (splitmix64-finalized, already uniform) shingle hash is
+    binned by its top log2(num_perm) bits; the slot value is the minimum
+    hash in the bin. Because ``shingle_hashes`` returns a sorted-unique
+    array, binning by TOP bits means the first element of each bin run IS
+    the bin minimum — no reduction needed. Empty bins borrow the value of
+    the next non-empty bin (circular rotation), which keeps the agreement
+    estimator unbiased; the added variance is negligible once documents
+    carry more than ~2x num_perm shingles (our 9-gram sets at typical
+    document sizes). ``num_perm`` must be a power of two.
+    """
+    if num_perm & (num_perm - 1):
+        raise ValueError("oph requires power-of-two num_perm")
+    if shingles.size == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    shift = np.uint64(64 - (num_perm.bit_length() - 1))
+    bins = (shingles >> shift).astype(np.int64)
+    # first index of each bin run (input sorted => runs are contiguous)
+    change = np.empty(bins.size, dtype=bool)
+    change[0] = True
+    np.not_equal(bins[1:], bins[:-1], out=change[1:])
+    first_idx = np.flatnonzero(change)
+    ubins = bins[first_idx]
+    # for non-empty bin j searchsorted lands on j itself; for empty bins it
+    # lands on the next non-empty bin (wrapping) — one expression covers
+    # both the fill and the densification
+    pos = np.searchsorted(ubins, np.arange(num_perm), side="left")
+    pos[pos == ubins.size] = 0
+    return shingles[first_idx[pos]]
+
+
 def minhash_scratch(num_perm: int = DEFAULT_NUM_PERM, chunk: int = 512) -> np.ndarray:
     """Reusable per-actor scratch for ``minhash_signature`` (512 KiB —
     sized to stay L2-resident per core, so the outer-product writes never

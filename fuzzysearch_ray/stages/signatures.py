@@ -36,13 +36,18 @@ class MinHashSignatures:
     signature slots) before touching any content."""
 
     def __init__(self, config: DedupConfig, with_shingles: bool = False):
-        from ..functions.hashing import minhash_scratch
+        from ..functions.hashing import minhash_scratch, oph_minhash_signature
 
         self.config = config
         self.with_shingles = with_shingles
-        self.a, self.b = minhash_coefficients(config.num_perm, config.seed)
-        # reusable outer-product buffer: one allocation per ACTOR, not per doc
-        self.scratch = minhash_scratch(config.num_perm)
+        if config.minhash_scheme == "oph":
+            # O(S)-per-doc one-permutation path: no coefficients, no scratch
+            self._sign = lambda sh: oph_minhash_signature(sh, config.num_perm)
+        else:
+            a, b = minhash_coefficients(config.num_perm, config.seed)
+            # reusable outer-product buffer: one allocation per ACTOR, not per doc
+            scratch = minhash_scratch(config.num_perm)
+            self._sign = lambda sh: minhash_signature(sh, a, b, scratch=scratch)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
@@ -56,7 +61,7 @@ class MinHashSignatures:
                 # (and the sha256 invariant) is untouched
                 text = text[: cfg.max_content_bytes_for_lsh]
             sh = shingle_hashes(text, cfg.shingle_k)
-            sigs[i] = minhash_signature(sh, self.a, self.b, scratch=self.scratch)
+            sigs[i] = self._sign(sh)
             if shingle_parts is not None:
                 shingle_parts.append(sh)
         cols = {
