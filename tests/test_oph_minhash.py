@@ -1,0 +1,110 @@
+"""OPH (one-permutation hashing) signature properties.
+
+The OPH signature must honor the same contract as the classic permutation
+MinHash (slot-agreement fraction estimates Jaccard) since the verify stage's
+est-Jaccard pre-gate and the band explosion both consume it interchangeably.
+"""
+
+import numpy as np
+import pytest
+
+from fuzzysearch_ray.config import DedupConfig
+from fuzzysearch_ray.functions.hashing import (
+    _splitmix64,
+    minhash_coefficients,
+    minhash_signature,
+    oph_minhash_signature,
+    shingle_hashes,
+)
+
+
+def _draw(rng, n):
+    # splitmix64-finalized, like real shingle hashes (full 64-bit range —
+    # OPH bins on the TOP bits, so truncated ranges would skew binning)
+    return _splitmix64(rng.integers(0, 2**63, n, dtype=np.uint64))
+
+
+def _pair(rng, n, target_j):
+    shared = _draw(rng, int(n * target_j * 2 / (1 + target_j)))
+    s1 = np.unique(np.concatenate([shared, _draw(rng, n - shared.size)]))
+    s2 = np.unique(np.concatenate([shared, _draw(rng, n - shared.size)]))
+    true_j = np.intersect1d(s1, s2).size / np.union1d(s1, s2).size
+    return s1, s2, true_j
+
+
+def test_oph_estimates_jaccard_unbiased():
+    rng = np.random.default_rng(7)
+    for target in (0.95, 0.8, 0.6):
+        errs = []
+        for _ in range(30):
+            s1, s2, true_j = _pair(rng, 1200, target)
+            est = (oph_minhash_signature(s1) == oph_minhash_signature(s2)).mean()
+            errs.append(est - true_j)
+        assert abs(np.mean(errs)) < 0.03, f"bias at J~{target}: {np.mean(errs)}"
+        assert np.std(errs) < 0.08
+
+
+def test_oph_variance_comparable_to_perm():
+    """OPH's estimator spread must stay in the same regime as the classic
+    scheme at the pipeline's gate threshold (est_jaccard_gate sigma math in
+    config.py assumes ~sqrt(s(1-s)/128))."""
+    rng = np.random.default_rng(11)
+    a, b = minhash_coefficients(128, 42)
+    oph_err, perm_err = [], []
+    for _ in range(40):
+        s1, s2, true_j = _pair(rng, 800, 0.8)
+        oph_err.append(
+            (oph_minhash_signature(s1) == oph_minhash_signature(s2)).mean() - true_j
+        )
+        perm_err.append(
+            (minhash_signature(s1, a, b) == minhash_signature(s2, a, b)).mean() - true_j
+        )
+    assert np.std(oph_err) < 2.0 * max(np.std(perm_err), 0.02)
+
+
+def test_oph_deterministic_and_shapes():
+    rng = np.random.default_rng(3)
+    s = _draw(rng, 500)
+    s = np.unique(s)
+    sig = oph_minhash_signature(s)
+    assert sig.shape == (128,) and sig.dtype == np.uint64
+    assert np.array_equal(sig, oph_minhash_signature(s))
+    # every slot value is an actual element (densification copies, never
+    # invents values)
+    assert np.isin(sig, s).all()
+
+
+def test_oph_densification_small_sets():
+    """Sets far smaller than num_perm: most bins are empty and borrow from
+    the next non-empty bin; identical sets must still agree on EVERY slot,
+    and the signature must carry only real elements."""
+    rng = np.random.default_rng(5)
+    tiny = np.unique(_draw(rng, 9))
+    sig = oph_minhash_signature(tiny)
+    assert np.isin(sig, tiny).all()
+    assert np.array_equal(sig, oph_minhash_signature(tiny))
+    # a disjoint tiny set should agree on ~0 slots
+    other = np.unique(_draw(rng, 9))
+    assert (sig == oph_minhash_signature(other)).mean() < 0.2
+
+
+def test_oph_empty_set_sentinel():
+    sig = oph_minhash_signature(np.empty(0, dtype=np.uint64))
+    assert (sig == np.iinfo(np.uint64).max).all()
+
+
+def test_oph_rejects_non_power_of_two():
+    with pytest.raises(ValueError):
+        oph_minhash_signature(np.array([1], dtype=np.uint64), num_perm=100)
+    with pytest.raises(ValueError):
+        DedupConfig(num_perm=96, num_bands=16, minhash_scheme="oph")
+
+
+def test_oph_real_shingles_track_text_similarity():
+    base = "the quick brown fox jumps over the lazy dog. " * 40
+    edited = base.replace("lazy", "hazy").replace("quick", "slick")
+    s1 = shingle_hashes(base, 9)
+    s2 = shingle_hashes(edited, 9)
+    true_j = np.intersect1d(s1, s2).size / np.union1d(s1, s2).size
+    est = (oph_minhash_signature(s1) == oph_minhash_signature(s2)).mean()
+    assert abs(est - true_j) < 0.12
