@@ -42,9 +42,13 @@ from .dispatch import (
     GENERIC,
     LEVENSHTEIN,
     SUBSTITUTIONS,
+    SearchKernel,
     choose_search_family,
     extra_items_for_chunked_search,
     find_near_matches,
+    get_kernel,
+    register_kernel,
+    registered_kernels,
     search_with_family,
 )
 from .bounded_distance import bounded_levenshtein

@@ -3,11 +3,22 @@
 Behavioral parity target: /root/reference/src/fuzzysearch/__init__.py:35-83.
 The rule table is a pure function so it can be unit-tested for parity
 (reference pins it in tests/test_find_near_matches.py:76-199).
+
+The kernel REGISTRY is the engine's user-extension surface (SURVEY.md §2.9):
+the reference's plugin point is the ``FuzzySearchBase`` abstract class
+(search / consolidate_matches / extra_items_for_chunked_search,
+common.py:192-209, exercised by mock injection in
+tests/test_find_near_matches.py:12-51); here the same three-part contract is
+a registered ``SearchKernel`` record, and every dispatcher, chunked scanner
+and file searcher resolves behavior through it by name. Custom kernels must
+be registered at module import time (of a module importable on Ray workers)
+so actor-pool stages see them — the standard Ray UDF visibility rule.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 from .exact import iter_exact_matches
 from .generic import find_near_matches_generic
@@ -15,16 +26,108 @@ from .levenshtein import find_near_matches_levenshtein
 from .match import Match, SearchParams, UNLIMITED, consolidate_overlapping_matches
 from .substitutions import find_near_matches_substitutions
 
-#: Family names (the engine's kernel registry keys).
+#: Built-in family names (the engine's kernel registry keys).
 EXACT = "exact"
 SUBSTITUTIONS = "substitutions"
 LEVENSHTEIN = "levenshtein"
 GENERIC = "generic"
 
-#: Per-family consolidation policy and chunk-overlap sizing, mirroring each
-#: search class (search_exact.py:80-89, substitutions_only.py:288-308,
-#: levenshtein.py:151-164, generic_search.py:256-273).
-FAMILY_CONSOLIDATES = {EXACT: False, SUBSTITUTIONS: False, LEVENSHTEIN: True, GENERIC: True}
+
+@dataclass(frozen=True)
+class SearchKernel:
+    """One pluggable search family: raw per-haystack search + the two policy
+    knobs the chunked/file scanners need (consolidation and overlap tail)."""
+
+    name: str
+    #: (needle, haystack, params) -> raw matches (pre-consolidation)
+    search: Callable[[Sequence, Sequence, SearchParams], List[Match]]
+    #: whether outputs are consolidated (overlapping groups → best); mirrors
+    #: each reference class (search_exact.py:80-89, substitutions_only.py:
+    #: 288-308, levenshtein.py:151-164, generic_search.py:256-273)
+    consolidates: bool = False
+    #: params -> extra overlap items beyond len(needle)-1 for chunked scans
+    chunk_overlap_extra: Callable[[SearchParams], int] = field(
+        default=lambda params: 0
+    )
+
+
+_REGISTRY: Dict[str, SearchKernel] = {}
+
+
+def register_kernel(kernel: SearchKernel, overwrite: bool = False) -> SearchKernel:
+    if kernel.name in _REGISTRY and not overwrite:
+        raise ValueError("kernel already registered: %r" % kernel.name)
+    _REGISTRY[kernel.name] = kernel
+    return kernel
+
+
+def get_kernel(name: str) -> SearchKernel:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise ValueError("unknown search family: %r" % name) from None
+
+
+def registered_kernels() -> Tuple[str, ...]:
+    return tuple(_REGISTRY)
+
+
+def _search_exact(needle, haystack, params) -> List[Match]:
+    return list(iter_exact_matches(needle, haystack))
+
+
+def _search_substitutions(needle, haystack, params) -> List[Match]:
+    cap = min(
+        x for x in (params.max_l_dist, params.max_substitutions) if x is not None
+    )
+    return find_near_matches_substitutions(needle, haystack, cap)
+
+
+def _search_levenshtein(needle, haystack, params) -> List[Match]:
+    return find_near_matches_levenshtein(needle, haystack, params.max_l_dist)
+
+
+def _generic_overlap(params: SearchParams) -> int:
+    return max(
+        x for x in (params.max_l_dist, params.max_insertions) if x is not None
+    )
+
+
+register_kernel(SearchKernel(EXACT, _search_exact))
+register_kernel(SearchKernel(SUBSTITUTIONS, _search_substitutions))
+register_kernel(
+    SearchKernel(
+        LEVENSHTEIN,
+        _search_levenshtein,
+        consolidates=True,
+        chunk_overlap_extra=lambda params: params.max_l_dist,
+    )
+)
+register_kernel(
+    SearchKernel(
+        GENERIC,
+        find_near_matches_generic,
+        consolidates=True,
+        chunk_overlap_extra=_generic_overlap,
+    )
+)
+
+
+class _ConsolidatesView:
+    """Dict-like view over the registry's consolidation flags (back-compat
+    name; stays in sync with late registrations automatically)."""
+
+    def __getitem__(self, name: str) -> bool:
+        return get_kernel(name).consolidates
+
+    def __contains__(self, name: str) -> bool:
+        return name in _REGISTRY
+
+    def items(self):
+        return [(k, v.consolidates) for k, v in _REGISTRY.items()]
+
+
+FAMILY_CONSOLIDATES = _ConsolidatesView()
 
 
 def choose_search_family(params: SearchParams) -> str:
@@ -51,34 +154,17 @@ def choose_search_family(params: SearchParams) -> str:
 
 def extra_items_for_chunked_search(family: str, params: SearchParams) -> int:
     """Overlap tail needed when scanning a haystack in chunks."""
-    if family in (EXACT, SUBSTITUTIONS):
-        return 0
-    if family == LEVENSHTEIN:
-        return params.max_l_dist
-    return max(
-        x for x in (params.max_l_dist, params.max_insertions) if x is not None
-    )
+    return get_kernel(family).chunk_overlap_extra(params)
 
 
 def search_with_family(
     family: str, needle: Sequence, haystack: Sequence, params: SearchParams
 ) -> List[Match]:
-    if family == EXACT:
-        return list(iter_exact_matches(needle, haystack))
-    if family == SUBSTITUTIONS:
-        cap = min(
-            x
-            for x in (params.max_l_dist, params.max_substitutions)
-            if x is not None
-        )
-        return find_near_matches_substitutions(needle, haystack, cap)
-    if family == LEVENSHTEIN:
-        matches = find_near_matches_levenshtein(needle, haystack, params.max_l_dist)
+    kernel = get_kernel(family)
+    matches = kernel.search(needle, haystack, params)
+    if kernel.consolidates:
         return consolidate_overlapping_matches(matches)
-    if family == GENERIC:
-        matches = find_near_matches_generic(needle, haystack, params)
-        return consolidate_overlapping_matches(matches)
-    raise ValueError("unknown search family: %r" % family)
+    return list(matches)
 
 
 def find_near_matches(

@@ -41,12 +41,15 @@ class FuzzySearcher:
         max_insertions: Optional[int] = None,
         max_deletions: Optional[int] = None,
         max_l_dist: Optional[int] = None,
+        family: Optional[str] = None,
     ):
         self.needle = needle
         self.params = SearchParams(
             max_substitutions, max_insertions, max_deletions, max_l_dist
         )
-        self.family = choose_search_family(self.params)
+        # explicit family = registry lookup (custom kernels plug in here);
+        # default = the reference's planner rules
+        self.family = family or choose_search_family(self.params)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy()
@@ -103,6 +106,7 @@ class ChunkedFuzzySearcher:
         max_insertions: Optional[int] = None,
         max_deletions: Optional[int] = None,
         max_l_dist: Optional[int] = None,
+        family: Optional[str] = None,
     ):
         from ..kernels import extra_items_for_chunked_search
         from ..kernels.dispatch import FAMILY_CONSOLIDATES
@@ -113,7 +117,7 @@ class ChunkedFuzzySearcher:
         self.params = SearchParams(
             max_substitutions, max_insertions, max_deletions, max_l_dist
         )
-        self.family = choose_search_family(self.params)
+        self.family = family or choose_search_family(self.params)
         self.overlap = len(needle) - 1 + extra_items_for_chunked_search(
             self.family, self.params
         )

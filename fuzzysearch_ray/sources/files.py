@@ -45,6 +45,7 @@ class FileFuzzySearcher:
         max_insertions: Optional[int] = None,
         max_deletions: Optional[int] = None,
         max_l_dist: Optional[int] = None,
+        family: Optional[str] = None,
     ):
         from ..kernels import SearchParams, choose_search_family
         from ..kernels.dispatch import FAMILY_CONSOLIDATES, extra_items_for_chunked_search
@@ -60,7 +61,7 @@ class FileFuzzySearcher:
         self.params = SearchParams(
             max_substitutions, max_insertions, max_deletions, max_l_dist
         )
-        self.family = choose_search_family(self.params)
+        self.family = family or choose_search_family(self.params)
         self.overlap = len(needle) - 1 + extra_items_for_chunked_search(
             self.family, self.params
         )

@@ -1,0 +1,105 @@
+"""Kernel registry: the engine's user-extension surface (SURVEY.md §2.9).
+
+Mirrors the reference's plugin contract — tests there inject mock search
+classes through the ``FuzzySearchBase`` abstraction
+(/root/reference/tests/test_find_near_matches.py:12-51); here the same
+three-part contract (search fn, consolidation policy, chunk overlap) is a
+registered ``SearchKernel`` resolved by name everywhere.
+"""
+
+import pytest
+
+from fuzzysearch_ray.kernels import (
+    EXACT,
+    GENERIC,
+    LEVENSHTEIN,
+    SUBSTITUTIONS,
+    SearchKernel,
+    SearchParams,
+    extra_items_for_chunked_search,
+    get_kernel,
+    register_kernel,
+    registered_kernels,
+    search_with_family,
+)
+from fuzzysearch_ray.kernels.match import Match
+
+
+def _mock_search(needle, haystack, params):
+    # fixed answer regardless of input — identity-checkable downstream
+    return [Match(start=1, end=1 + len(needle), dist=0, matched=str(needle))]
+
+
+@pytest.fixture
+def mock_kernel():
+    k = register_kernel(
+        SearchKernel(
+            "mock",
+            _mock_search,
+            consolidates=False,
+            chunk_overlap_extra=lambda params: 7,
+        ),
+        overwrite=True,
+    )
+    yield k
+    from fuzzysearch_ray.kernels.dispatch import _REGISTRY
+
+    _REGISTRY.pop("mock", None)
+
+
+def test_builtins_registered():
+    assert set(registered_kernels()) >= {EXACT, SUBSTITUTIONS, LEVENSHTEIN, GENERIC}
+    assert get_kernel(LEVENSHTEIN).consolidates is True
+    assert get_kernel(EXACT).consolidates is False
+
+
+def test_unknown_family_raises():
+    with pytest.raises(ValueError):
+        get_kernel("nope")
+    with pytest.raises(ValueError):
+        search_with_family("nope", "ab", "abab", SearchParams(max_l_dist=1))
+
+
+def test_duplicate_registration_guard(mock_kernel):
+    with pytest.raises(ValueError):
+        register_kernel(SearchKernel("mock", _mock_search))
+
+
+def test_custom_kernel_dispatches(mock_kernel):
+    out = search_with_family("mock", "xy", "whatever haystack", SearchParams(max_l_dist=1))
+    assert out == [Match(start=1, end=3, dist=0, matched="xy")]
+    assert extra_items_for_chunked_search("mock", SearchParams(max_l_dist=1)) == 7
+
+
+def test_registry_behavior_matches_direct_dispatch():
+    """The registry-backed dispatcher must give byte-identical results to the
+    built-in families' direct kernels (pinning the refactor)."""
+    cases = [
+        ("pattern", "a pattern in a patern haystack", dict(max_l_dist=1)),
+        ("abc", "abcxabc", dict(max_substitutions=1, max_insertions=0, max_deletions=0)),
+        ("abc", "abcxabc", dict(max_l_dist=0)),
+        ("abcde", "xx abde yy abcde", dict(max_substitutions=1, max_insertions=1,
+                                           max_deletions=1, max_l_dist=2)),
+    ]
+    from fuzzysearch_ray.kernels import choose_search_family, find_near_matches
+
+    for needle, hay, limits in cases:
+        params = SearchParams(**{("max_" + k.split("max_")[-1]): v for k, v in limits.items()})
+        fam = choose_search_family(params)
+        assert search_with_family(fam, needle, hay, params) == find_near_matches(
+            needle, hay, **limits
+        )
+
+
+def test_custom_kernel_through_chunked_searcher(mock_kernel):
+    """The chunked scanner honors a registered family end-to-end: overlap
+    sizing and (no-)consolidation come from the kernel record."""
+    from fuzzysearch_ray.pipelines.search import ChunkedFuzzySearcher
+
+    s = ChunkedFuzzySearcher("ab", chunk_size=4, max_l_dist=1, family="mock")
+    assert s.family == "mock"
+    assert s.overlap == len("ab") - 1 + 7
+    # 10-char text, chunk 4 → three windows, each yields the fixed match
+    # rebased by its window offset; no consolidation (consolidates=False)
+    out = s._search_one("x" * 10)
+    assert [m.start for m in out] == [1, 5, 9]
