@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": Q.q_simhash_signatures,
         "simhash_dup_pairs": Q.q_simhash_dup_pairs,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
+        "long_run_pairs": Q.q_long_run_pairs,
         "embedding_cosine_dup_pairs": Q.q_embedding_cosine_dup_pairs,
         # similarity search
         "ann_topk": Q.q_ann_topk,
@@ -400,4 +401,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents"
         ),
         "ann_srp_bucketed": _ann_srp_sql(),
+        "long_run_pairs": (
+            # documents sharing an exact 64-char window == sharing a run of
+            # >= 64 chars (chars == bytes: corpus is ASCII); md5 shrinks the
+            # join key, distinct-per-doc bounds the join
+            "WITH w AS (SELECT DISTINCT doc_id, "
+            "md5(substr(text, CAST(i.i AS INTEGER), 64)) AS win "
+            "FROM documents d, LATERAL (SELECT unnest(generate_series("
+            "1, length(d.text) - 63)) AS i) i) "
+            "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+            "FROM w x JOIN w y ON x.win = y.win AND x.doc_id < y.doc_id"
+        ),
     }

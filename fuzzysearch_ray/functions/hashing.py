@@ -288,14 +288,15 @@ def shares_long_run_hashed(
     using (optionally precomputed/cached) rolling window hashes; candidate
     hash hits are confirmed against the actual bytes to rule out collisions.
 
-    Completeness bound (documented, by design): only the first 256 candidate
-    hash hits are byte-confirmed. A FALSE result is therefore guaranteed
-    correct unless >256 distinct window-hash collisions precede every true
-    shared run — with 64-bit hashes that requires ~2^64-scale adversarial
-    construction, not natural data (expected spurious hits for n-byte docs:
-    n²/2^64). A TRUE result is always byte-confirmed exact. This replaces
-    the survey's suffix-array long-run index: same signal, O(n) build per
-    doc instead of O(n log n), and cacheable per actor (SURVEY.md §2.3)."""
+    EXACT (no completeness bound): hash equality is necessary for byte
+    equality, so zero hits is a definitive False; up to 256 candidate hits
+    are byte-confirmed directly (a True is always exact); beyond 256
+    unconfirmed hits — reachable only by ~2^64-scale adversarial collision
+    construction, never observed on natural data — the decision falls back
+    to the generalized suffix-array test
+    (functions/suffix_array.py:shares_run_at_least), which is exact by
+    construction. The O(n) probe is the fast path, the O(n log k) suffix
+    ranks are the guarantee (SURVEY.md §2.3's suffix-array index)."""
     if min_run <= 0:
         return True
     ha = run_window_hashes(a, min_run) if hashes_a is None else hashes_a
@@ -316,6 +317,10 @@ def shares_long_run_hashed(
     for off in hits[:256].tolist():
         if a_bytes.find(b_bytes[off : off + min_run]) >= 0:
             return True
+    if hits.size > 256:
+        from .suffix_array import shares_run_at_least
+
+        return shares_run_at_least(a_bytes, b_bytes, min_run)
     return False
 
 
@@ -346,8 +351,13 @@ def longest_common_run_at_least(a: str, b: str, min_run: int) -> bool:
         acc = (acc * _POLY_P + data[j : n - min_run + 1 + j].astype(np.uint64)).astype(np.uint64)
     window_hashes = _splitmix64(acc)
     candidate_offsets = np.nonzero(np.isin(window_hashes, probe))[0]
-    # collision guard: confirm one candidate window really occurs in `a`
+    # collision guard: confirm one candidate window really occurs in `a`;
+    # past 256 unconfirmed candidates, decide exactly via suffix ranks
     for off in candidate_offsets[:256]:
         if a_bytes.find(b_bytes[off : off + min_run]) >= 0:
             return True
+    if candidate_offsets.size > 256:
+        from .suffix_array import shares_run_at_least
+
+        return shares_run_at_least(a_bytes, b_bytes, min_run)
     return False

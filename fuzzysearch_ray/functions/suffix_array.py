@@ -1,0 +1,197 @@
+"""Suffix-array substring matching for exact long-run dedup.
+
+The north star names suffix-array matching as the exact-long-run component
+(SURVEY.md §2.3: the reference's memmem layer, search_exact.py /
+_common.c, generalized to corpus scale). This module provides the real
+index — a generalized suffix array over uint8 byte arrays built by
+vectorized prefix doubling (Manber–Myers, O(n log n) with numpy lexsort
+passes) — and the exact decision procedures the dedup pipeline needs:
+
+- ``suffix_array(data)``: the sorted-suffix permutation.
+- ``lcp_array(data, sa)``: longest-common-prefix of adjacent sorted
+  suffixes, computed from the doubling rank tables in O(n log n) vectorized
+  passes (no per-element Kasai loop).
+- ``shares_run_at_least(a, b, min_run)``: EXACT test for a shared substring
+  of >= min_run bytes between two documents (no hash-collision caveat): two
+  width-w windows are equal iff their doubling-rank pair keys are equal, so
+  the test is one lexsort of the generalized rank keys.
+- ``longest_common_run(a, b)``: exact length of the longest shared
+  substring (binary search over ``shares_run_at_least`` widths on shared
+  rank tables).
+
+The verify stage keeps the O(n) rolling-hash probe as its screen
+(functions/hashing.py:shares_long_run_hashed) and falls back to
+``shares_run_at_least`` only in the ambiguous regime (>256 unconfirmed hash
+hits), which removes the probe's documented completeness bound while
+leaving the fast path untouched.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def _as_u8(text) -> np.ndarray:
+    if isinstance(text, np.ndarray):
+        return text.astype(np.uint8, copy=False)
+    if isinstance(text, str):
+        text = text.encode("utf-8")
+    return np.frombuffer(bytes(text), dtype=np.uint8)
+
+
+def _doubling_ranks(data: np.ndarray, max_width: Optional[int] = None) -> List[np.ndarray]:
+    """Prefix-doubling rank tables: ranks[k][i] is the dense rank of the
+    width-2^k substring starting at i (shorter tails rank by their suffix).
+    Returns tables for k = 0..ceil(log2(max_width or n))."""
+    n = data.size
+    rank = np.empty(n, dtype=np.int64)
+    # width-1 ranks straight from byte values (dense not required: bounded)
+    rank[:] = data
+    tables = [rank]
+    width = 1
+    limit = n if max_width is None else min(max_width, n)
+    while width < limit:
+        # key = (rank[i], rank[i + width]) with -1 past the end
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - width] = rank[width:]
+        order = np.lexsort((second, rank))
+        key_r = rank[order]
+        key_s = second[order]
+        new_rank = np.empty(n, dtype=np.int64)
+        changed = np.empty(n, dtype=bool)
+        changed[0] = True
+        np.logical_or(
+            key_r[1:] != key_r[:-1], key_s[1:] != key_s[:-1], out=changed[1:]
+        )
+        new_rank[order] = np.cumsum(changed) - 1
+        rank = new_rank
+        tables.append(rank)
+        width *= 2
+        if int(rank.max()) == n - 1:
+            # all suffixes distinct: further doubling is a no-op; reuse the
+            # final table for any higher k requested implicitly
+            break
+    return tables
+
+
+def suffix_array(text) -> np.ndarray:
+    """Sorted-suffix permutation of ``text`` (str/bytes/uint8 array)."""
+    data = _as_u8(text)
+    n = data.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    tables = _doubling_ranks(data)
+    return np.argsort(tables[-1], kind="stable").astype(np.int64)
+
+
+def lcp_array(text, sa: Optional[np.ndarray] = None) -> np.ndarray:
+    """lcp[i] = longest common prefix of suffixes sa[i] and sa[i+1]
+    (length n-1). Computed by descending the doubling tables: at level k,
+    pairs whose current offsets share a width-2^k rank advance both offsets
+    by 2^k — O(n) work per level, vectorized."""
+    data = _as_u8(text)
+    n = data.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    tables = _doubling_ranks(data)
+    if sa is None:
+        sa = np.argsort(tables[-1], kind="stable").astype(np.int64)
+    i = sa[:-1].copy()
+    j = sa[1:].copy()
+    lcp = np.zeros(n - 1, dtype=np.int64)
+    for k in range(len(tables) - 1, -1, -1):
+        w = 1 << k
+        rank = tables[k]
+        ok = (i + w <= n) & (j + w <= n)
+        # in-bounds ranks only (guard the fancy index)
+        ii = np.where(ok, i, 0)
+        jj = np.where(ok, j, 0)
+        ok &= rank[ii] == rank[jj]
+        lcp[ok] += w
+        i[ok] += w
+        j[ok] += w
+    return lcp
+
+
+def _window_keys(tables: List[np.ndarray], n: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) rank-pair keys such that width-w windows at i and j are
+    byte-equal iff keys match; defined for i <= n - w."""
+    k = max(w.bit_length() - 1, 0)
+    if (1 << k) > w:
+        k -= 1
+    half = 1 << k
+    idx = min(k, len(tables) - 1)
+    rank = tables[idx]
+    m = n - w + 1
+    return rank[:m], rank[w - half : w - half + m]
+
+
+def shares_run_at_least(a, b, min_run: int) -> bool:
+    """EXACT: do ``a`` and ``b`` share a common substring of >= min_run
+    bytes? Generalized suffix ranks over a+sep+b (separator never matches:
+    windows crossing it are excluded by construction), one lexsort over the
+    width-min_run window keys, adjacent-equal keys from different docs."""
+    da, db = _as_u8(a), _as_u8(b)
+    if min_run <= 0:
+        return True
+    if da.size < min_run or db.size < min_run:
+        return False
+    # concatenate; windows that would straddle the boundary are sliced out
+    # below, so a plain 0 separator byte is safe even if it occurs in data
+    data = np.concatenate([da, db])
+    tables = _doubling_ranks(data, max_width=min_run)
+    hi, lo = _window_keys(tables, data.size, min_run)
+    # valid window starts: [0, len(a)-min_run] in a, [len(a), end] in b
+    a_hi = hi[: da.size - min_run + 1]
+    a_lo = lo[: da.size - min_run + 1]
+    b_hi = hi[da.size :]
+    b_lo = lo[da.size :]
+    # sort a's keys once, probe b's (both columns) — membership via lexsearch
+    order = np.lexsort((a_lo, a_hi))
+    sh, sl = a_hi[order], a_lo[order]
+    # binary search on the packed key (hi * R + lo fits: ranks < n <= 2^31)
+    base = np.int64(data.size + 1)
+    packed_a = sh * base + sl
+    packed_b = b_hi * base + b_lo
+    idx = np.searchsorted(packed_a, packed_b)
+    np.minimum(idx, packed_a.size - 1, out=idx)
+    return bool((packed_a[idx] == packed_b).any())
+
+
+def longest_common_run(a, b) -> int:
+    """Exact length of the longest common substring of ``a`` and ``b``
+    (bytes semantics), via binary search on ``shares_run_at_least`` widths
+    over shared doubling tables."""
+    da, db = _as_u8(a), _as_u8(b)
+    if da.size == 0 or db.size == 0:
+        return 0
+    data = np.concatenate([da, db])
+    tables = _doubling_ranks(data)
+    lo_w, hi_w = 0, min(da.size, db.size)
+
+    def shared(w: int) -> bool:
+        if w == 0:
+            return True
+        if da.size < w or db.size < w:
+            return False
+        hi, lo = _window_keys(tables, data.size, w)
+        a_hi = hi[: da.size - w + 1]
+        a_lo = lo[: da.size - w + 1]
+        b_hi = hi[da.size :]
+        b_lo = lo[da.size :]
+        base = np.int64(data.size + 1)
+        packed_a = np.sort(a_hi * base + a_lo)
+        packed_b = b_hi * base + b_lo
+        idx = np.searchsorted(packed_a, packed_b)
+        np.minimum(idx, packed_a.size - 1, out=idx)
+        return bool((packed_a[idx] == packed_b).any())
+
+    while lo_w < hi_w:
+        mid = (lo_w + hi_w + 1) // 2
+        if shared(mid):
+            lo_w = mid
+        else:
+            hi_w = mid - 1
+    return lo_w

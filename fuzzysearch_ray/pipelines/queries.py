@@ -623,3 +623,20 @@ def q_media_features(sf_dir: str):
     media = ds.map_batches(to_media, batch_format="pyarrow")
     feats = extract_media_features(media, dim=8)
     return feats.select_columns(["media_id", "kind", "n_bytes"])
+
+
+def q_long_run_pairs(sf_dir: str, min_run: int = 64):
+    """Exact long-run dedup pairs: documents sharing a common substring of
+    >= min_run bytes (suffix-array-confirmed, winnowing candidate gen —
+    stages/long_run.py). The corpus analog of the reference's exact
+    substring layer (search_exact.py memmem); SQL-oracled by joining equal
+    min_run-char windows across documents."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: pa.table({"id": t["doc_id"], "content": t["text"]}),
+        batch_format="pyarrow",
+    )
+    from ..stages.long_run import long_run_pairs
+
+    out = long_run_pairs(ds, min_run)
+    df = out.to_pandas().sort_values(["a", "b"], ignore_index=True)
+    return df

@@ -1,0 +1,182 @@
+"""Exact long-run dedup: pairs of documents sharing a >= min_run byte run.
+
+The corpus-scale generalization of the reference's exact substring layer
+(search_exact.py / _common.c memmem): instead of scanning one haystack for
+one needle, every document advertises winnowed fingerprints of its
+``min_run``-wide windows, fingerprint buckets generate candidate pairs over
+an integer-only shuffle, and candidates are confirmed EXACTLY with the
+generalized suffix-array test (functions/suffix_array.py) — no hash-
+collision caveat in either direction:
+
+- recall: winnowing (Schleimer-Wilkerson-Aiken, SIGMOD 2003) selects the
+  minimal window hash in every stride; the selection is content-determined,
+  so any shared run of length >= window + stride - 1 selects at least one
+  identical fingerprint in both documents — candidate generation cannot
+  miss a qualifying pair;
+- precision: every candidate is byte-confirmed by suffix ranks before it is
+  emitted.
+
+Pipeline shape mirrors the MinHash/LSH path (signatures → bucket groupby →
+pair dedup → verify), so the same scale properties hold: content never
+shuffles, buckets are integer-keyed, and the confirm stage reads content
+through the same broadcast/join machinery as near-dup verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DedupConfig
+from ..functions.hashing import run_window_hashes
+from ..functions.suffix_array import shares_run_at_least
+
+
+def winnow_fingerprints(text: str, window: int, stride: int) -> np.ndarray:
+    """Distinct winnowed hashes of ``text``: the minimum of each run of
+    ``stride`` consecutive ``window``-byte rolling hashes. Content-determined
+    selection ⇒ two documents sharing a run of >= window + stride - 1 bytes
+    share at least one fingerprint (the winnowing guarantee)."""
+    h = run_window_hashes(text, window)
+    if h.size == 0:
+        return h
+    if h.size <= stride:
+        return np.array([h.min()], dtype=np.uint64)
+    sw = np.lib.stride_tricks.sliding_window_view(h, stride)
+    return np.unique(sw.min(axis=1))
+
+
+def fingerprint_table(
+    batch: pa.Table, window: int, stride: int, id_col: str = "id"
+) -> pa.Table:
+    """(id, content) batch → exploded (id, band_id, band_hash) fingerprint
+    rows, shaped for stages.lsh.candidate_pairs (band_id constant 0)."""
+    ids = batch[id_col].to_numpy()
+    parts, out_ids = [], []
+    for i, text in zip(ids, batch["content"].to_pylist()):
+        fp = winnow_fingerprints(text, window, stride)
+        if fp.size:
+            parts.append(fp)
+            out_ids.append(np.full(fp.size, i, dtype=np.int64))
+    if not parts:
+        return pa.table(
+            {
+                "id": pa.array([], pa.int64()),
+                "band_id": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+            }
+        )
+    flat = np.concatenate(parts)
+    return pa.table(
+        {
+            "id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "band_id": pa.array(np.zeros(flat.size, dtype=np.int32)),
+            "band_hash": pa.array(flat.view(np.int64), pa.int64()),
+        }
+    )
+
+
+class ConfirmLongRun:
+    """Actor: byte-confirm candidate (a, b) pairs via suffix ranks against a
+    broadcast content map (small-side pattern: the map is ray.put once and
+    read zero-copy by every actor; the join-mode variant would reuse
+    verify_pairs_join's sharded lookup for corpora past the broadcast gate)."""
+
+    def __init__(self, content_ref, min_run: int):
+        import ray
+
+        self.content = ray.get(content_ref)
+        self.min_run = min_run
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        keep = np.fromiter(
+            (
+                shares_run_at_least(
+                    self.content[int(x)], self.content[int(y)], self.min_run
+                )
+                for x, y in zip(a, b)
+            ),
+            dtype=bool,
+            count=a.size,
+        )
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+
+def long_run_pairs(
+    ds,
+    min_run: int,
+    config: DedupConfig | None = None,
+    stride: int | None = None,
+):
+    """Dataset (id, content) → exact pairs (a, b), a < b, of documents
+    sharing a common substring of >= min_run bytes.
+
+    ``stride`` trades fingerprint density for candidate recall window:
+    window = min_run - stride + 1 keeps the winnowing guarantee exactly at
+    min_run. The fingerprint bucket shuffle reuses candidate_pairs, with an
+    uncapped bucket budget by default (capping would silently drop pairs;
+    callers dealing with pathological skew pass a config with a cap and
+    accept documented approximation)."""
+    import ray
+
+    from .lsh import candidate_pairs
+
+    stride = stride or max(min_run // 4, 1)
+    window = min_run - stride + 1
+    if window < 1:
+        raise ValueError("stride must be <= min_run")
+    cfg = config or DedupConfig(bucket_cap=1 << 30, chain_window=3)
+
+    src = ds.select_columns(["id", "content"])
+    fp = src.map_batches(
+        lambda b: fingerprint_table(b, window, stride),
+        batch_format="pyarrow",
+    )
+    # pairs are integer-only and small relative to content; materialize once
+    # so the candidate id set can semi-join-prune the content pull
+    pairs = candidate_pairs(fp, cfg).materialize()
+    cand = np.unique(
+        np.concatenate(
+            [
+                np.concatenate(
+                    [t["a"].to_numpy(), t["b"].to_numpy()]
+                )
+                for t in (ray.get(r) for r in pairs.to_arrow_refs())
+                if t.num_rows
+            ]
+            or [np.empty(0, dtype=np.int64)]
+        )
+    )
+    # broadcast ONLY candidate docs' content (semi-join reduction — the map
+    # is bounded by the pair set, not the corpus; past the broadcast gate
+    # the join-mode variant would reuse verify_pairs_join's sharded lookup)
+    cand_set = set(cand.tolist())
+    mapping = {}
+    for r in src.map_batches(
+        lambda b: b.filter(
+            pa.array([i in cand_set for i in b["id"].to_pylist()])
+        ),
+        batch_format="pyarrow",
+    ).to_arrow_refs():
+        t = ray.get(r)
+        for i, c in zip(t["id"].to_pylist(), t["content"].to_pylist()):
+            mapping[i] = c
+    content_ref = ray.put(mapping)
+
+    from .verify import pool_concurrency
+
+    return pairs.map_batches(
+        ConfirmLongRun,
+        fn_constructor_args=(content_ref, min_run),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=pool_concurrency((1, 8)),
+        num_cpus=1,
+    )

@@ -1,0 +1,144 @@
+"""Suffix-array module: exactness vs brute force, winnowing guarantee, and
+the long-run pair stage end-to-end.
+
+Parity anchor: the reference's exact substring layer
+(/root/reference/src/fuzzysearch/search_exact.py, _common.c memmem) — here
+generalized to corpus-scale run detection with no probabilistic caveat.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from fuzzysearch_ray.functions.hashing import shares_long_run_hashed
+from fuzzysearch_ray.functions.suffix_array import (
+    lcp_array,
+    longest_common_run,
+    shares_run_at_least,
+    suffix_array,
+)
+from fuzzysearch_ray.stages.long_run import winnow_fingerprints
+
+
+def _bf_sa(s):
+    return sorted(range(len(s)), key=lambda i: s[i:])
+
+
+def _bf_lcp(s, sa):
+    out = []
+    for x, y in zip(sa, sa[1:]):
+        a, b = s[x:], s[y:]
+        n = 0
+        while n < min(len(a), len(b)) and a[n] == b[n]:
+            n += 1
+        out.append(n)
+    return out
+
+
+def _bf_lcs(a, b):
+    best = 0
+    for i in range(len(a)):
+        for j in range(len(b)):
+            n = 0
+            while i + n < len(a) and j + n < len(b) and a[i + n] == b[j + n]:
+                n += 1
+            best = max(best, n)
+    return best
+
+
+def test_suffix_array_matches_bruteforce():
+    rng = random.Random(0)
+    for _ in range(120):
+        s = bytes(rng.choice(b"abc") for _ in range(rng.randrange(0, 40)))
+        sa = suffix_array(s)
+        assert list(sa) == _bf_sa(s)
+        if s:
+            assert list(lcp_array(s, sa)) == _bf_lcp(s, sa)
+
+
+def test_shared_run_and_lcs_match_bruteforce():
+    rng = random.Random(1)
+    for _ in range(150):
+        a = bytes(rng.choice(b"abcd") for _ in range(rng.randrange(0, 30)))
+        b = bytes(rng.choice(b"abcd") for _ in range(rng.randrange(0, 30)))
+        want = _bf_lcs(a, b)
+        assert longest_common_run(a, b) == want
+        for r in (1, 2, 3, 5, 8):
+            assert shares_run_at_least(a, b, r) == (want >= r)
+
+
+def test_shared_run_planted():
+    rng = random.Random(2)
+    run = bytes(rng.randrange(256) for _ in range(300))
+    a = bytes(rng.randrange(256) for _ in range(2000)) + run
+    b = run + bytes(rng.randrange(256) for _ in range(2000))
+    assert shares_run_at_least(a, b, 300)
+    assert not shares_run_at_least(a, b, 301)
+    assert longest_common_run(a, b) == 300
+
+
+def test_hash_probe_agrees_with_exact():
+    """shares_long_run_hashed (probe + suffix-array fallback) must agree
+    with the pure suffix-array decision on random near-dup texts."""
+    rng = random.Random(3)
+    base = "".join(rng.choice("abcdef ") for _ in range(600))
+    for _ in range(40):
+        cut = rng.randrange(0, 500)
+        other = base[:cut] + "".join(
+            rng.choice("abcdef ") for _ in range(rng.randrange(0, 200))
+        )
+        for min_run in (16, 64, 200):
+            assert shares_long_run_hashed(base, other, min_run) == (
+                shares_run_at_least(base.encode(), other.encode(), min_run)
+            )
+
+
+def test_winnowing_guarantee():
+    """Any shared run of >= window + stride - 1 bytes must put at least one
+    identical fingerprint in both documents' winnow sets."""
+    rng = random.Random(4)
+    window, stride = 49, 16  # detects runs >= 64
+    for _ in range(60):
+        run = "".join(rng.choice("xyzuvw") for _ in range(64))
+        a = "".join(rng.choice("abcdef") for _ in range(rng.randrange(0, 300))) + run
+        b = run + "".join(rng.choice("ghijkl") for _ in range(rng.randrange(0, 300)))
+        fa = winnow_fingerprints(a, window, stride)
+        fb = winnow_fingerprints(b, window, stride)
+        assert np.intersect1d(fa, fb).size > 0
+
+
+def test_winnowing_density():
+    rng = random.Random(5)
+    text = "".join(rng.choice("abcdefgh") for _ in range(5000))
+    fp = winnow_fingerprints(text, 49, 16)
+    # ~2/(s+1) selection density; allow wide slack, but must be far below 1
+    assert 0 < fp.size < 5000 * 0.35
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_long_run_pairs_stage_matches_bruteforce():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fuzzysearch_ray.stages.long_run import long_run_pairs
+
+    rng = random.Random(6)
+    run = "".join(rng.choice("0123456789") for _ in range(80))
+    docs = []
+    for i in range(30):
+        body = "".join(rng.choice("abcdefghij") for _ in range(rng.randrange(50, 300)))
+        if i % 5 == 0:  # plant the shared run in 6 docs
+            body = body[:20] + run + body[20:]
+        docs.append(body)
+    ds = rd.from_arrow(
+        pa.table({"id": list(range(30)), "content": docs})
+    )
+    out = long_run_pairs(ds, 64).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    want = set()
+    for i in range(30):
+        for j in range(i + 1, 30):
+            if _bf_lcs(docs[i].encode(), docs[j].encode()) >= 64:
+                want.add((i, j))
+    assert got == want and len(want) == 15
