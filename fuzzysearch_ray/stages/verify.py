@@ -136,24 +136,44 @@ class ShardedShingleLookup(ShardedIdLookup):
 
 
 class ShardedSigLookup(ShardedIdLookup):
-    """Sharded (id → MinHash signature row) lookup; chunks are viewed as
-    (n, num_perm) uint64 matrices zero-copy (FixedSizeList flatten)."""
+    """Sharded (id → MinHash signature row) lookup for the est-Jaccard gate.
+
+    The gate only tests slot EQUALITY, so each 64-bit slot is compacted to
+    its low byte: agreement of unequal slots then happens with p = 1/256,
+    inflating the estimate by ≤ (1-J)/256 ≈ 0.004 — far inside the gate's
+    4σ margin (config.py est_jaccard_gate). The compaction is the point at
+    scale: gathering uint8 sketches moves 8× less memory than the full
+    signatures, and the per-chunk sketch matrices are actor-PRIVATE heap
+    (built once, lazily) instead of plasma-backed views — repeated batch
+    gathers stop page-faulting the shared mmap, which was the measured
+    cross-actor contention at high concurrency (BASELINE.md scaling notes)."""
 
     def __init__(self, refs, num_perm: int):
         super().__init__(refs, "sig")
-        self.mats = [
-            c.flatten().to_numpy().view(np.uint64).reshape(-1, num_perm)
-            for c in self.cols
-        ]
         self.num_perm = num_perm
+        self._sketches: list = [None] * len(self.cols)
+
+    def _sketch(self, b: int) -> np.ndarray:
+        m = self._sketches[b]
+        if m is None:
+            m = (
+                self.cols[b]
+                .flatten()
+                .to_numpy()
+                .view(np.uint64)
+                .reshape(-1, self.num_perm)
+                .astype(np.uint8)  # low byte (little-endian truncation)
+            )
+            self._sketches[b] = m
+        return m
 
     def gather_rows(self, positions: np.ndarray) -> np.ndarray:
         blk = self.blk[positions]
         off = self.off[positions]
-        out = np.empty((len(positions), self.num_perm), dtype=np.uint64)
+        out = np.empty((len(positions), self.num_perm), dtype=np.uint8)
         for b in np.unique(blk):
             sel = blk == b
-            out[sel] = self.mats[b][off[sel]]
+            out[sel] = self._sketch(b)[off[sel]]
         return out
 
 
@@ -215,7 +235,7 @@ class VerifyPairs:
         (broadcast mode reads precomputed sets via ShardedShingleLookup)."""
         sh = self._cache.get(doc_id)
         if sh is None:
-            if len(self._cache) >= 2048:
+            if len(self._cache) >= 4096:
                 self._cache.clear()
             sh = shingle_hashes(
                 text[: self.cfg.max_content_bytes_for_lsh], self.cfg.shingle_k
@@ -226,7 +246,7 @@ class VerifyPairs:
     def _run_hashes(self, doc_id: int, text: str) -> np.ndarray:
         rh = self._run_cache.get(doc_id)
         if rh is None:
-            if len(self._run_cache) >= 1024:
+            if len(self._run_cache) >= 2048:
                 self._run_cache.clear()
             rh = run_window_hashes(text, self.cfg.min_exact_run)
             self._run_cache[doc_id] = rh
