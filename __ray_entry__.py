@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang": Q.q_docs_by_lang,
         "top_longest_docs": Q.q_top_longest_docs,
         "events_hourly": Q.q_events_hourly,
+        "user_sessions": Q.q_user_sessions,
         "lineitem_pricing": Q.q_lineitem_pricing,
         "customer_order_totals": Q.q_customer_order_totals,
         "docs_contains": Q.q_docs_contains,
@@ -401,6 +402,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents"
         ),
         "ann_srp_bucketed": _ann_srp_sql(),
+        "user_sessions": (
+            # gap-based sessionization; value summed in exact integer cents
+            # so Ray/DuckDB agree regardless of float summation order
+            "WITH o AS (SELECT user_id, ts, event_id, value, "
+            "CASE WHEN LAG(ts) OVER w IS NULL OR "
+            "epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 "
+            "THEN 1 ELSE 0 END AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+            "SELECT user_id, CAST(sid AS BIGINT) AS session_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS value_cents "
+            "FROM s GROUP BY user_id, sid"
+        ),
         "long_run_pairs": (
             # documents sharing an exact 64-char window == sharing a run of
             # >= 64 chars (chars == bytes: corpus is ASCII); md5 shrinks the

@@ -640,3 +640,55 @@ def q_long_run_pairs(sf_dir: str, min_run: int = 64):
     out = long_run_pairs(ds, min_run)
     df = out.to_pandas().sort_values(["a", "b"], ignore_index=True)
     return df
+
+
+def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization of the events stream: per user, a new
+    session starts when the inter-event gap exceeds ``gap_minutes``.
+    The training-data-pipeline windowed operator (session grouping of user
+    interaction logs), distributed as ONE integer-keyed shuffle: events are
+    hash-partitioned by user_id, then each partition sessionizes ALL its
+    users vectorized (sort + shift + cumsum — no per-user Python). Value
+    sums are exact integer cents so the SQL oracle matches bit-for-bit
+    regardless of float summation order."""
+    import pandas as pd
+
+    import ray
+
+    gap_us = np.int64(gap_minutes * 60_000_000)
+    P = 32
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part",
+            pc.cast(pc.bit_wise_and(t["user_id"], P - 1), pa.int64()),
+        )
+
+    def sessionize(block: pd.DataFrame) -> pd.DataFrame:
+        df = block.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        ts_us = df["ts"].astype("int64")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = ts_us - ts_us.shift()
+        new_sess = (new_user | (gap > gap_us)).astype("int64")
+        df["session_id"] = new_sess.groupby(df["user_id"]).cumsum()
+        df["ts_us"] = ts_us
+        df["cents"] = (df["value"] * 100).round().astype("int64")
+        g = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("event_id", "size"),
+            start_us=("ts_us", "min"),
+            end_us=("ts_us", "max"),
+            value_cents=("cents", "sum"),
+        )
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessionize, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values(
+        ["user_id", "session_id"], ignore_index=True
+    )

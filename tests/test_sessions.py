@@ -1,0 +1,51 @@
+"""Gap-based sessionization operator (q_user_sessions)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_user_sessions_matches_duckdb(tmp_path):
+    rng = np.random.default_rng(9)
+    n = 4000
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + np.sort(rng.integers(0, 86_400_000_000 * 5, n))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 60, n), pa.int64()),
+            "event_type": pa.array(["x"] * n, pa.string()),
+            "value": pa.array(np.round(rng.uniform(0, 200, n), 2), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    from fuzzysearch_ray.pipelines.queries import q_user_sessions
+
+    got = q_user_sessions(str(tmp_path))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('%s')"
+        % str(tmp_path / "events.parquet")
+    )
+    import __ray_entry__ as E
+
+    want = (
+        con.execute(E.oracle_sql()["user_sessions"])
+        .fetchdf()
+        .sort_values(["user_id", "session_id"], ignore_index=True)
+    )
+    got = got[want.columns.tolist()]
+    pd.testing.assert_frame_equal(
+        got.astype({c: want[c].dtype for c in want.columns}), want
+    )
+    # sanity: multi-session users exist (gap threshold actually fires)
+    assert (want.groupby("user_id")["session_id"].max() > 1).any()
