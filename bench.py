@@ -102,6 +102,8 @@ def run_bench() -> dict:
     timed("token_counts", lambda: Q.q_token_counts(SF_DIR))
     timed("lineitem_pricing", lambda: Q.q_lineitem_pricing(SF_DIR))
     timed("events_hourly", lambda: Q.q_events_hourly(SF_DIR))
+    timed("user_sessions", lambda: Q.q_user_sessions(SF_DIR))
+    timed("long_run_pairs", lambda: Q.q_long_run_pairs(SF_DIR))
 
     result = {
         "metric": "dedup_pipeline_wall_sec",
