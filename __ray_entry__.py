@@ -45,11 +45,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": Q.q_simhash_signatures,
         "simhash_dup_pairs": Q.q_simhash_dup_pairs,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
+        "containment_pairs": Q.q_containment_pairs,
         "long_run_pairs": Q.q_long_run_pairs,
         "embedding_cosine_dup_pairs": Q.q_embedding_cosine_dup_pairs,
         # similarity search
         "ann_topk": Q.q_ann_topk,
         "ann_srp_bucketed": Q.q_ann_srp_bucketed,
+        "ann_ivf": Q.q_ann_ivf,
         # text analysis
         "char_class_stats": Q.q_char_class_stats,
         "token_counts": Q.q_token_counts,
@@ -61,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_longest_docs": Q.q_top_longest_docs,
         "events_hourly": Q.q_events_hourly,
         "user_sessions": Q.q_user_sessions,
+        "stratified_sample": Q.q_stratified_sample,
         "lineitem_pricing": Q.q_lineitem_pricing,
         "customer_order_totals": Q.q_customer_order_totals,
         "docs_contains": Q.q_docs_contains,
@@ -284,6 +287,44 @@ def _ann_srp_sql(nq: int = 5, k: int = 5, nbits: int = 10, probe_hamming: int = 
     )
 
 
+def _ann_ivf_sql(nq: int = 5, k: int = 5, nlist: int = 16, nprobe: int = 4) -> str:
+    """IVF ANN in SQL: the seeded unit centroids (the SAME
+    ``seeded_centroids(64, nlist, 42)`` the Ray stage uses) inlined as
+    DOUBLE[] literals; assignment = first-max cosine (list_indexof of
+    list_max == numpy argmax), probing = top-nprobe centroids per query
+    (row_number over sim DESC, centroid id == stable argsort), brute-force
+    rank over the probed union."""
+    from fuzzysearch_ray.stages.ann import seeded_centroids
+
+    cents = seeded_centroids(64, nlist, 42)
+
+    def arr(c) -> str:
+        return "[" + ",".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
+
+    sims_list = "[" + ", ".join(
+        "list_cosine_similarity(embedding::DOUBLE[], %s)" % arr(cents[j])
+        for j in range(nlist)
+    ) + "]"
+    return (
+        f"WITH csims AS (SELECT vec_id, embedding, {sims_list} AS sims FROM embeddings), "
+        "assigned AS (SELECT vec_id, embedding, "
+        "list_indexof(sims, list_max(sims)) AS cid FROM csims), "
+        "qprobe AS (SELECT c.vec_id AS qid, CAST(u.i AS INTEGER) AS cid "
+        f"FROM csims c, LATERAL (SELECT unnest(generate_series(1, {nlist})) AS i) u "
+        f"WHERE c.vec_id < {nq} "
+        "QUALIFY row_number() OVER (PARTITION BY c.vec_id "
+        f"ORDER BY c.sims[CAST(u.i AS INTEGER)] DESC, u.i) <= {nprobe}), "
+        "probed AS (SELECT DISTINCT a.vec_id, a.embedding FROM assigned a "
+        "JOIN (SELECT DISTINCT cid FROM qprobe) p ON a.cid = p.cid) "
+        "SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
+        "ROUND(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) AS sim_r "
+        f"FROM embeddings q JOIN probed n ON n.vec_id <> q.vec_id WHERE q.vec_id < {nq} "
+        "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC, "
+        f"n.vec_id) <= {k}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_groups": (
@@ -362,6 +403,26 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sb ON sb.doc_id = i.b "
             "WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5"
         ),
+        "containment_pairs": (
+            # asymmetric gram containment: same gram/size CTEs as the
+            # Jaccard oracle, ratios against each side's own set size
+            "WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60), "
+            "grams AS (SELECT DISTINCT d.doc_id, substr(d.text, CAST(gs.i AS INTEGER), 3) AS g "
+            "  FROM docs d, (SELECT unnest(generate_series(1, "
+            "    (SELECT CAST(MAX(length(text)) AS BIGINT) FROM docs))) AS i) gs "
+            "  WHERE gs.i <= length(d.text) - 2), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i "
+            "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2) "
+            "SELECT i.a, i.b, "
+            "ROUND(CAST(i.i AS DOUBLE) / sa.n, 4) AS cont_a_r, "
+            "ROUND(CAST(i.i AS DOUBLE) / sb.n, 4) AS cont_b_r "
+            "FROM inter i JOIN sizes sa ON sa.doc_id = i.a "
+            "JOIN sizes sb ON sb.doc_id = i.b "
+            "WHERE GREATEST(CAST(i.i AS DOUBLE) / sa.n, "
+            "CAST(i.i AS DOUBLE) / sb.n) >= 0.8"
+        ),
         "fuzzy_scan_ends": _scan_ends_sql("stream", 1),
         "fuzzy_search_levenshtein": _lev_mindist_sql("stream", 1),
         "fuzzy_search_chunked": _lev_mindist_sql("stream", 1),
@@ -402,6 +463,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents"
         ),
         "ann_srp_bucketed": _ann_srp_sql(),
+        "ann_ivf": _ann_ivf_sql(),
+        "stratified_sample": (
+            # deterministic per-language sample: keep iff the first md5 byte
+            # of the doc_id (as text) is under the stratum threshold — the
+            # generated CASE comes from the same table the Ray filter uses
+            "SELECT doc_id, lang FROM documents WHERE "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < CASE lang "
+            + " ".join(
+                "WHEN '%s' THEN '%s'" % (lang, thr)
+                for lang, thr in sorted(Q._STRATA_THRESHOLDS.items())
+            )
+            + " ELSE '" + Q._STRATA_DEFAULT + "' END"
+        ),
         "user_sessions": (
             # gap-based sessionization; value summed in exact integer cents
             # so Ray/DuckDB agree regardless of float summation order

@@ -406,17 +406,13 @@ def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def q_ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 60, threshold: float = 0.5):
-    """Character-3-gram Jaccard similarity for all doc pairs with
-    doc_id < max_doc_id, as a distributed gram-inverted-index pipeline:
-    explode distinct grams → gram-keyed groupby emits co-occurrence pairs →
-    pair-keyed count = intersection size → Jaccard against broadcast doc
-    gram-set sizes. SQL-checkable (DuckDB generates the same 3-gram sets
-    with substring + range).
-
-    Skew note: a gram shared by g docs emits O(g²) pairs; for open-ended
-    corpora this needs the LSH-style bucket cap — here the doc filter bounds
-    g, and genuinely hot grams are exactly what Jaccard>=0.5 pairs share."""
+def _gram_pair_index(sf_dir: str, max_doc_id: int):
+    """Shared 3-gram inverted-index pair machinery: explode distinct grams →
+    partitioned gram-bucket pair emission (with per-partition combiner) →
+    global (a, b) intersection counts. Returns ``(inter_ds, sizes_ref)``
+    where ``inter_ds`` has columns (a, b, i) and ``sizes_ref`` is a
+    broadcast (sorted doc_ids, gram-set sizes) pair. Jaccard and containment
+    finalizers both derive from it."""
     import ray
     from ray.data.aggregate import Count
 
@@ -525,6 +521,23 @@ def q_ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 60, threshold: float = 
         .groupby(["a", "b"])
         .aggregate(Sum("cnt", alias_name="i"))
     )
+    return inter, sizes_ref
+
+
+def q_ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 60, threshold: float = 0.5):
+    """Character-3-gram Jaccard similarity for all doc pairs with
+    doc_id < max_doc_id, as a distributed gram-inverted-index pipeline:
+    explode distinct grams → gram-keyed groupby emits co-occurrence pairs →
+    pair-keyed count = intersection size → Jaccard against broadcast doc
+    gram-set sizes. SQL-checkable (DuckDB generates the same 3-gram sets
+    with substring + range).
+
+    Skew note: a gram shared by g docs emits O(g²) pairs; for open-ended
+    corpora this needs the LSH-style bucket cap — here the doc filter bounds
+    g, and genuinely hot grams are exactly what Jaccard>=0.5 pairs share."""
+    import ray
+
+    inter, sizes_ref = _gram_pair_index(sf_dir, max_doc_id)
 
     def jaccard(batch: pa.Table) -> pa.Table:
         k, v = ray.get(sizes_ref)
@@ -544,6 +557,38 @@ def q_ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 60, threshold: float = 
         )
 
     return inter.map_batches(jaccard, batch_format="pyarrow")
+
+
+def q_containment_pairs(sf_dir: str, max_doc_id: int = 60, threshold: float = 0.8):
+    """Asymmetric containment dedup over the same 3-gram index:
+    C(A→B) = |g(A) ∩ g(B)| / |g(A)| — the near-dup signal Jaccard misses
+    when a short document (a quote, an excerpt, a boilerplate block) sits
+    inside a much longer one. Emits pairs where either direction reaches
+    ``threshold``, with both directional ratios."""
+    import ray
+
+    inter, sizes_ref = _gram_pair_index(sf_dir, max_doc_id)
+
+    def containment(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(sizes_ref)
+        a = batch["a"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        inter_n = batch["i"].to_numpy().astype(np.int64)
+        na = v[np.searchsorted(k, a)]
+        nb = v[np.searchsorted(k, b)]
+        ca = inter_n / na
+        cb = inter_n / nb
+        keep = np.maximum(ca, cb) >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "cont_a_r": pa.array(round_half_up(ca[keep], 4), pa.float64()),
+                "cont_b_r": pa.array(round_half_up(cb[keep], 4), pa.float64()),
+            }
+        )
+
+    return inter.map_batches(containment, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -692,3 +737,51 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
     return out.to_pandas().sort_values(
         ["user_id", "session_id"], ignore_index=True
     )
+
+
+#: per-language keep thresholds for the stratified sampler: a doc survives
+#: iff the first byte of md5(doc_id) is below the threshold (hex compare) —
+#: content-independent, deterministic, and identically computable in SQL.
+#: The mix downweights the dominant language and upsamples the tails, the
+#: standard training-data rebalancing shape.
+_STRATA_THRESHOLDS = {"en": "40", "de": "c0", "fr": "c0", "es": "c0", "zh": "80"}
+_STRATA_DEFAULT = "20"
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language stratified sample of the documents table.
+
+    The data-mixing operator of a training pipeline: each language stratum
+    keeps a fixed fraction, decided per row by a seedless content-stable
+    hash (md5 of the doc_id) so (a) re-runs and retries keep IDENTICAL
+    rows — resumability at 100 TB needs sampling to be a pure row function,
+    never RNG state — and (b) DuckDB computes the same decision for the
+    oracle. Shuffle-free: one vectorized filter pass."""
+    from ..functions.hashing import md5_hex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        keep = [
+            md5_hex(str(i))[:2]
+            < _STRATA_THRESHOLDS.get(lang, _STRATA_DEFAULT)
+            for i, lang in zip(ids, langs)
+        ]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+def q_ann_ivf(sf_dir: str, nq: int = 5, k: int = 5):
+    """IVF-bucketed ANN (coarse-quantizer probe; stages/ann.ivf_topk) —
+    SQL-oracled via inlined centroid literals + list_indexof argmax
+    assignment (__ray_entry__._ann_ivf_sql)."""
+    from ..stages.ann import ivf_topk
+
+    ids, mat = _load_queries(sf_dir, nq)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = ivf_topk(ds, ids, mat, k=k, nlist=16, nprobe=4)
+    df["sim_r"] = round_half_up(df["sim"], 4)
+    return df[["query_id", "neighbor_id", "sim_r"]]

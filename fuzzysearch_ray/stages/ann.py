@@ -229,3 +229,82 @@ def srp_bucketed_topk(
         bucket_filter, batch_format="pyarrow", batch_size=4096
     )
     return brute_force_topk(filtered, query_ids, query_mat, k)
+
+
+def ivf_centroids(
+    sample_mat: np.ndarray, nlist: int = 16, iters: int = 8
+) -> np.ndarray:
+    """Deterministic coarse quantizer for IVF: Lloyd iterations on a
+    normalized sample, initialized from the sample's first ``nlist`` rows —
+    no RNG, so retries/resumes and the SQL oracle see identical centroids.
+    Returns NORMALIZED centroids (ranking by dot == ranking by cosine).
+
+    At 100 TB this is exactly how IVF quantizers train in practice: on a
+    driver-sized sample, broadcast to every assignment task."""
+    x = _normalize(np.asarray(sample_mat, dtype=np.float64))
+    c = x[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ _normalize(c).T, axis=1)
+        for j in range(nlist):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return _normalize(c)
+
+
+def seeded_centroids(dim: int, nlist: int = 16, seed: int = 42) -> np.ndarray:
+    """Data-independent coarse quantizer: seeded random unit vectors
+    (a Voronoi partition of the sphere). Worse recall per probe than a
+    trained quantizer, but reproducible from the seed alone — which makes
+    the whole IVF operator exactly SQL-checkable at any scale factor."""
+    rng = np.random.default_rng(seed)
+    return _normalize(rng.standard_normal((nlist, dim)))
+
+
+def ivf_topk(
+    embeddings_ds,
+    query_ids,
+    query_mat: np.ndarray,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: Optional[np.ndarray] = None,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF-bucketed ANN: vectors are assigned to their nearest coarse
+    centroid (one broadcast matmul per batch), queries probe their
+    ``nprobe`` nearest lists, and brute force runs only over the union of
+    probed lists (same union-filter shape as ``srp_bucketed_topk``).
+    Assignment ties resolve to the FIRST maximal centroid (numpy argmax ==
+    SQL list_indexof-of-max), probe ranking ties to the lower centroid id
+    (stable argsort == ORDER BY sim DESC, id).
+
+    ``centroids``: pass a trained quantizer (``ivf_centroids`` over a
+    sample) for production recall; default is the seeded data-independent
+    quantizer so results are reproducible from config alone."""
+    import ray
+
+    query_mat = np.asarray(query_mat, dtype=np.float64)
+    if centroids is None:
+        centroids = seeded_centroids(query_mat.shape[1], nlist, seed)
+
+    q_sims = _normalize(query_mat) @ centroids.T
+    probe_union = np.unique(
+        np.concatenate(
+            [np.argsort(-row, kind="stable")[:nprobe] for row in q_sims]
+        )
+    )
+    cent_ref = ray.put(centroids)
+    probed_ref = ray.put(probe_union)
+
+    def list_filter(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        probed = ray.get(probed_ref)
+        mat = _normalize(_stack_embeddings(batch["embedding"]))
+        assigned = np.argmax(mat @ c.T, axis=1)
+        return batch.filter(pa.array(np.isin(assigned, probed)))
+
+    filtered = embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        list_filter, batch_format="pyarrow", batch_size=4096
+    )
+    return brute_force_topk(filtered, query_ids, query_mat, k)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from fuzzysearch_ray.stages.ann import (
@@ -115,3 +116,68 @@ def test_media_extract_pipeline(ray_session):
         out.sort_values("media_id").reset_index(drop=True),
         out2.sort_values("media_id").reset_index(drop=True),
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_topk_probed_subset_of_bruteforce():
+    """IVF results must (a) be exact cosine ranks over its probed union and
+    (b) recover most of the true top-k at nprobe=4/16 lists on clustered
+    data."""
+    import ray.data as rd
+
+    from fuzzysearch_ray.stages.ann import (
+        _normalize,
+        brute_force_topk,
+        ivf_centroids,
+        ivf_topk,
+        seeded_centroids,
+    )
+
+    rng = np.random.default_rng(21)
+    # clustered vectors: 8 gaussian blobs
+    centers = rng.standard_normal((8, 16)) * 3
+    mat = np.vstack(
+        [centers[i % 8] + rng.standard_normal(16) * 0.4 for i in range(600)]
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(600), pa.int64()),
+            "embedding": pa.array(list(mat.astype(np.float64))),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    qids = [0, 1, 2]
+    qmat = mat[:3]
+    exact = brute_force_topk(ds, qids, qmat, k=5)
+    approx = ivf_topk(ds, qids, qmat, k=5, nlist=16, nprobe=4)
+    # recall of approx vs exact top-5
+    hits = 0
+    for q in qids:
+        want = set(exact[exact["query_id"] == q]["neighbor_id"])
+        got = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(want & got)
+    assert hits >= 10  # >= 2/3 recall with the seeded quantizer
+
+    # trained quantizer at least matches the seeded one on recall
+    trained = ivf_centroids(mat[:256], nlist=16)
+    approx_t = ivf_topk(ds, qids, qmat, k=5, nlist=16, nprobe=4, centroids=trained)
+    hits_t = 0
+    for q in qids:
+        want = set(exact[exact["query_id"] == q]["neighbor_id"])
+        got = set(approx_t[approx_t["query_id"] == q]["neighbor_id"])
+        hits_t += len(want & got)
+    assert hits_t >= hits - 2
+
+
+def test_ivf_centroids_deterministic_and_normalized():
+    from fuzzysearch_ray.stages.ann import ivf_centroids, seeded_centroids
+
+    rng = np.random.default_rng(5)
+    sample = rng.standard_normal((100, 32))
+    c1 = ivf_centroids(sample, nlist=8)
+    c2 = ivf_centroids(sample.copy(), nlist=8)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    s1 = seeded_centroids(32, 8, 42)
+    assert np.array_equal(s1, seeded_centroids(32, 8, 42))
+    assert np.allclose(np.linalg.norm(s1, axis=1), 1.0)
