@@ -15,5 +15,9 @@ Layers:
 """
 
 from .kernels import Match, SearchParams, find_near_matches  # noqa: F401
+from .sources.files import (  # noqa: F401
+    find_near_matches_in_file,
+    find_near_matches_in_files,
+)
 
 __version__ = "0.1.0"

@@ -135,3 +135,62 @@ def find_near_matches_in_files(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def find_near_matches_in_file(
+    f,
+    needle,
+    encoding: Optional[str] = None,
+    chunk_size: int = 1 << 20,
+    **limits,
+):
+    """Reference-parity single-file entry point (no Ray session needed):
+    the reference's ``find_near_matches_in_file``
+    (/root/reference/src/fuzzysearch/__init__.py:86-200) — accepts a path or
+    an open binary/text file object and STREAMS it in ``chunk_size`` windows
+    with the family's overlap tail (never holding the whole file), rebasing
+    spans by the window offset and applying the family's consolidation
+    policy. Returns the final Match list.
+
+    ``encoding`` mirrors the reference: given a path, the file opens in
+    text mode with that encoding and matches span character offsets;
+    without it, binary mode and byte offsets."""
+    import os
+
+    from ..kernels import search_with_family
+
+    # reuse the distributed searcher's setup (family choice, needle
+    # normalization, overlap sizing, consolidation policy)
+    cfg = FileFuzzySearcher(needle, encoding, chunk_size, **limits)
+
+    close = False
+    if isinstance(f, (str, os.PathLike)):
+        f = open(f, "r", encoding=encoding) if encoding else open(f, "rb")
+        close = True
+    try:
+        probe = f.read(0)
+        needle_n = cfg.needle
+        if isinstance(probe, str) and isinstance(needle_n, (bytes, bytearray)):
+            needle_n = bytes(needle_n).decode(encoding or "utf-8")
+        elif isinstance(probe, (bytes, bytearray)) and isinstance(needle_n, str):
+            needle_n = needle_n.encode(encoding or "utf-8")
+
+        matches = []
+        offset = 0
+        buf = f.read(chunk_size + cfg.overlap)
+        while buf:
+            for m in search_with_family(cfg.family, needle_n, buf, cfg.params):
+                matches.append(m.shifted(offset))
+            if len(buf) < chunk_size + cfg.overlap:
+                break  # EOF inside this window
+            nxt = f.read(chunk_size)
+            if not nxt:
+                break  # the window already covered the file tail
+            offset += chunk_size
+            buf = buf[chunk_size:] + nxt
+    finally:
+        if close:
+            f.close()
+    if cfg._consolidates:
+        return cfg._consolidate(matches)
+    return sorted(set(matches))

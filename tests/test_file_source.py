@@ -76,3 +76,53 @@ def test_unicode_encodings(ray_session, tmp_path):
         assert sorted(
             (int(r["start"]), int(r["end"]), int(r["dist"])) for _, r in out.iterrows()
         ) == sorted((m.start, m.end, m.dist) for m in want), enc
+
+
+class TestSingleFileStreaming:
+    """find_near_matches_in_file: reference-parity single-file streaming
+    (no Ray) — path and file-object inputs, chunk-boundary straddling,
+    agreement with the in-memory dispatcher."""
+
+    def test_path_binary(self, tmp_path):
+        import fuzzysearch_ray as fsr
+
+        p = tmp_path / "data.bin"
+        p.write_bytes(b"x" * 100 + b"PATTERN" + b"y" * 100 + b"PATTERM" + b"z" * 50)
+        out = fsr.find_near_matches_in_file(str(p), b"PATTERN", max_l_dist=1)
+        assert [(m.start, m.dist) for m in out] == [(100, 0), (207, 1)]
+
+    def test_file_object_and_chunk_straddle(self, tmp_path):
+        import fuzzysearch_ray as fsr
+        from fuzzysearch_ray.kernels import find_near_matches
+
+        data = (b"a" * 5000 + b"NEEDLE" + b"b" * 5000) * 3
+        p = tmp_path / "big.bin"
+        p.write_bytes(data)
+        # chunk size far smaller than the file, forcing matches to straddle
+        with open(p, "rb") as f:
+            out = fsr.find_near_matches_in_file(f, b"NEEDLE", chunk_size=1024,
+                                                max_l_dist=1)
+        want = find_near_matches(b"NEEDLE", data, max_l_dist=1)
+        assert [(m.start, m.end, m.dist) for m in out] == [
+            (m.start, m.end, m.dist) for m in want
+        ]
+
+    def test_text_mode_encoding(self, tmp_path):
+        import fuzzysearch_ray as fsr
+
+        p = tmp_path / "t.txt"
+        p.write_text("héllo wörld hallo", encoding="utf-8")
+        out = fsr.find_near_matches_in_file(
+            str(p), "hällo", encoding="utf-8", max_l_dist=1
+        )
+        # character offsets (text mode): hé=0, ha=12
+        assert sorted(m.start for m in out) == [0, 12]
+
+    def test_exact_family_no_consolidation(self, tmp_path):
+        import fuzzysearch_ray as fsr
+
+        p = tmp_path / "e.bin"
+        p.write_bytes(b"aaaa")
+        out = fsr.find_near_matches_in_file(str(p), b"aa", max_l_dist=0,
+                                            chunk_size=2)
+        assert [(m.start, m.end) for m in out] == [(0, 2), (1, 3), (2, 4)]
