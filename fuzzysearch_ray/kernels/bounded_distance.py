@@ -22,13 +22,22 @@ def _codepoints(s: str) -> np.ndarray:
 
 
 def _strip_common(a: str, b: str):
-    """Drop the shared prefix and suffix (edit distance is invariant)."""
+    """Drop the shared prefix and suffix (edit distance is invariant).
+    Chunked slice comparisons run at C speed; the per-char loop only
+    refines the last partial chunk."""
     la, lb = len(a), len(b)
     lim = min(la, lb)
     pre = 0
+    while pre + 128 <= lim and a[pre : pre + 128] == b[pre : pre + 128]:
+        pre += 128
     while pre < lim and a[pre] == b[pre]:
         pre += 1
     suf = 0
+    while (
+        suf + 128 <= lim - pre
+        and a[la - suf - 128 : la - suf] == b[lb - suf - 128 : lb - suf]
+    ):
+        suf += 128
     while suf < lim - pre and a[la - 1 - suf] == b[lb - 1 - suf]:
         suf += 1
     return a[pre : la - suf], b[pre : lb - suf]
@@ -125,15 +134,7 @@ def bounded_levenshtein(
     if abs(la - lb) > cap:
         return None
     # strip common prefix/suffix — near-dup pairs shrink dramatically
-    lim = min(la, lb)
-    pre = 0
-    while pre < lim and a[pre] == b[pre]:
-        pre += 1
-    suf = 0
-    while suf < lim - pre and a[la - 1 - suf] == b[lb - 1 - suf]:
-        suf += 1
-    a = a[pre : la - suf]
-    b = b[pre : lb - suf]
+    a, b = _strip_common(a, b)
     if not a:
         return len(b) if len(b) <= cap else None
     if not b:
