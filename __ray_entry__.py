@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": Q.q_language_id,
         "quality_scores": Q.q_quality_scores,
         "doc_fingerprints": Q.q_doc_fingerprints,
+        "tfidf_top_terms": Q.q_tfidf_top_terms,
         # relational / windowed
         "docs_by_lang": Q.q_docs_by_lang,
         "top_longest_docs": Q.q_top_longest_docs,
@@ -464,6 +465,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_srp_bucketed": _ann_srp_sql(),
         "ann_ivf": _ann_ivf_sql(),
+        "tfidf_top_terms": (
+            # integer-only ranking (tf desc, df asc, term asc) — float log
+            # never participates in ordering, only in the rounded score
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM toks GROUP BY 1, 2), "
+            "df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+            "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents) "
+            "SELECT doc_id, term, tf, df, "
+            "ROUND(tf * ln((SELECT n FROM n) / df), 4) AS tfidf_r "
+            "FROM tf JOIN df USING (term) "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY tf DESC, df ASC, term ASC) <= 3"
+        ),
         "stratified_sample": (
             # deterministic per-language sample: keep iff the first md5 byte
             # of the doc_id (as text) is under the stratum threshold — the

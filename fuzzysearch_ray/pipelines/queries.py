@@ -785,3 +785,90 @@ def q_ann_ivf(sf_dir: str, nq: int = 5, k: int = 5):
     df = ivf_topk(ds, ids, mat, k=k, nlist=16, nprobe=4)
     df["sim_r"] = round_half_up(df["sim"], 4)
     return df[["query_id", "neighbor_id", "sim_r"]]
+
+
+def q_tfidf_top_terms(sf_dir: str, top_k: int = 3):
+    """Per-document top-k TF-IDF terms — the vocabulary/term-statistics
+    operator of a training pipeline, as a two-pass distributed aggregation:
+
+    1. tokenize + per-doc term counts inside ``map_batches`` (one exploded
+       (doc_id, term, tf) dataset — counts are already per-doc, so no
+       term-level shuffle is needed for tf);
+    2. document frequency df by a term-keyed groupby (the only wide pass
+       over the vocabulary), broadcast back for scoring (at open-vocabulary
+       scale this broadcast becomes a term-keyed hash join);
+    3. per-doc top-k by hash-partitioned doc groupby, vectorized.
+
+    Ranking is INTEGER-only — (tf desc, df asc, term asc) — so Ray and the
+    SQL oracle agree exactly even where float log implementations differ by
+    an ulp; the tfidf score itself is emitted rounded, not ranked on."""
+    import re as _re
+
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    token_re = _re.compile(r"[a-z0-9]+")
+
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        out_id, out_t, out_c = [], [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            counts = {}
+            for w in token_re.findall(t.lower()):
+                counts[w] = counts.get(w, 0) + 1
+            out_id.extend([i] * len(counts))
+            out_t.extend(counts.keys())
+            out_c.extend(counts.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "term": pa.array(out_t, pa.string()),
+                "tf": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    tf_ds = ds.map_batches(explode_tf, batch_format="pyarrow").materialize()
+
+    df_pd = (
+        tf_ds.groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .to_pandas()
+        .sort_values("term", ignore_index=True)
+    )
+    df_ref = ray.put(
+        (df_pd["term"].to_numpy(), df_pd["df"].to_numpy().astype(np.int64))
+    )
+
+    P = 32
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pc.cast(pc.bit_wise_and(batch["doc_id"], P - 1), pa.int64())
+        )
+
+    def topk(block: pd.DataFrame) -> pd.DataFrame:
+        terms, dfs = ray.get(df_ref)
+        idx = np.searchsorted(terms, block["term"].to_numpy())
+        block = block.assign(df=dfs[idx])
+        block = block.sort_values(
+            ["doc_id", "tf", "df", "term"], ascending=[True, False, True, True]
+        )
+        out = block.groupby("doc_id", as_index=False).head(top_k)
+        score = out["tf"].to_numpy() * np.log(n_docs / out["df"].to_numpy())
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy().astype(np.int64),
+                "term": out["term"].to_numpy(),
+                "tf": out["tf"].to_numpy().astype(np.int64),
+                "df": out["df"].to_numpy().astype(np.int64),
+                "tfidf_r": round_half_up(score, 4),
+            }
+        )
+
+    out = (
+        tf_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values(["doc_id", "term"], ignore_index=True)
