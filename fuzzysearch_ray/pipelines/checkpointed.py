@@ -54,6 +54,36 @@ def _shard_name(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
+def _read_shard(path_or_paths, columns=None):
+    """Read corpus shards, adapting the documents-table schema
+    (doc_id/text → id/content) so the CLI and checkpointed runs accept
+    either input shape (the driver's testdata tables or the input_hint
+    corpus). Column pruning happens at the read in both cases."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    first = (
+        path_or_paths[0]
+        if isinstance(path_or_paths, (list, tuple))
+        else path_or_paths
+    )
+    names = set(pq.read_schema(first).names)
+    alias = {"id": "doc_id", "content": "text"}
+    if columns is not None:
+        actual = [c if c in names else alias.get(c, c) for c in columns]
+        ds = rd.read_parquet(path_or_paths, columns=actual)
+    else:
+        ds = rd.read_parquet(path_or_paths)
+    ren = {alias[k]: k for k in alias if k not in names and alias[k] in names}
+    if ren:
+
+        def _rename(t: pa.Table) -> pa.Table:
+            return t.rename_columns([ren.get(n, n) for n in t.column_names])
+
+        ds = ds.map_batches(_rename, batch_format="pyarrow")
+    return ds
+
+
 def run_dedup_checkpointed(
     input_paths: List[str],
     out_dir: str,
@@ -82,7 +112,7 @@ def run_dedup_checkpointed(
         if manifest.is_complete(part):
             n_skipped += 1
             continue
-        shard = preprocess(rd.read_parquet(path))
+        shard = preprocess(_read_shard(path))
         sigs = minhash_signatures(shard, config)
         hashes = shard.select_columns(["id", "sha256", "n_bytes"])
         joined = _zip_by_id(hashes, sigs)
@@ -145,7 +175,7 @@ def run_dedup_checkpointed(
         # materialized so the two join passes (and their boundary sampling)
         # consume settled blocks instead of racing the read for CPU slots
         content_ds = broadcast_id_filter(
-            rd.read_parquet(input_paths, columns=["id", "content"]), rep_ref
+            _read_shard(input_paths, columns=["id", "content"]), rep_ref
         ).materialize()
         if mode == "broadcast":
             content_refs = content_ds.to_arrow_refs()
