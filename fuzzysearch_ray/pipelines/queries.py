@@ -683,8 +683,11 @@ def q_long_run_pairs(sf_dir: str, min_run: int = 64):
     from ..stages.long_run import long_run_pairs
 
     out = long_run_pairs(ds, min_run)
-    df = out.to_pandas().sort_values(["a", "b"], ignore_index=True)
-    return df
+    df = out.to_pandas()
+    if df.empty:
+        # 0-row Ray blocks drop their schema; pin the output contract
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    return df.sort_values(["a", "b"], ignore_index=True)
 
 
 def q_user_sessions(sf_dir: str, gap_minutes: int = 30):

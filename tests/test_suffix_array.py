@@ -142,3 +142,25 @@ def test_long_run_pairs_stage_matches_bruteforce():
             if _bf_lcs(docs[i].encode(), docs[j].encode()) >= 64:
                 want.add((i, j))
     assert got == want and len(want) == 15
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_long_run_pairs_empty_corpus_keeps_schema(tmp_path):
+    """No qualifying pairs → the catalog query must still return the
+    (a, b) schema (0-row Ray blocks drop theirs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(7)
+    docs = ["".join(rng.choice("abcdefghij") for _ in range(150)) for _ in range(8)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    from fuzzysearch_ray.pipelines.queries import q_long_run_pairs
+
+    out = q_long_run_pairs(str(tmp_path))
+    assert list(out.columns) == ["a", "b"] and len(out) == 0
