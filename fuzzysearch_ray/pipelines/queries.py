@@ -737,9 +737,11 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
         .groupby("part")
         .map_groups(sessionize, batch_format="pandas")
     )
-    return out.to_pandas().sort_values(
-        ["user_id", "session_id"], ignore_index=True
-    )
+    df = out.to_pandas()
+    cols = ["user_id", "session_id", "n_events", "start_us", "end_us", "value_cents"]
+    if df.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    return df.sort_values(["user_id", "session_id"], ignore_index=True)
 
 
 #: per-language keep thresholds for the stratified sampler: a doc survives
@@ -874,4 +876,15 @@ def q_tfidf_top_terms(sf_dir: str, top_k: int = 3):
         .groupby("part")
         .map_groups(topk, batch_format="pandas")
     )
-    return out.to_pandas().sort_values(["doc_id", "term"], ignore_index=True)
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "term": pd.Series(dtype="object"),
+                "tf": pd.Series(dtype="int64"),
+                "df": pd.Series(dtype="int64"),
+                "tfidf_r": pd.Series(dtype="float64"),
+            }
+        )
+    return df.sort_values(["doc_id", "term"], ignore_index=True)
