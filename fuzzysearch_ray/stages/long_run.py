@@ -89,11 +89,16 @@ class ConfirmLongRun:
         self.min_run = min_run
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import shares_long_run_hashed
+
         a = batch["a"].to_numpy()
         b = batch["b"].to_numpy()
+        # probe-first with suffix-array fallback: same EXACT decision as
+        # shares_run_at_least (hash equality is necessary; unconfirmed-hit
+        # overflow falls back to the suffix ranks) at O(n) typical cost
         keep = np.fromiter(
             (
-                shares_run_at_least(
+                shares_long_run_hashed(
                     self.content[int(x)], self.content[int(y)], self.min_run
                 )
                 for x, y in zip(a, b)
@@ -157,14 +162,14 @@ def long_run_pairs(
     # broadcast ONLY candidate docs' content (semi-join reduction — the map
     # is bounded by the pair set, not the corpus; past the broadcast gate
     # the join-mode variant would reuse verify_pairs_join's sharded lookup)
-    cand_set = set(cand.tolist())
+    cand_ref = ray.put(cand)  # sorted by construction (np.unique)
+
+    def cand_filter(b: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        return b.filter(pa.array(np.isin(b["id"].to_numpy(), wanted)))
+
     mapping = {}
-    for r in src.map_batches(
-        lambda b: b.filter(
-            pa.array([i in cand_set for i in b["id"].to_pylist()])
-        ),
-        batch_format="pyarrow",
-    ).to_arrow_refs():
+    for r in src.map_batches(cand_filter, batch_format="pyarrow").to_arrow_refs():
         t = ray.get(r)
         for i, c in zip(t["id"].to_pylist(), t["content"].to_pylist()):
             mapping[i] = c
