@@ -127,11 +127,13 @@ def near_dup_pipeline(
         )
 
     # signature table: ~1000x smaller than content; computed once, used for
-    # band keys AND the verify est-Jaccard pre-gate. (A with_shingles=True
-    # variant that precomputes the exact shingle sets exists — it makes the
-    # verify actors ~20% faster but costs more than that writing the ~8x
-    # larger signature blocks, so the gate path is the default.)
-    sigs_ds = minhash_signatures(reps_ds, config).materialize()
+    # band keys AND the verify est-Jaccard pre-gate. With
+    # config.precompute_shingles the exact shingle sets ride along and the
+    # verify actors read them zero-copy instead of re-hashing content (a
+    # space-for-CPU trade: the shingle column is ~8x the content bytes).
+    sigs_ds = minhash_signatures(
+        reps_ds, config, with_shingles=config.precompute_shingles
+    ).materialize()
     _mark("signatures")
     bands = bands_from_signatures(sigs_ds, config)
     pairs = candidate_pairs(bands, config)
@@ -150,7 +152,13 @@ def near_dup_pipeline(
         sig_refs = sigs_ds.to_arrow_refs()
         content_refs = reps_ds.to_arrow_refs()
         _mark("broadcasts")
-        verified = verify_pairs_broadcast(pairs, content_refs, config, sig_refs=sig_refs)
+        verified = verify_pairs_broadcast(
+            pairs,
+            content_refs,
+            config,
+            sig_refs=None if config.precompute_shingles else sig_refs,
+            shingle_refs=sig_refs if config.precompute_shingles else None,
+        )
     else:
         verified = verify_pairs_join(pairs, reps_ds, config)
 
