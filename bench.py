@@ -24,7 +24,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-CORPUS_ROWS = int(os.environ.get("GRAFT_CORPUS_ROWS", "20000"))
+# 120k default matches BASELINE.md's measurement regime: at 20k rows the
+# ~20 s per-run fixed costs (session + pool spin-up + shuffle barriers)
+# dominate the headline number and understate files/s by 2-3x
+CORPUS_ROWS = int(os.environ.get("GRAFT_CORPUS_ROWS", "120000"))
 CORPUS_PATH = "/tmp/fsray_bench_corpus_%d.parquet" % CORPUS_ROWS
 
 
