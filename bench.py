@@ -28,21 +28,25 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # ~20 s per-run fixed costs (session + pool spin-up + shuffle barriers)
 # dominate the headline number and understate files/s by 2-3x
 CORPUS_ROWS = int(os.environ.get("GRAFT_CORPUS_ROWS", "120000"))
-CORPUS_PATH = "/tmp/fsray_bench_corpus_%d.parquet" % CORPUS_ROWS
+# sharded directory layout (the shape a real corpus ships in): a single
+# one-row-group file serializes read_parquet behind one decode task —
+# measured 5x slower than 24 shard files at 120k rows
+CORPUS_PATH = "/tmp/fsray_bench_corpus_%d" % CORPUS_ROWS
 
 
 def ensure_corpus() -> str:
     """Pre-generate the synthetic corpus OUTSIDE the timed region."""
-    if not os.path.exists(CORPUS_PATH):
-        from fuzzysearch_ray.sources.corpus import write_corpus_parquet
+    from fuzzysearch_ray.sources.corpus import write_corpus_shards
 
-        write_corpus_parquet(CORPUS_PATH, CORPUS_ROWS, seed=42)
+    write_corpus_shards(CORPUS_PATH, CORPUS_ROWS, seed=42)  # skips existing shards
     return CORPUS_PATH
 
 
 def warm_page_cache(paths):
     for p in paths:
-        if os.path.isfile(p):
+        if os.path.isdir(p):
+            warm_page_cache([os.path.join(p, f) for f in os.listdir(p)])
+        elif os.path.isfile(p):
             with open(p, "rb") as f:
                 while f.read(1 << 24):
                     pass

@@ -18,6 +18,7 @@ Composition per 20-row block (FIXTURES.md §1 slice table):
 from __future__ import annotations
 
 import hashlib
+import os
 import random
 from typing import Dict, List
 
@@ -168,10 +169,38 @@ def generate_corpus_table(n_rows: int, seed: int = 42) -> pa.Table:
     return corpus_batch(np.arange(n_rows), seed)
 
 
-def write_corpus_parquet(out_path: str, n_rows: int, seed: int = 42) -> str:
+def write_corpus_parquet(
+    out_path: str, n_rows: int, seed: int = 42, row_group_size: int = 4096
+) -> str:
     """Materialize the synthetic corpus to one parquet file (bench inputs are
-    pre-generated outside the timed region)."""
+    pre-generated outside the timed region). Small row groups so a reader can
+    split the file into parallel fragments."""
     import pyarrow.parquet as pq
 
-    pq.write_table(generate_corpus_table(n_rows, seed), out_path)
+    pq.write_table(generate_corpus_table(n_rows, seed), out_path, row_group_size=row_group_size)
     return out_path
+
+
+def write_corpus_shards(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    rows_per_shard: int = 5000,
+    row_group_size: int = 2048,
+) -> str:
+    """Materialize the corpus as a DIRECTORY of shard files — the layout a
+    real 100 TB corpus ships in (one object per input shard). A single
+    one-row-group file serializes ``read_parquet`` behind one decode task
+    (measured 5x slower at 120k rows); sharding parallelizes the read and is
+    what the resumable checkpointed pipeline partitions over."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for s, start in enumerate(range(0, n_rows, rows_per_shard)):
+        shard_path = os.path.join(out_dir, "part-%05d.parquet" % s)
+        if os.path.exists(shard_path):
+            continue
+        count = min(rows_per_shard, n_rows - start)
+        tbl = corpus_batch(np.arange(start, start + count), seed)
+        pq.write_table(tbl, shard_path, row_group_size=row_group_size)
+    return out_dir

@@ -8,6 +8,9 @@ sink because no stage ever rewrites ``content``).
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -15,15 +18,37 @@ from ..functions.hashing import sha256_hex
 
 
 def add_content_hash(batch: pa.Table) -> pa.Table:
-    """Append sha256 (hex) and n_bytes columns."""
+    """Append sha256 (hex) and n_bytes columns.
+
+    Hashes are fed straight from the Arrow UTF-8 data buffer (memoryview
+    slices over the value offsets) — no per-row Python string materialization
+    and no UTF-8 re-encode; the string→large_binary cast shares the data
+    buffer and only widens offsets."""
     contents = batch["content"]
-    hashes = pa.array(
-        [sha256_hex(c) for c in contents.to_pylist()], pa.string()
-    )
-    n_bytes = pc.binary_length(pc.cast(contents, pa.binary()))
+    cb = pc.cast(contents, pa.large_binary()).combine_chunks()
+    if cb.null_count:  # corpus content is non-null; safe fallback otherwise
+        hashes = pa.array(
+            [None if c is None else sha256_hex(c) for c in contents.to_pylist()],
+            pa.string(),
+        )
+        n_bytes = pc.cast(
+            pc.binary_length(pc.cast(contents, pa.large_binary())), pa.int64()
+        )
+    else:
+        n = len(cb)
+        off = np.frombuffer(cb.buffers()[1], dtype=np.int64, count=cb.offset + n + 1)[
+            cb.offset :
+        ]
+        mv = memoryview(cb.buffers()[2]) if cb.buffers()[2] is not None else memoryview(b"")
+        sha256 = hashlib.sha256
+        hashes = pa.array(
+            [sha256(mv[off[i] : off[i + 1]]).hexdigest() for i in range(n)],
+            pa.string(),
+        )
+        n_bytes = pa.array(np.diff(off), pa.int64())
     out = batch
     out = out.append_column("sha256", hashes)
-    out = out.append_column("n_bytes", pc.cast(n_bytes, pa.int64()))
+    out = out.append_column("n_bytes", n_bytes)
     return out
 
 

@@ -157,9 +157,22 @@ class SimHashSignatures:
 
 
 def minhash_signatures(ds, config: DedupConfig, with_shingles: bool = False):
+    pruned = ds.select_columns(["id", "content"])
+    if config.minhash_scheme == "oph":
+        # The OPH path is STATELESS (no coefficient matrix, no scratch), so
+        # it runs as plain tasks in the already-warm worker processes: an
+        # actor pool here would pay fresh-process spin-up + imports per run
+        # for state it doesn't have. The classic "perm" scheme below keeps
+        # the actor pool (its per-actor coefficient/scratch setup is real).
+        signer = MinHashSignatures(config, with_shingles)
+        return pruned.map_batches(
+            signer.__call__,
+            batch_format="pyarrow",
+            batch_size=config.signature_batch_size,
+        )
     from .verify import pool_concurrency
 
-    return ds.select_columns(["id", "content"]).map_batches(
+    return pruned.map_batches(
         MinHashSignatures,
         fn_constructor_args=(config, with_shingles),
         batch_format="pyarrow",
@@ -175,13 +188,10 @@ def band_signatures(ds, config: DedupConfig):
 
 
 def simhash_signatures(ds, config: DedupConfig):
-    from .verify import pool_concurrency
-
+    # stateless (md5 gram hashing needs no per-actor setup) → plain tasks;
+    # see minhash_signatures for the actor-vs-task rationale
     return ds.select_columns(["id", "content"]).map_batches(
-        SimHashSignatures,
-        fn_constructor_args=(config,),
+        SimHashSignatures(config).__call__,
         batch_format="pyarrow",
         batch_size=config.signature_batch_size,
-        concurrency=pool_concurrency(config.signature_concurrency),
-        num_cpus=1,
     )

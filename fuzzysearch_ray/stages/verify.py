@@ -340,6 +340,25 @@ class VerifyPairs:
         )
 
 
+# Worker-global verifier cache for the task-based verify path: one live
+# VerifyPairs per worker process, keyed by the pipeline-run token. Tasks run
+# in Ray's long-lived worker processes, so the broadcast index + per-doc
+# caches are built once per WORKER (same amortization as an actor pool)
+# without paying fresh-actor spin-up (new process + imports per pool per
+# run). One entry only: a new run's token evicts the old state, releasing
+# its pinned object-store refs.
+_WORKER_VERIFIER: dict = {}
+
+
+def _verify_task(batch, token, config, content_refs, sig_refs, shingle_refs):
+    v = _WORKER_VERIFIER.get(token)
+    if v is None:
+        _WORKER_VERIFIER.clear()
+        v = VerifyPairs(config, content_refs, sig_refs, shingle_refs)
+        _WORKER_VERIFIER[token] = v
+    return v(batch)
+
+
 def pool_concurrency(configured: tuple) -> tuple:
     """Scale the autoscaling-pool floor to the cluster: ramping from a tiny
     pool wastes wall time on big clusters, but the floor must stay well under
@@ -361,19 +380,27 @@ def verify_pairs_broadcast(
     driver never concatenates or re-sorts them (ShardedIdLookup indexes the
     blocks per actor, zero-copy from the object store). With
     ``shingle_refs`` the exact-Jaccard gate reads precomputed shingle sets
-    and content is only touched for surviving pairs."""
+    and content is only touched for surviving pairs.
+
+    Runs as TASKS with a worker-global verifier (see ``_WORKER_VERIFIER``):
+    the per-worker setup is one sorted id index over the broadcast blocks
+    (~ms), so tasks get actor-pool amortization with zero pool spin-up and
+    immediate whole-cluster ramp-up."""
+    import functools
+    import uuid
+
+    fn = functools.partial(
+        _verify_task,
+        token=uuid.uuid4().hex,
+        config=config,
+        content_refs=list(content_refs),
+        sig_refs=list(sig_refs) if sig_refs else None,
+        shingle_refs=list(shingle_refs) if shingle_refs else None,
+    )
     return pairs_ds.map_batches(
-        VerifyPairs,
-        fn_constructor_args=(
-            config,
-            list(content_refs),
-            list(sig_refs) if sig_refs else None,
-            list(shingle_refs) if shingle_refs else None,
-        ),
+        fn,
         batch_format="pyarrow",
         batch_size=config.verify_batch_size,
-        concurrency=pool_concurrency(config.verify_concurrency),
-        num_cpus=1,
     )
 
 
@@ -406,11 +433,19 @@ def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig):
         right_suffix="_b",
     )
     both = both.rename_columns({"content": "content_b"})
+    import functools
+    import uuid
+
+    fn = functools.partial(
+        _verify_task,
+        token=uuid.uuid4().hex,
+        config=config,
+        content_refs=None,
+        sig_refs=None,
+        shingle_refs=None,
+    )
     return both.map_batches(
-        VerifyPairs,
-        fn_constructor_args=(config, None),
+        fn,
         batch_format="pyarrow",
         batch_size=config.verify_batch_size,
-        concurrency=pool_concurrency(config.verify_concurrency),
-        num_cpus=1,
     )
