@@ -136,15 +136,13 @@ def near_dup_pipeline(
     ).materialize()
     _mark("signatures")
     bands = bands_from_signatures(sigs_ds, config)
-    pairs = candidate_pairs(bands, config)
+    # verify is the CPU-heaviest stage: size the pair-dedup shuffle's output
+    # partition count to its parallelism (one verify task per block) instead
+    # of paying a third all-to-all repartition after the dedup groupby
+    pairs = candidate_pairs(
+        bands, config, num_output_partitions=min(4 * cpus, 48)
+    )
     if content_mode == "broadcast":
-        # verify is the CPU-heaviest stage and the pair table is tiny integer
-        # rows here — spread it so the actor pool sees balanced blocks, but
-        # cap the count: measured per-task overhead grows with task count on
-        # this workload, and >48 partitions costs more than the balance wins
-        # (at join scale the pair table already has many blocks)
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        pairs = pairs.repartition(min(4 * cpus, 48))
         # sharded zero-copy broadcasts: raw block refs, indexed per actor —
         # the driver never concatenates signatures or content; the rep
         # blocks are reused AS-IS (extra columns cost nothing, the lookup

@@ -147,15 +147,26 @@ def simhash_candidate_pairs(
     )
 
 
-def candidate_pairs(band_ds, config: DedupConfig, num_partitions: int | None = None):
+def candidate_pairs(
+    band_ds,
+    config: DedupConfig,
+    num_partitions: int | None = None,
+    num_output_partitions: int | None = None,
+):
     """(id, band_id, band_hash) → distinct candidate (a, b) pairs, a < b.
 
     Two partition-keyed shuffles, both on small integer columns:
-    1. bucket-partition groupby → vectorized per-partition pair emission;
+    1. bucket-partition groupby → vectorized per-partition pair emission
+       (which stamps the pair-dedup partition key inline — no extra pass);
     2. pair-partition groupby → global (a, b) dedup (collapses the ≤
        num_bands duplicates of each pair before any content is touched).
+
+    ``num_output_partitions`` sizes the dedup shuffle so the output block
+    count matches the downstream verify parallelism — the caller never needs
+    a repartition (a third all-to-all) after this.
     """
     P = num_partitions or config.num_join_partitions
+    P2 = num_output_partitions or P
     cap, window = config.bucket_cap, config.chain_window
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -172,7 +183,7 @@ def candidate_pairs(band_ds, config: DedupConfig, num_partitions: int | None = N
 
     def emit_partition(block: pd.DataFrame) -> pd.DataFrame:
         if len(block) < 2:
-            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+            return pd.DataFrame({"a": [], "b": [], "part2": []}, dtype=np.int64)
         ids = block["id"].to_numpy().astype(np.int64)
         buckets = block["bucket"].to_numpy()
         order = np.lexsort((ids, buckets))
@@ -190,33 +201,23 @@ def candidate_pairs(band_ds, config: DedupConfig, num_partitions: int | None = N
                 los.append(lo)
                 his.append(hi)
         if not los:
-            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+            return pd.DataFrame({"a": [], "b": [], "part2": []}, dtype=np.int64)
         a = np.concatenate(los)
         b = np.concatenate(his)
         out = pd.DataFrame({"a": a, "b": b})
-        return out.drop_duplicates(ignore_index=True)  # within-partition dedup
+        out = out.drop_duplicates(ignore_index=True)  # within-partition dedup
+        a2 = out["a"].to_numpy().astype(np.uint64)
+        b2 = out["b"].to_numpy().astype(np.uint64)
+        h = _splitmix64(a2 * np.uint64(0x9E3779B97F4A7C15) ^ b2)
+        out["part2"] = (h % np.uint64(P2)).astype(np.int64)
+        return out
 
     pairs = keyed.groupby("part").map_groups(emit_partition, batch_format="pandas")
 
-    def add_pair_part(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("part2", pa.array([], pa.int64()))
-        a = batch["a"].to_numpy().astype(np.uint64)
-        b = batch["b"].to_numpy().astype(np.uint64)
-        h = _splitmix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
-        return batch.append_column(
-            "part2", pa.array((h % np.uint64(P)).astype(np.int64), pa.int64())
-        )
-
     def dedup_partition(block: pd.DataFrame) -> pd.DataFrame:
         # sorted by (a, b): consecutive verify pairs share their `a` doc, so
-        # the verify actors' per-doc caches (shingles/codepoints/texts) get
+        # the verify workers' per-doc caches (shingles/codepoints/texts) get
         # locality instead of fully random access over the whole rep set
         return block.drop_duplicates(["a", "b"]).sort_values(["a", "b"])[["a", "b"]]
 
-    deduped = (
-        pairs.map_batches(add_pair_part, batch_format="pyarrow")
-        .groupby("part2")
-        .map_groups(dedup_partition, batch_format="pandas")
-    )
-    return deduped
+    return pairs.groupby("part2").map_groups(dedup_partition, batch_format="pandas")
