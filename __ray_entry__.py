@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_longest_docs": Q.q_top_longest_docs,
         "events_hourly": Q.q_events_hourly,
         "user_sessions": Q.q_user_sessions,
+        "asof_click_attribution": Q.q_asof_click_attribution,
+        "fuzzy_join_parts": Q.q_fuzzy_join_parts,
         "stratified_sample": Q.q_stratified_sample,
         "lineitem_pricing": Q.q_lineitem_pricing,
         "customer_order_totals": Q.q_customer_order_totals,
@@ -509,6 +511,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
             "AS value_cents "
             "FROM s GROUP BY user_id, sid"
+        ),
+        "asof_click_attribution": (
+            # as-of join: each purchase matched to the user's latest strictly
+            # prior click; inner semantics (no-prior-click purchases omitted)
+            # so no NULL-sentinel convention is needed
+            "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us "
+            "FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, epoch_us(ts) AS ts_us "
+            "FROM events WHERE event_type = 'click') "
+            "SELECT p.event_id, p.user_id, CAST(p.ts_us AS BIGINT) AS ts_us, "
+            "CAST(MAX(c.ts_us) AS BIGINT) AS click_ts_us, "
+            "CAST(p.ts_us - MAX(c.ts_us) AS BIGINT) AS gap_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n_prior_clicks "
+            "FROM p JOIN c ON c.user_id = p.user_id AND c.ts_us < p.ts_us "
+            "GROUP BY p.event_id, p.user_id, p.ts_us"
+        ),
+        "fuzzy_join_parts": (
+            # fuzzy self-join on the part-name column at edit distance <= 2;
+            # the length pre-filter is an optimization only (implied by the
+            # distance bound)
+            "SELECT a.p_partkey AS a, b.p_partkey AS b, "
+            "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
+            "FROM part a, part b WHERE a.p_partkey < b.p_partkey "
+            "AND abs(length(a.p_name) - length(b.p_name)) <= 2 "
+            "AND levenshtein(a.p_name, b.p_name) <= 2"
         ),
         "long_run_pairs": (
             # documents sharing an exact 64-char window == sharing a run of

@@ -744,6 +744,212 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
     return df.sort_values(["user_id", "session_id"], ignore_index=True)
 
 
+def q_asof_click_attribution(sf_dir: str):
+    """As-of join over the events stream: for each ``purchase`` event, the
+    most recent STRICTLY-prior ``click`` by the same user — the ad-attribution
+    shape, and the canonical as-of-join operator Ray Data lacks natively.
+
+    Distributed as ONE integer-keyed shuffle: both sides are hash-partitioned
+    by user_id in the same pass (no separate reads, no two-sided join), then
+    each partition resolves ALL its purchases vectorized — clicks sorted once
+    by a (user, ts) composite key, each purchase answered by one
+    ``searchsorted`` probe that yields the latest prior click AND the prior
+    count simultaneously. No per-user Python, no per-row loop.
+
+    Purchases with no prior click are omitted (inner as-of semantics), so the
+    SQL oracle needs no NULL-sentinel convention. Partitioning assumption:
+    one user's events fit in one partition (the same invariant every
+    per-user windowed operator here relies on, cf. q_user_sessions)."""
+    P = 32
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], pa.array(["click", "purchase"])))
+        return t.append_column(
+            "part", pc.cast(pc.bit_wise_and(t["user_id"], P - 1), pa.int64())
+        )
+
+    cols = [
+        "event_id",
+        "user_id",
+        "ts_us",
+        "click_ts_us",
+        "gap_us",
+        "n_prior_clicks",
+    ]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+
+    def attribute(block: pd.DataFrame) -> pd.DataFrame:
+        is_click = (block["event_type"] == "click").to_numpy()
+        is_buy = (block["event_type"] == "purchase").to_numpy()
+        if not is_click.any() or not is_buy.any():
+            return empty
+        users = block["user_id"].to_numpy().astype(np.int64)
+        ts = block["ts"].astype("int64").to_numpy()
+        # dense per-partition user codes -> collision-free (user, ts)
+        # composite in one int64: code * span + (ts - tmin + 1); the +1
+        # reserves offset 0 so code*span marks "before this user's first
+        # possible click" for the per-user lower bound below
+        codes = np.unique(users, return_inverse=True)[1].astype(np.int64)
+        span = int(ts.max()) - int(ts.min()) + 2
+        comp = codes * span + (ts - int(ts.min()) + 1)
+
+        c_comp = np.sort(comp[is_click])
+        c_ts_sorted = ts[is_click][np.argsort(comp[is_click], kind="stable")]
+        p_comp = comp[is_buy]
+        # clicks strictly before the purchase (side='left' excludes ts ties)
+        idx = np.searchsorted(c_comp, p_comp, side="left")
+        lo = np.searchsorted(c_comp, codes[is_buy] * span, side="left")
+        valid = idx > lo
+        if not valid.any():
+            return empty
+        last_click_ts = c_ts_sorted[idx[valid] - 1]
+        p_ts = ts[is_buy][valid]
+        return pd.DataFrame(
+            {
+                "event_id": block["event_id"].to_numpy()[is_buy][valid],
+                "user_id": users[is_buy][valid],
+                "ts_us": p_ts,
+                "click_ts_us": last_click_ts,
+                "gap_us": p_ts - last_click_ts,
+                "n_prior_clicks": (idx - lo)[valid],
+            }
+        )
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(attribute, batch_format="pandas")
+    )
+    df = out.to_pandas()
+    if df.empty:
+        return empty
+    return df.sort_values("event_id", ignore_index=True).astype("int64")
+
+
+def q_fuzzy_join_parts(sf_dir: str, k: int = 2):
+    """Fuzzy self-join: all part pairs whose names are within edit distance
+    ``k`` — fuzzysearch's bounded-distance kernel lifted to a relational
+    join operator (entity-resolution shape).
+
+    Dictionary-factorized: the join key's distinct values are aggregated
+    first (names dictionary ≪ rows for catalog-style columns), name-level
+    pairs are verified DISTRIBUTED — each block of names compares against
+    the broadcast dictionary under a vectorized length pre-filter before the
+    exact bounded kernel — and surviving name pairs expand back to row pairs
+    via the broadcast name→rowids lists. Content moves nowhere: the only
+    shuffle is the distinct-name aggregate.
+
+    Partitioning assumption: the DISTINCT-key dictionary fits in the object
+    store (not the driver heap — blocks stay plasma-backed). For join keys
+    where it doesn't, the gram-blocked candidate path of
+    ``q_ngram_jaccard_pairs`` + this verify kernel is the fallback."""
+    import ray
+    import ray.data as rd
+
+    from ..kernels.bounded_distance import hybrid_levenshtein
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def name_ids(block: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "name": [block["p_name"].iloc[0]],
+                "ids": [np.sort(block["p_partkey"].to_numpy().astype(np.int64)).tolist()],
+            }
+        )
+
+    dict_df = (
+        ds.groupby("p_name").map_groups(name_ids, batch_format="pandas").to_pandas()
+    )
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in ("a", "b", "dist")})
+    if dict_df.empty:
+        return empty
+    dict_df = dict_df.sort_values("name", ignore_index=True)
+    names = dict_df["name"].to_numpy()
+    lens = np.array([len(n) for n in names], dtype=np.int64)
+    names_ref = ray.put((names, lens))
+    ids_ref = ray.put(list(dict_df["ids"]))
+
+    name_idx = rd.from_pandas(
+        pd.DataFrame({"i": np.arange(len(names), dtype=np.int64)})
+    ).repartition(min(16, len(names)))
+
+    def verify_block(batch: pa.Table) -> pa.Table:
+        all_names, all_lens = ray.get(names_ref)
+        out_a, out_b, out_d = [], [], []
+        for i in batch["i"].to_pylist():
+            # self-pair (identical names, dist 0) + upper-triangle candidates
+            # surviving the |len(a)-len(b)| <= k necessary condition
+            out_a.append(i)
+            out_b.append(i)
+            out_d.append(0)
+            cand = np.nonzero(np.abs(all_lens[i + 1 :] - all_lens[i]) <= k)[0]
+            a_name = all_names[i]
+            for j in cand + i + 1:
+                d = hybrid_levenshtein(a_name, all_names[j], k)
+                if d is not None:
+                    out_a.append(i)
+                    out_b.append(int(j))
+                    out_d.append(d)
+        return pa.table(
+            {
+                "ia": pa.array(out_a, pa.int64()),
+                "ib": pa.array(out_b, pa.int64()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        id_lists = ray.get(ids_ref)
+        out_a, out_b, out_d = [], [], []
+        for ia, ib, d in zip(
+            batch["ia"].to_pylist(), batch["ib"].to_pylist(), batch["dist"].to_pylist()
+        ):
+            if ia == ib:
+                ids = np.asarray(id_lists[ia], dtype=np.int64)
+                if len(ids) < 2:
+                    continue
+                iu, ju = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[iu])
+                out_b.append(ids[ju])
+                out_d.append(np.full(len(iu), d, dtype=np.int64))
+            else:
+                xa, xb = np.meshgrid(
+                    np.asarray(id_lists[ia], dtype=np.int64),
+                    np.asarray(id_lists[ib], dtype=np.int64),
+                    indexing="ij",
+                )
+                xa, xb = xa.ravel(), xb.ravel()
+                out_a.append(np.minimum(xa, xb))
+                out_b.append(np.maximum(xa, xb))
+                out_d.append(np.full(len(xa), d, dtype=np.int64))
+        if not out_a:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), pa.int64()),
+                "b": pa.array(np.concatenate(out_b), pa.int64()),
+                "dist": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    out = (
+        name_idx.map_batches(verify_block, batch_format="pyarrow")
+        .map_batches(expand, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        return empty
+    return out.sort_values(["a", "b"], ignore_index=True)
+
+
 #: per-language keep thresholds for the stratified sampler: a doc survives
 #: iff the first byte of md5(doc_id) is below the threshold (hex compare) —
 #: content-independent, deterministic, and identically computable in SQL.

@@ -1,0 +1,192 @@
+"""As-of join (purchase→click attribution) and fuzzy join operators."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_events(tmp_path, n=3000, n_users=40, seed=11):
+    rng = np.random.default_rng(seed)
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + np.sort(rng.integers(0, 86_400_000_000 * 3, n))
+    types = rng.choice(
+        ["click", "purchase", "view", "error"], n, p=[0.4, 0.2, 0.3, 0.1]
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, n_users, n), pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(np.round(rng.uniform(0, 50, n), 2), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return tbl
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_attribution_matches_duckdb(tmp_path):
+    _write_events(tmp_path)
+
+    import __ray_entry__ as E
+    from fuzzysearch_ray.pipelines.queries import q_asof_click_attribution
+
+    got = q_asof_click_attribution(str(tmp_path))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('%s')"
+        % str(tmp_path / "events.parquet")
+    )
+    want = (
+        con.execute(E.oracle_sql()["asof_click_attribution"])
+        .fetchdf()
+        .sort_values("event_id", ignore_index=True)
+    )
+    got = got[want.columns.tolist()]
+    pd.testing.assert_frame_equal(
+        got.astype({c: want[c].dtype for c in want.columns}), want
+    )
+    assert len(want) > 100  # the join actually fires
+    assert (want["gap_us"] > 0).all()  # strictly prior
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_attribution_brute_force(tmp_path):
+    """Independent per-row brute force (no SQL): latest strictly-prior click
+    per purchase, prior-click count included."""
+    tbl = _write_events(tmp_path, n=600, n_users=8, seed=3)
+
+    from fuzzysearch_ray.pipelines.queries import q_asof_click_attribution
+
+    got = q_asof_click_attribution(str(tmp_path))
+
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    rows = []
+    for _, p in df[df["event_type"] == "purchase"].iterrows():
+        prior = df[
+            (df["event_type"] == "click")
+            & (df["user_id"] == p["user_id"])
+            & (df["ts_us"] < p["ts_us"])
+        ]
+        if len(prior):
+            last = prior["ts_us"].max()
+            rows.append(
+                (
+                    p["event_id"],
+                    p["user_id"],
+                    p["ts_us"],
+                    last,
+                    p["ts_us"] - last,
+                    len(prior),
+                )
+            )
+    want = pd.DataFrame(
+        rows,
+        columns=[
+            "event_id",
+            "user_id",
+            "ts_us",
+            "click_ts_us",
+            "gap_us",
+            "n_prior_clicks",
+        ],
+    ).astype("int64")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_attribution_empty_sides(tmp_path):
+    """No clicks at all → empty result with the pinned schema."""
+    rng = np.random.default_rng(5)
+    n = 50
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(
+                np.int64(1_700_000_000_000_000) + np.arange(n) * 1000,
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array(rng.integers(0, 4, n), pa.int64()),
+            "event_type": pa.array(["purchase"] * n, pa.string()),
+            "value": pa.array(np.zeros(n), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    from fuzzysearch_ray.pipelines.queries import q_asof_click_attribution
+
+    got = q_asof_click_attribution(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == [
+        "event_id",
+        "user_id",
+        "ts_us",
+        "click_ts_us",
+        "gap_us",
+        "n_prior_clicks",
+    ]
+
+
+def _write_parts(tmp_path, names, keys=None):
+    n = len(names)
+    tbl = pa.table(
+        {
+            "p_partkey": pa.array(
+                keys if keys is not None else np.arange(n), pa.int64()
+            ),
+            "p_name": pa.array(names, pa.string()),
+            "p_brand": pa.array(["B"] * n, pa.string()),
+            "p_type": pa.array(["T"] * n, pa.string()),
+            "p_size": pa.array(np.ones(n, np.int32), pa.int32()),
+            "p_retailprice": pa.array(np.ones(n), pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "part.parquet"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_join_brute_force(tmp_path):
+    """Every pair within edit distance 2 — vs per-pair DP over all pairs."""
+    rng = np.random.default_rng(7)
+    adjectives = ["red", "blue", "hot", "cold", "small", "smal", "bold"]
+    nouns = ["bolt", "bolts", "gear", "gears", "ring", "rng", "widget"]
+    names = [
+        "%s %s" % (rng.choice(adjectives), rng.choice(nouns)) for _ in range(120)
+    ]
+    _write_parts(tmp_path, names)
+
+    from fuzzysearch_ray.kernels.bounded_distance import levenshtein_bitparallel
+    from fuzzysearch_ray.pipelines.queries import q_fuzzy_join_parts
+
+    got = q_fuzzy_join_parts(str(tmp_path), k=2)
+
+    want_rows = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            d = levenshtein_bitparallel(names[i], names[j], 2)
+            if d is not None:
+                want_rows.append((i, j, d))
+    want = pd.DataFrame(want_rows, columns=["a", "b", "dist"]).astype("int64")
+    want = want.sort_values(["a", "b"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert (want["dist"] == 0).any() and (want["dist"] > 0).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_join_single_and_empty(tmp_path):
+    from fuzzysearch_ray.pipelines.queries import q_fuzzy_join_parts
+
+    _write_parts(tmp_path, ["lonely part"])
+    got = q_fuzzy_join_parts(str(tmp_path), k=2)
+    assert len(got) == 0
+    assert list(got.columns) == ["a", "b", "dist"]
