@@ -7,7 +7,7 @@ with lineage before it counts as done):
 
     out_dir/
       manifest.json
-      part=signatures/<shard>/          # (id, sha256, n_bytes, sig) per input shard
+      part=signatures/<shard>/          # (id, sha256, sha_int, n_bytes, sig) per shard
       part=membership/all/              # (id, rep_id) exact-dup membership
       part=edges/all/                   # verified dup edges
       part=clusters/all/                # (id, cluster_id)
@@ -114,7 +114,7 @@ def run_dedup_checkpointed(
             continue
         shard = preprocess(_read_shard(path))
         sigs = minhash_signatures(shard, config)
-        hashes = shard.select_columns(["id", "sha256", "n_bytes"])
+        hashes = shard.select_columns(["id", "sha256", "sha_int", "n_bytes"])
         joined = _zip_by_id(hashes, sigs)
         out_path = write_partition_atomic(joined, out_dir, part)
         n_rows = int(joined.num_rows)

@@ -26,10 +26,17 @@ def exact_dedup(ds_with_hash, num_partitions: int = 32):
     """
 
     def add_part(batch: pa.Table) -> pa.Table:
-        hashes = batch["sha256"].to_pylist()
-        part = np.array(
-            [int(h[:8], 16) % num_partitions for h in hashes], dtype=np.int64
-        )
+        if "sha_int" in batch.column_names:
+            # preprocess already banked the digest prefix as int64 —
+            # partitioning is a vectorized unsigned modulo, no hex parsing
+            part = (
+                batch["sha_int"].to_numpy().view(np.uint64) % num_partitions
+            ).astype(np.int64)
+        else:
+            part = np.array(
+                [int(h[:8], 16) % num_partitions for h in batch["sha256"].to_pylist()],
+                dtype=np.int64,
+            )
         return pa.table(
             {
                 "id": batch["id"],
@@ -47,8 +54,12 @@ def exact_dedup(ds_with_hash, num_partitions: int = 32):
             }
         )
 
+    cols = ["id", "sha256"]
+    schema_names = ds_with_hash.schema().names if ds_with_hash.schema() else []
+    if "sha_int" in schema_names:
+        cols.append("sha_int")
     return (
-        ds_with_hash.select_columns(["id", "sha256"])
+        ds_with_hash.select_columns(cols)
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(resolve, batch_format="pandas")

@@ -27,9 +27,10 @@ def add_content_hash(batch: pa.Table) -> pa.Table:
     contents = batch["content"]
     cb = pc.cast(contents, pa.large_binary()).combine_chunks()
     if cb.null_count:  # corpus content is non-null; safe fallback otherwise
-        hashes = pa.array(
-            [None if c is None else sha256_hex(c) for c in contents.to_pylist()],
-            pa.string(),
+        hexes = [None if c is None else sha256_hex(c) for c in contents.to_pylist()]
+        hashes = pa.array(hexes, pa.string())
+        sha_int = pa.array(
+            [None if h is None else _hex_prefix_i64(h) for h in hexes], pa.int64()
         )
         n_bytes = pc.cast(
             pc.binary_length(pc.cast(contents, pa.large_binary())), pa.int64()
@@ -41,15 +42,27 @@ def add_content_hash(batch: pa.Table) -> pa.Table:
         ]
         mv = memoryview(cb.buffers()[2]) if cb.buffers()[2] is not None else memoryview(b"")
         sha256 = hashlib.sha256
-        hashes = pa.array(
-            [sha256(mv[off[i] : off[i + 1]]).hexdigest() for i in range(n)],
-            pa.string(),
-        )
+        digests = [sha256(mv[off[i] : off[i + 1]]).digest() for i in range(n)]
+        hashes = pa.array([d.hex() for d in digests], pa.string())
+        # first 8 digest bytes as one int64 — the exact-dedup partition key
+        # (downstream shuffles never re-parse the hex string)
+        prefix = np.frombuffer(
+            b"".join(d[:8] for d in digests), dtype=">u8"
+        ).astype(np.uint64).view(np.int64)
+        sha_int = pa.array(prefix, pa.int64())
         n_bytes = pa.array(np.diff(off), pa.int64())
     out = batch
     out = out.append_column("sha256", hashes)
+    out = out.append_column("sha_int", sha_int)
     out = out.append_column("n_bytes", n_bytes)
     return out
+
+
+def _hex_prefix_i64(h: str) -> int:
+    """First 16 hex chars (8 digest bytes) as a signed int64 (two's-complement
+    wrap, matching the vectorized big-endian view in the non-null path)."""
+    v = int(h[:16], 16)
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def preprocess(ds, batch_size: int = 4096):
