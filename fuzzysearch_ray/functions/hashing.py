@@ -48,11 +48,62 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return (x ^ (x >> np.uint64(31))).astype(np.uint64)
 
 
+def _poly_window_hashes(data: np.ndarray, width: int) -> np.ndarray:
+    """Positional polynomial hashes of every ``width``-byte window of a uint8
+    array, UNMIXED (callers apply ``_splitmix64``). Doubling construction:
+    width-(a+b) hashes combine width-a and width-b hashes as
+    ``H[i] = A[i] * P^b + B[i+a]`` — O(log width) vectorized passes instead
+    of ``width`` shifted adds. Requires ``data.size >= width >= 1``."""
+    n = data.size
+    cur = data.astype(np.uint64)  # width-1 hashes
+    cur_w = 1
+    p_cur = _POLY_P  # P ** cur_w (mod 2^64)
+    acc: Optional[np.ndarray] = None
+    acc_w = 0
+    remaining = width
+    while remaining:
+        if remaining & cur_w:
+            if acc is None:
+                # safe to alias: the doubling step below reassigns `cur` to a
+                # fresh array, so acc's buffer is never written through cur
+                acc, acc_w = cur, cur_w
+            else:
+                m = n - acc_w - cur_w + 1
+                np.multiply(acc[:m], p_cur, out=acc[:m])
+                np.add(acc[:m], cur[acc_w : acc_w + m], out=acc[:m])
+                acc = acc[:m]
+                acc_w += cur_w
+            remaining ^= cur_w
+        if not remaining:
+            break
+        m = n - 2 * cur_w + 1
+        if m > 0:
+            # fresh output: the shifted operand overlaps cur[:m] in memory,
+            # so a true in-place add is not possible here
+            cur = (cur[:m] * p_cur + cur[cur_w : cur_w + m]).astype(np.uint64)
+        cur_w *= 2
+        p_cur = np.uint64((int(p_cur) * int(p_cur)) & 0xFFFFFFFFFFFFFFFF)
+    return acc[: n - width + 1]
+
+
+def _sorted_unique_inplace(x: np.ndarray) -> np.ndarray:
+    """Sorted-unique of a freshly-allocated uint64 array: in-place sort +
+    boolean-mask compress. Same result as ``np.unique`` minus its defensive
+    input copy (one full pass + allocation saved in the verify hot path)."""
+    if x.size <= 1:
+        return x
+    x.sort()
+    keep = np.empty(x.size, dtype=bool)
+    keep[0] = True
+    np.not_equal(x[1:], x[:-1], out=keep[1:])
+    return x[keep]
+
+
 def shingle_hashes(text: str, k: int = DEFAULT_SHINGLE_K) -> np.ndarray:
     """Unique uint64 hashes of all k-byte shingles of ``text`` (UTF-8 bytes).
 
-    Vectorized polynomial accumulation: k shifted adds over the byte array,
-    then a splitmix64 finalizer. A document shorter than k yields a single
+    Doubling-construction polynomial rolling hash (log2(k) vectorized passes)
+    with a splitmix64 finalizer. A document shorter than k yields a single
     hash of the whole text (so empty/near-empty docs still compare).
     """
     data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
@@ -62,13 +113,7 @@ def shingle_hashes(text: str, k: int = DEFAULT_SHINGLE_K) -> np.ndarray:
         for j in range(n):
             h = (h * _POLY_P + np.uint64(data[j])).astype(np.uint64)
         return _splitmix64(h)
-    data64 = data.astype(np.uint64)
-    acc = np.zeros(n - k + 1, dtype=np.uint64)
-    m = acc.size
-    for j in range(k):  # in-place: no temporaries in the hot loop
-        np.multiply(acc, _POLY_P, out=acc)
-        np.add(acc, data64[j : m + j], out=acc)
-    return np.unique(_splitmix64(acc))
+    return _sorted_unique_inplace(_splitmix64(_poly_window_hashes(data, k)))
 
 
 def minhash_coefficients(num_perm: int = DEFAULT_NUM_PERM, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
