@@ -137,3 +137,37 @@ def test_run_window_hashes_positional():
     h2 = run_window_hashes("cdef", 4)
     assert h[2] == h2[0]
     assert run_window_hashes("abc", 4).size == 0
+
+
+def test_shingle_hashes_match_direct_construction():
+    """The doubling-construction shingle hashes must equal the direct
+    k-pass polynomial accumulation (the round-1 formulation) exactly —
+    the dual-formulation equality discipline applied to the hash layer."""
+    import random
+
+    from fuzzysearch_ray.functions.hashing import _POLY_P, _splitmix64
+
+    def direct(text, k):
+        data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        n = data.size
+        if n < k:
+            h = np.zeros(1, dtype=np.uint64)
+            for j in range(n):
+                h = (h * _POLY_P + np.uint64(data[j])).astype(np.uint64)
+            return _splitmix64(h)
+        data64 = data.astype(np.uint64)
+        acc = np.zeros(n - k + 1, dtype=np.uint64)
+        m = acc.size
+        for j in range(k):
+            np.multiply(acc, _POLY_P, out=acc)
+            np.add(acc, data64[j : m + j], out=acc)
+        return np.unique(_splitmix64(acc))
+
+    rng = random.Random(7)
+    for _ in range(60):
+        n = rng.randint(0, 300)
+        s = "".join(rng.choice("abcdefg \nü") for _ in range(n))
+        for k in (1, 2, 3, 5, 9, 17, 64, 129, 256):
+            got = shingle_hashes(s, k)
+            want = direct(s, k)
+            assert np.array_equal(got, want), (n, k)
