@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": Q.q_containment_pairs,
         "long_run_pairs": Q.q_long_run_pairs,
         "embedding_cosine_dup_pairs": Q.q_embedding_cosine_dup_pairs,
+        "semantic_dup_pairs": Q.q_semantic_dup_pairs,
+        "decontaminate_docs": Q.q_decontaminate_docs,
         # similarity search
         "ann_topk": Q.q_ann_topk,
         "ann_srp_bucketed": Q.q_ann_srp_bucketed,
@@ -59,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": Q.q_quality_scores,
         "doc_fingerprints": Q.q_doc_fingerprints,
         "tfidf_top_terms": Q.q_tfidf_top_terms,
+        "repetition_scores": Q.q_repetition_scores,
         # relational / windowed
         "docs_by_lang": Q.q_docs_by_lang,
         "top_longest_docs": Q.q_top_longest_docs,
@@ -328,6 +331,70 @@ def _ann_ivf_sql(nq: int = 5, k: int = 5, nlist: int = 16, nprobe: int = 4) -> s
     )
 
 
+def _semantic_dup_sql(threshold: float = 0.35, nlist: int = 16) -> str:
+    """SemDeDup pairs in SQL: the same seeded centroids as the Ray stage
+    (stages/ann.semantic_dup_pairs) inlined as DOUBLE[] literals; cell
+    assignment = first-max cosine (list_indexof of list_max == numpy
+    argmax); pairs = intra-cell self-join above threshold."""
+    from fuzzysearch_ray.stages.ann import seeded_centroids
+
+    cents = seeded_centroids(64, nlist, 42)
+
+    def arr(c) -> str:
+        return "[" + ",".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
+
+    sims_list = "[" + ", ".join(
+        "list_cosine_similarity(embedding::DOUBLE[], %s)" % arr(cents[j])
+        for j in range(nlist)
+    ) + "]"
+    return (
+        f"WITH csims AS (SELECT vec_id, embedding, {sims_list} AS sims FROM embeddings), "
+        "assigned AS (SELECT vec_id, embedding, "
+        "list_indexof(sims, list_max(sims)) AS cid FROM csims) "
+        "SELECT a.vec_id AS a, b.vec_id AS b, "
+        "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_r "
+        "FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id "
+        f"WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}"
+    )
+
+
+def _decontaminate_sql(n: int = 8, eval_mod: int = 10, eval_rem: int = 7) -> str:
+    """Word n-gram decontamination in SQL: list_slice windows over
+    string_split tokens (1-based inclusive == Python toks[i:i+n]), eval
+    grams from the doc_id % eval_mod == eval_rem split, DISTINCT shared
+    grams counted per training doc."""
+    return (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "grams AS (SELECT t.doc_id, "
+        "array_to_string(list_slice(t.w, CAST(i.i AS INTEGER), "
+        f"CAST(i.i AS INTEGER) + {n - 1}), ' ') AS g "
+        "FROM toks t, LATERAL (SELECT unnest(generate_series(1, "
+        f"len(t.w) - {n - 1})) AS i) i), "
+        f"ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % {eval_mod} = {eval_rem}), "
+        "hits AS (SELECT DISTINCT gr.doc_id, gr.g FROM grams gr JOIN ev USING (g) "
+        f"WHERE gr.doc_id % {eval_mod} <> {eval_rem}) "
+        "SELECT doc_id, COUNT(*) AS n_hits FROM hits GROUP BY doc_id"
+    )
+
+
+_REPETITION_SQL = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+    "tc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w), "
+    "t1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+    "CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_token_n "
+    "FROM tc GROUP BY doc_id), "
+    "wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "bg AS (SELECT wl.doc_id, w[CAST(i.i AS INTEGER)] || ' ' || "
+    "w[CAST(i.i AS INTEGER) + 1] AS b "
+    "FROM wl, LATERAL (SELECT unnest(generate_series(1, len(wl.w) - 1)) AS i) i), "
+    "bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b), "
+    "t2 AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY doc_id) "
+    "SELECT t1.doc_id, t1.n_tokens, t1.n_distinct, t1.top_token_n, "
+    "COALESCE(t2.top_bigram_n, 0) AS top_bigram_n "
+    "FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_groups": (
@@ -467,6 +534,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_srp_bucketed": _ann_srp_sql(),
         "ann_ivf": _ann_ivf_sql(),
+        "semantic_dup_pairs": _semantic_dup_sql(),
+        "decontaminate_docs": _decontaminate_sql(),
+        "repetition_scores": _REPETITION_SQL,
         "tfidf_top_terms": (
             # integer-only ranking (tf desc, df asc, term asc) — float log
             # never participates in ordering, only in the rounded score

@@ -111,3 +111,58 @@ def language_id(text: str) -> str:
         if hits > best_hits:
             best_lang, best_hits = lang, hits
     return best_lang
+
+
+def repetition_stats(texts):
+    """Gopher-style repetition signals (Rae et al. 2021 appendix A1.1),
+    integer-valued so the SQL oracle hashes bit-for-bit: per document
+    ``n_tokens``, ``n_distinct`` tokens, ``top_token_n`` (occurrences of the
+    most frequent token) and ``top_bigram_n`` (occurrences of the most
+    frequent adjacent bigram). The quality-filter ratios (duplicate-token
+    fraction = 1 - n_distinct/n_tokens, top-bigram fraction =
+    top_bigram_n/n_tokens) are derived downstream; keeping numerators and
+    denominators integral avoids float-hash divergence.
+
+    Fully vectorized across the batch: one ``pd.factorize`` over the
+    flattened token stream, then ``np.unique`` + ``np.maximum.at`` over
+    (doc, token) / (doc, bigram) composite integer keys — no per-row
+    Counter. Tokenization is ``split(' ')`` to match DuckDB
+    ``string_split(text, ' ')`` exactly (empty tokens from doubled spaces
+    count on both sides).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_docs = len(texts)
+    tok_lists = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(tl) for tl in tok_lists), np.int64, n_docs)
+    flat = np.asarray([w for tl in tok_lists for w in tl], dtype=object)
+    codes, uniques = pd.factorize(flat)
+    codes = codes.astype(np.int64)
+    vocab = max(len(uniques), 1)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+
+    key = doc_idx * vocab + codes
+    uk, cnt = np.unique(key, return_counts=True)
+    owner = uk // vocab
+    n_distinct = np.bincount(owner, minlength=n_docs).astype(np.int64)
+    top_token = np.zeros(n_docs, np.int64)
+    np.maximum.at(top_token, owner, cnt)
+
+    # adjacent bigrams: pairs that do not straddle a document boundary.
+    # composite key fits int64 for any realistic batch (vocab^2 * n_docs
+    # < 2^63 up to ~1.5M distinct tokens per 4k-row batch).
+    same_doc = doc_idx[:-1] == doc_idx[1:] if len(doc_idx) > 1 else np.zeros(0, bool)
+    b_doc = doc_idx[:-1][same_doc]
+    b_key = (b_doc * vocab + codes[:-1][same_doc]) * vocab + codes[1:][same_doc]
+    top_bigram = np.zeros(n_docs, np.int64)
+    if len(b_key):
+        ubk, bcnt = np.unique(b_key, return_counts=True)
+        np.maximum.at(top_bigram, ubk // (vocab * vocab), bcnt)
+
+    return {
+        "n_tokens": lens,
+        "n_distinct": n_distinct,
+        "top_token_n": top_token,
+        "top_bigram_n": top_bigram,
+    }

@@ -1094,3 +1094,73 @@ def q_tfidf_top_terms(sf_dir: str, top_k: int = 3):
             }
         )
     return df.sort_values(["doc_id", "term"], ignore_index=True)
+
+
+def q_repetition_scores(sf_dir: str):
+    """Gopher-style repetition quality signals per document (integer
+    numerators/denominators; see functions/text_stats.repetition_stats) —
+    the repetition-removal filter of an LLM training-data pipeline as a
+    stateless vectorized map_batches stage."""
+    from ..functions.text_stats import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        r = repetition_stats(batch["text"].to_pylist())
+        cols = {"doc_id": batch["doc_id"].cast(pa.int64())}
+        for k in ("n_tokens", "n_distinct", "top_token_n", "top_bigram_n"):
+            cols[k] = pa.array(r[k], pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_decontaminate_docs(sf_dir: str, n: int = 8, eval_mod: int = 10, eval_rem: int = 7):
+    """Benchmark decontamination (stages/decontam.py): documents sharing
+    any word ``n``-gram with the eval split (doc_id % eval_mod == eval_rem
+    stands in for the benchmark suite) are flagged with their distinct
+    shared-gram count. Eval grams broadcast once; the corpus side streams —
+    no shuffle touches training content."""
+    from ..stages.decontam import contamination_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(keep_eval: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            mask = (ids % eval_mod) == eval_rem
+            if not keep_eval:
+                mask = ~mask
+            return batch.filter(pa.array(mask))
+        return fn
+
+    eval_ds = ds.map_batches(split(True), batch_format="pyarrow")
+    train_ds = ds.map_batches(split(False), batch_format="pyarrow")
+    out = contamination_counts(train_ds, eval_ds, n=n)
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "n_hits": pd.Series(dtype="int64")}
+        )
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def q_semantic_dup_pairs(sf_dir: str, threshold: float = 0.35, nlist: int = 16):
+    """SemDeDup-style semantic near-dup pairs (stages/ann.semantic_dup_pairs):
+    intra-quantizer-cell cosine pairs >= threshold — the linear-shuffle scale
+    path for embedding dedup (vs the quadratic blocked all-pairs product of
+    embedding_cosine_dup_pairs)."""
+    from ..stages.ann import semantic_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_dup_pairs(ds, threshold, nlist=nlist)
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "cos_r": pd.Series(dtype="float64"),
+            }
+        )
+    return df.sort_values(["a", "b"], ignore_index=True)

@@ -308,3 +308,76 @@ def ivf_topk(
         list_filter, batch_format="pyarrow", batch_size=4096
     )
     return brute_force_topk(filtered, query_ids, query_mat, k)
+
+
+def semantic_dup_pairs(
+    embeddings_ds,
+    threshold: float,
+    nlist: int = 16,
+    seed: int = 42,
+    round_decimals: int = 4,
+):
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): vectors
+    are assigned to a coarse quantizer cell and only INTRA-cell pairs are
+    cosine-scored — the linear-shuffle scale path for embedding dedup where
+    the blocked all-pairs product (cosine_pairs_blocked) stays quadratic.
+
+    One integer-keyed shuffle (groupby cell id) moves each vector once;
+    per-cell scoring is a single float64 matmul + triu threshold. Cells are
+    the seeded unit centroids shared with ivf_topk, so the operator is
+    exactly SQL-checkable (assignment ties resolve to the FIRST maximal
+    centroid = numpy argmax = DuckDB list_indexof-of-max). Cross-cell dups
+    are missed by design (that is the approximation SemDeDup makes); raise
+    nlist for smaller cells / faster scoring, lower it for higher recall.
+    Skew guard: a pathological cell is bounded by the quantizer, not by a
+    hot key — with a trained quantizer (ivf_centroids) cells are balanced
+    by construction.
+    """
+    cents = seeded_centroids(_embedding_dim(embeddings_ds), nlist, seed)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_stack_embeddings(batch["embedding"]))
+        cid = np.argmax(mat @ cents.T, axis=1)
+        dim = mat.shape[1]
+        return pa.table(
+            {
+                "cid": pa.array(cid.astype(np.int64), pa.int64()),
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "nvec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), pa.float64()), dim
+                ),
+            }
+        )
+
+    assigned = embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow", batch_size=8192
+    )
+
+    factor = 10.0 ** round_decimals
+
+    def cell_pairs(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy()
+        mat = group["nvec"].combine_chunks().flatten().to_numpy().reshape(
+            len(ids), -1
+        )
+        sims = mat @ mat.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= threshold
+        a, b = ids[ii[keep]], ids[jj[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        s_r = np.floor(sims[ii[keep], jj[keep]] * factor + 0.5) / factor
+        return pa.table(
+            {
+                "a": pa.array(lo, pa.int64()),
+                "b": pa.array(hi, pa.int64()),
+                "cos_r": pa.array(s_r, pa.float64()),
+            }
+        )
+
+    return assigned.groupby("cid").map_groups(cell_pairs, batch_format="pyarrow")
+
+
+def _embedding_dim(embeddings_ds) -> int:
+    """Embedding width from the first row (schema list width is dynamic)."""
+    first = embeddings_ds.select_columns(["embedding"]).limit(1).take_all()
+    return len(first[0]["embedding"])

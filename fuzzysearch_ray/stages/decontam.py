@@ -1,0 +1,100 @@
+"""Benchmark decontamination: flag corpus documents that share any word
+n-gram with a (small) held-out evaluation set.
+
+The standard LLM training-data hygiene step (GPT-3 appendix C / Gopher
+appendix A.3 style 8..13-gram overlap filtering). The asymmetry is the
+whole design: the eval corpus is benchmark-sized (MBs) while the training
+corpus is the 100 TB side, so the eval n-gram set is built ONCE, broadcast
+via ``ray.put``, and every training document is checked in a stateless
+``map_batches`` pass — no shuffle, no join, training content read exactly
+once. At cluster scale the broadcast set is fetched per node (plasma),
+deserialized once per actor in ``__init__``.
+
+Grams are compared as exact strings (not hashes) so the DuckDB oracle in
+``__ray_entry__`` is definitionally identical; an engine running against a
+large eval suite would hash grams to uint64 first (see
+functions/hashing.md5_gram_hashes for the established trick) at a 2^-64
+collision risk per pair.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Set
+
+import pyarrow as pa
+
+
+def word_ngrams(text: str, n: int) -> Set[str]:
+    """Distinct space-joined word n-grams of ``text`` (split on single
+    spaces, matching DuckDB ``string_split(text, ' ')`` exactly)."""
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def collect_eval_grams(eval_ds, n: int) -> frozenset:
+    """Distinct word n-grams over the eval Dataset.
+
+    Per-batch gram sets are unioned on the driver: the eval side is small
+    by construction (it is the benchmark suite, not the corpus), so this is
+    a deliberate small-side materialization, same contract as the query
+    matrix in stages/ann.brute_force_topk.
+    """
+
+    def batch_grams(batch: pa.Table) -> pa.Table:
+        grams: Set[str] = set()
+        for t in batch["text"].to_pylist():
+            grams |= word_ngrams(t, n)
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    out: Set[str] = set()
+    for batch in eval_ds.map_batches(
+        batch_grams, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        out.update(batch["gram"].to_pylist())
+    return frozenset(out)
+
+
+class ContaminationChecker:
+    """Actor-pool stage: count distinct eval-set n-grams per document.
+
+    The broadcast gram set is fetched and deserialized ONCE per actor in
+    ``__init__`` (the repo-wide stateful-stage pattern); ``__call__`` does
+    per-row set intersection (C-level) against it.
+    """
+
+    def __init__(self, grams_ref, n: int):
+        import ray
+
+        self.grams: frozenset = ray.get(grams_ref)
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        hits = [
+            len(word_ngrams(t, self.n) & self.grams)
+            for t in batch["text"].to_pylist()
+        ]
+        tbl = pa.table(
+            {"doc_id": ids.cast(pa.int64()), "n_hits": pa.array(hits, pa.int64())}
+        )
+        return tbl.filter(pa.compute.greater(tbl["n_hits"], 0))
+
+
+def contamination_counts(docs_ds, eval_ds, n: int = 8, concurrency: int = 4):
+    """(doc_id, n_hits) for every training document sharing >= 1 word
+    n-gram with the eval set; n_hits = number of DISTINCT shared grams.
+
+    ``docs_ds`` streams; ``eval_ds`` is materialized into a broadcast
+    frozenset. Callers decide the eval/train split (and must exclude eval
+    rows from ``docs_ds`` themselves if the two overlap).
+    """
+    import ray
+
+    grams_ref = ray.put(collect_eval_grams(eval_ds, n))
+    return docs_ds.map_batches(
+        ContaminationChecker,
+        fn_constructor_args=(grams_ref, n),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=4096,
+    )

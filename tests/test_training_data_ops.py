@@ -1,0 +1,135 @@
+"""Training-data hygiene operators: repetition signals, benchmark
+decontamination, SemDeDup-style semantic dedup."""
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fuzzysearch_ray.functions.text_stats import repetition_stats
+from fuzzysearch_ray.stages.decontam import (
+    collect_eval_grams,
+    contamination_counts,
+    word_ngrams,
+)
+from fuzzysearch_ray.stages.ann import _normalize, seeded_centroids, semantic_dup_pairs
+
+
+# ---------------------------------------------------------------- repetition
+
+TEXTS = [
+    "a b a b a",
+    "x",
+    "",
+    "a a  a",          # doubled space -> empty token counts on both sides
+    "p q r p q r p q",
+    "the the the the",
+]
+
+
+def test_repetition_stats_matches_counter_bruteforce():
+    r = repetition_stats(TEXTS)
+    for i, t in enumerate(TEXTS):
+        toks = t.split(" ")
+        c = Counter(toks)
+        bg = Counter(zip(toks, toks[1:]))
+        assert r["n_tokens"][i] == len(toks)
+        assert r["n_distinct"][i] == len(c)
+        assert r["top_token_n"][i] == max(c.values())
+        assert r["top_bigram_n"][i] == (max(bg.values()) if bg else 0)
+
+
+def test_repetition_stats_randomized():
+    rng = np.random.default_rng(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+        for _ in range(100)
+    ]
+    r = repetition_stats(texts)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        c = Counter(toks)
+        bg = Counter(zip(toks, toks[1:]))
+        assert r["n_tokens"][i] == len(toks)
+        assert r["n_distinct"][i] == len(c)
+        assert r["top_token_n"][i] == max(c.values())
+        assert r["top_bigram_n"][i] == (max(bg.values()) if bg else 0)
+
+
+# ------------------------------------------------------------- decontaminate
+
+def test_word_ngrams_window_semantics():
+    assert word_ngrams("a b c d", 3) == {"a b c", "b c d"}
+    assert word_ngrams("a b", 3) == set()
+    assert word_ngrams("", 3) == set()
+
+
+def test_contamination_counts_matches_set_bruteforce(ray_session):
+    import ray.data as rd
+
+    n = 3
+    eval_texts = ["w1 w2 w3 w4", "q1 q2 q3"]
+    train_texts = [
+        "w1 w2 w3 x y z",        # shares "w1 w2 w3"
+        "x w2 w3 w4 q1 q2 q3",   # shares "w2 w3 w4" and "q1 q2 q3"
+        "nothing shared here at all",
+        "w1 w2 w3 w4 extra",     # shares two eval grams
+    ]
+    eval_ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": [100, 101], "text": eval_texts})
+    )
+    train_ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": list(range(len(train_texts))), "text": train_texts})
+    )
+
+    eval_grams = set()
+    for t in eval_texts:
+        eval_grams |= word_ngrams(t, n)
+    want = {
+        i: len(word_ngrams(t, n) & eval_grams)
+        for i, t in enumerate(train_texts)
+        if word_ngrams(t, n) & eval_grams
+    }
+
+    out = contamination_counts(train_ds, eval_ds, n=n, concurrency=1).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    assert got == want
+    assert collect_eval_grams(eval_ds, n) == frozenset(eval_grams)
+
+
+# -------------------------------------------------------------- semantic dup
+
+def test_semantic_dup_pairs_matches_numpy_bruteforce(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n, d, nlist, thr = 300, 16, 8, 0.6
+    base = rng.standard_normal((40, d))
+    # near-dup heavy corpus: each vector is a perturbed copy of a base row
+    mat = base[rng.integers(0, 40, n)] + 0.05 * rng.standard_normal((n, d))
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": [r.tolist() for r in mat]})
+    )
+
+    m = _normalize(np.asarray(mat, np.float64))
+    cents = seeded_centroids(d, nlist, 42)
+    cid = np.argmax(m @ cents.T, axis=1)
+    want = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            if cid[a] == cid[b] and float(m[a] @ m[b]) >= thr:
+                want.add((a, b))
+
+    out = semantic_dup_pairs(ds, thr, nlist=nlist).to_pandas()
+    got = set(zip(out["a"].astype(int), out["b"].astype(int)))
+    assert got == want
+    assert len(want) > 0  # the fixture must actually exercise pairs
+
+    # every reported pair is a true cosine near-dup (no false positives
+    # regardless of cell assignment)
+    for a, b in got:
+        assert float(m[a] @ m[b]) >= thr - 1e-9
