@@ -114,6 +114,9 @@ def run_bench() -> dict:
     timed("lineitem_pricing", lambda: Q.q_lineitem_pricing(SF_DIR))
     timed("events_hourly", lambda: Q.q_events_hourly(SF_DIR))
     timed("user_sessions", lambda: Q.q_user_sessions(SF_DIR))
+    timed("repetition_scores", lambda: Q.q_repetition_scores(SF_DIR))
+    timed("decontaminate_docs", lambda: Q.q_decontaminate_docs(SF_DIR))
+    timed("semantic_dup_pairs", lambda: Q.q_semantic_dup_pairs(SF_DIR))
     timed("long_run_pairs", lambda: Q.q_long_run_pairs(SF_DIR))
 
     # headline: flagship dedup over the synthetic source-code corpus
