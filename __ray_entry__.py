@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_dup_pairs": Q.q_embedding_cosine_dup_pairs,
         "semantic_dup_pairs": Q.q_semantic_dup_pairs,
         "decontaminate_docs": Q.q_decontaminate_docs,
+        "incremental_dedup_pairs": Q.q_incremental_dedup_pairs,
         # similarity search
         "ann_topk": Q.q_ann_topk,
         "ann_srp_bucketed": Q.q_ann_srp_bucketed,
@@ -537,6 +538,13 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dup_pairs": _semantic_dup_sql(),
         "decontaminate_docs": _decontaminate_sql(),
         "repetition_scores": _REPETITION_SQL,
+        "incremental_dedup_pairs": (
+            # the b >= cutoff slice of the minhash_lsh_pairs ground truth:
+            # every near-dup pair touching the "arriving" top-decile shard
+            "WITH " + _REP_GRAM_PAIRS_CTE + " "
+            "SELECT a, b, ROUND(jacc, 4) AS jaccard_r FROM pairs "
+            "WHERE b >= (SELECT (9 * MAX(doc_id)) // 10 FROM documents)"
+        ),
         "tfidf_top_terms": (
             # integer-only ranking (tf desc, df asc, term asc) — float log
             # never participates in ordering, only in the rounded score

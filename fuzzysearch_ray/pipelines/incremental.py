@@ -1,0 +1,183 @@
+"""Incremental dedup: dedup an ARRIVING shard against an already-deduped
+corpus without recomputing anything for the old side.
+
+Production contract (mirrors the checkpoint layout in ``checkpointed.py``):
+the old corpus has been through a dedup run, so its representative content
+(re-readable from the input shards by id) and representative MinHash
+signatures (``part=signatures/`` checkpoints) already exist. A new shard
+arrives whose ids are all LARGER than every old id (shards are appended in
+id order) — that ordering is what keeps old representatives stable: a mixed
+exact-dup group's min-id representative is always the old one.
+
+Work done is proportional to the NEW side plus the candidate neighborhoods
+it touches:
+- sha256 + signatures are computed for new docs only;
+- old band keys are re-derived from the checkpointed signatures (integers,
+  ~1000x smaller than content; at extreme scale band keys themselves can be
+  checkpointed and this step becomes a read);
+- candidate generation skips only-old buckets and old×old pairs inside
+  mixed buckets (``candidate_pairs(min_new_id=...)``) — the quadratic
+  old-side work from the original run is never repeated;
+- verify touches content only for surviving pairs, each of which has a new
+  endpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG, DedupConfig
+from ..stages.exact_dedup import broadcast_id_filter, exact_dedup
+from ..stages.lsh import candidate_pairs
+from ..stages.preprocess import preprocess
+from ..stages.signatures import bands_from_signatures, minhash_signatures
+from ..stages.verify import verify_pairs_broadcast, verify_pairs_join
+from .dedup import _collect_ids
+
+
+def incremental_near_dup_pairs(
+    new_corpus_ds,
+    old_reps_ds,
+    old_sigs_ds,
+    config: DedupConfig = DEFAULT_CONFIG,
+    min_new_id: int | None = None,
+    content_mode: str = "auto",
+) -> Dict[str, object]:
+    """Dedup ``new_corpus_ds`` (id, content; ids > all old ids) against an
+    existing run's representatives.
+
+    ``old_reps_ds``: (id, content, sha256, ...) of OLD representatives.
+    ``old_sigs_ds``: (id, sig) MinHash signatures of old representatives —
+    MUST come from the same signature config (scheme/seed/shingle_k) or the
+    band keys won't align.
+
+    Returns ``edges`` (a, b, jaccard — every pair touches a new doc),
+    ``membership`` (new_id, rep_id — rep may be an old or new doc), and
+    ``stats``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if min_new_id is None:
+        mn = new_corpus_ds.select_columns(["id"]).min("id")
+        min_new_id = int(mn if np.isscalar(mn) else mn["id"])
+
+    pre_new = preprocess(new_corpus_ds).materialize()
+    n_new = pre_new.count()
+
+    # --- exact dedup of new docs against old representatives -------------
+    # sha-keyed hash join; the NEW side is the small one by definition, so
+    # the matched id set is shard-bounded and safe to collect for the
+    # broadcast anti-filter (Ray Data has no anti-join).
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    np_parts = max(2, min(config.num_join_partitions, cpus))
+    matched = pre_new.select_columns(["id", "sha256"]).join(
+        old_reps_ds.select_columns(["id", "sha256"]),
+        join_type="inner",
+        num_partitions=np_parts,
+        on=("sha256",),
+        right_on=("sha256",),
+        right_suffix="_old",
+    )
+    membership_old = matched.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["id"].cast(pa.int64()),
+                "rep_id": t["id_old"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    matched_ids = _collect_ids(membership_old)
+
+    fresh_new = broadcast_id_filter(pre_new, ray.put(matched_ids), keep=False)
+
+    # --- exact dedup within the remaining new docs ------------------------
+    membership_new = exact_dedup(fresh_new).materialize()
+    new_rep_ids = _collect_ids(
+        membership_new.map_batches(
+            lambda t: t.filter(pc.equal(t["id"], t["rep_id"])),
+            batch_format="pyarrow",
+        )
+    )
+    reps_new = broadcast_id_filter(fresh_new, ray.put(new_rep_ids)).materialize()
+
+    # --- signatures for NEW representatives only --------------------------
+    sigs_new = minhash_signatures(reps_new, config).materialize()
+
+    # --- banding: old keys from checkpointed signatures, new keys fresh ---
+    bands = bands_from_signatures(old_sigs_ds, config).union(
+        bands_from_signatures(sigs_new, config)
+    )
+    pairs = candidate_pairs(
+        bands,
+        config,
+        num_output_partitions=min(4 * cpus, 48),
+        min_new_id=min_new_id,
+    )
+
+    # --- verify (content only for pairs, every pair touches new) ---------
+    content_union = old_reps_ds.select_columns(["id", "content"]).union(
+        reps_new.select_columns(["id", "content"])
+    )
+    sigs_union = old_sigs_ds.select_columns(["id", "sig"]).union(
+        sigs_new.select_columns(["id", "sig"])
+    )
+    if content_mode == "auto":
+        n_reps_total = old_reps_ds.count() + len(new_rep_ids)
+        rep_bytes = (
+            content_union.map_batches(
+                lambda t: pa.table(
+                    {
+                        "n": pa.array(
+                            [
+                                pc.sum(
+                                    pc.binary_length(
+                                        pc.cast(t["content"], pa.large_binary())
+                                    )
+                                ).as_py()
+                                or 0
+                            ],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ).aggregate(Sum("n", alias_name="total"))["total"]
+            or 0
+        )
+        content_mode = (
+            "broadcast"
+            if (
+                n_reps_total <= config.broadcast_limit_rows
+                and rep_bytes <= config.broadcast_limit_bytes
+            )
+            else "join"
+        )
+
+    if content_mode == "broadcast":
+        cu = content_union.materialize()
+        su = sigs_union.materialize()
+        verified = verify_pairs_broadcast(
+            pairs, cu.to_arrow_refs(), config, sig_refs=su.to_arrow_refs()
+        )
+    else:
+        verified = verify_pairs_join(pairs, content_union, config)
+    verified = verified.materialize()
+
+    membership = membership_old.union(membership_new).materialize()
+    return {
+        "edges": verified,
+        "membership": membership,
+        "stats": {
+            "n_new_rows": int(n_new),
+            "n_new_exact_dups_of_old": int(len(matched_ids)),
+            "n_new_representatives": int(len(new_rep_ids)),
+            "n_verified_edges": int(verified.count()),
+            "content_mode": content_mode,
+        },
+    }

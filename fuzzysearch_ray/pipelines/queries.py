@@ -1164,3 +1164,63 @@ def q_semantic_dup_pairs(sf_dir: str, threshold: float = 0.35, nlist: int = 16):
             }
         )
     return df.sort_values(["a", "b"], ignore_index=True)
+
+
+def q_incremental_dedup_pairs(sf_dir: str):
+    """Incremental dedup (pipelines/incremental.py): docs in the top decile
+    of doc_id play the ARRIVING shard; the rest is the already-deduped
+    corpus whose representative content + signatures exist (recomputed here
+    because sf_dir is the only input — a production run reads them from the
+    ``part=signatures/`` checkpoints). Output: verified near-dup pairs
+    touching the new shard — exactly the ``b >= cutoff`` slice of
+    minhash_lsh_pairs, which is what the SQL oracle enumerates."""
+    import ray
+    from ray.data.aggregate import Max
+
+    from ..pipelines.dedup import _collect_ids
+    from ..pipelines.incremental import incremental_near_dup_pairs
+    from ..stages.exact_dedup import broadcast_id_filter, exact_dedup
+    from ..stages.preprocess import preprocess
+    from ..stages.signatures import minhash_signatures
+
+    config = DedupConfig()
+    corpus = read_documents_as_corpus(sf_dir)
+    max_id = int(corpus.select_columns(["id"]).max("id"))
+    cutoff = (9 * max_id) // 10
+
+    def split(keep_new: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["id"].to_numpy()
+            mask = ids >= cutoff
+            return batch.filter(pa.array(mask if keep_new else ~mask))
+        return fn
+
+    old_ds = corpus.map_batches(split(False), batch_format="pyarrow")
+    new_ds = corpus.map_batches(split(True), batch_format="pyarrow")
+
+    # simulate the prior run's artifacts (checkpointed in production)
+    pre_old = preprocess(old_ds).materialize()
+    old_membership = exact_dedup(pre_old)
+    old_rep_ids = _collect_ids(
+        old_membership.map_batches(
+            lambda t: t.filter(pc.equal(t["id"], t["rep_id"])),
+            batch_format="pyarrow",
+        )
+    )
+    old_reps = broadcast_id_filter(pre_old, ray.put(old_rep_ids)).materialize()
+    old_sigs = minhash_signatures(old_reps, config).materialize()
+
+    res = incremental_near_dup_pairs(
+        new_ds, old_reps, old_sigs, config, min_new_id=cutoff
+    )
+    edges = res["edges"].select_columns(["a", "b", "jaccard"]).to_pandas()
+    if edges.empty:
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "jaccard_r": pd.Series(dtype="float64"),
+            }
+        )
+    edges["jaccard_r"] = round_half_up(edges["jaccard"], 4)
+    return edges[["a", "b", "jaccard_r"]].sort_values(["a", "b"], ignore_index=True)

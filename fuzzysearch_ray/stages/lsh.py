@@ -152,6 +152,7 @@ def candidate_pairs(
     config: DedupConfig,
     num_partitions: int | None = None,
     num_output_partitions: int | None = None,
+    min_new_id: int | None = None,
 ):
     """(id, band_id, band_hash) → distinct candidate (a, b) pairs, a < b.
 
@@ -164,6 +165,12 @@ def candidate_pairs(
     ``num_output_partitions`` sizes the dedup shuffle so the output block
     count matches the downstream verify parallelism — the caller never needs
     a repartition (a third all-to-all) after this.
+
+    ``min_new_id`` (incremental mode): emit only pairs touching a NEW
+    document, i.e. max(a, b) >= min_new_id. New ids are by contract larger
+    than every old id (shards arrive in id order), so b >= min_new_id is the
+    whole condition; buckets of only-old members are skipped before pair
+    expansion — old×old work never happens.
     """
     P = num_partitions or config.num_join_partitions
     P2 = num_output_partitions or P
@@ -196,7 +203,12 @@ def candidate_pairs(
             if e - s < 2:
                 continue
             uniq = np.unique(ids[s:e])
+            if min_new_id is not None and uniq[-1] < min_new_id:
+                continue  # only-old bucket: every pair is already known
             lo, hi = bucket_pairs(uniq, cap, window)
+            if min_new_id is not None and lo.size:
+                keep = hi >= min_new_id
+                lo, hi = lo[keep], hi[keep]
             if lo.size:
                 los.append(lo)
                 his.append(hi)

@@ -1,0 +1,89 @@
+"""Incremental dedup: arriving-shard edges must equal the touching-new
+slice of a full-pipeline run, without recomputing old-side signatures."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from fuzzysearch_ray.config import DedupConfig
+from fuzzysearch_ray.pipelines.dedup import _collect_ids, near_dup_pipeline
+from fuzzysearch_ray.pipelines.incremental import incremental_near_dup_pairs
+from fuzzysearch_ray.sources.corpus import generate_corpus_table
+from fuzzysearch_ray.stages.exact_dedup import broadcast_id_filter, exact_dedup
+from fuzzysearch_ray.stages.preprocess import preprocess
+from fuzzysearch_ray.stages.signatures import minhash_signatures
+
+
+N_ROWS = 1200
+
+
+@pytest.fixture(scope="module")
+def split_corpus(ray_session):
+    import ray.data as rd
+
+    table = generate_corpus_table(N_ROWS)
+    ids = table["id"].to_numpy()
+    cutoff = int(np.quantile(ids, 0.9))
+    old = rd.from_arrow(table.filter(pc.less(table["id"], cutoff)))
+    new = rd.from_arrow(table.filter(pc.greater_equal(table["id"], cutoff)))
+    full = rd.from_arrow(table)
+    return full, old, new, cutoff
+
+
+def _old_artifacts(old_ds, config):
+    import ray
+
+    pre_old = preprocess(old_ds).materialize()
+    membership = exact_dedup(pre_old)
+    rep_ids = _collect_ids(
+        membership.map_batches(
+            lambda t: t.filter(pc.equal(t["id"], t["rep_id"])),
+            batch_format="pyarrow",
+        )
+    )
+    reps = broadcast_id_filter(pre_old, ray.put(rep_ids)).materialize()
+    sigs = minhash_signatures(reps, config).materialize()
+    return reps, sigs
+
+
+def test_incremental_edges_match_full_run_slice(split_corpus):
+    full, old, new, cutoff = split_corpus
+    config = DedupConfig()
+
+    full_res = near_dup_pipeline(full, config)
+    full_edges = full_res["edges"].select_columns(["a", "b"]).to_pandas()
+    want = {
+        (int(a), int(b))
+        for a, b in zip(full_edges["a"], full_edges["b"])
+        if max(int(a), int(b)) >= cutoff
+    }
+
+    old_reps, old_sigs = _old_artifacts(old, config)
+    res = incremental_near_dup_pairs(
+        new, old_reps, old_sigs, config, min_new_id=cutoff
+    )
+    got_edges = res["edges"].select_columns(["a", "b"]).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(got_edges["a"], got_edges["b"])}
+
+    assert got == want
+    assert all(b >= cutoff for _, b in got)
+    assert res["stats"]["n_verified_edges"] == len(got)
+
+
+def test_incremental_membership_covers_every_new_doc(split_corpus):
+    full, old, new, cutoff = split_corpus
+    config = DedupConfig()
+    old_reps, old_sigs = _old_artifacts(old, config)
+    res = incremental_near_dup_pairs(
+        new, old_reps, old_sigs, config, min_new_id=cutoff
+    )
+    mem = res["membership"].to_pandas()
+    new_ids = set(new.select_columns(["id"]).to_pandas()["id"].astype(int))
+    assert set(mem["id"].astype(int)) == new_ids
+    # reps of exact-dups-of-old point at OLD ids; fresh reps at NEW ids
+    assert (mem["rep_id"] <= mem["id"]).all()
+    # a rep id is either an old doc or a new doc that represents itself
+    fresh = mem[mem["rep_id"] >= cutoff]
+    rep_rows = mem[mem["id"].isin(fresh["rep_id"])]
+    assert (rep_rows["id"] == rep_rows["rep_id"]).all()
