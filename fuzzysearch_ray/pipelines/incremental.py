@@ -46,6 +46,7 @@ def incremental_near_dup_pairs(
     config: DedupConfig = DEFAULT_CONFIG,
     min_new_id: int | None = None,
     content_mode: str = "auto",
+    exact_match_mode: str = "auto",
 ) -> Dict[str, object]:
     """Dedup ``new_corpus_ds`` (id, content; ids > all old ids) against an
     existing run's representatives.
@@ -70,28 +71,63 @@ def incremental_near_dup_pairs(
     n_new = pre_new.count()
 
     # --- exact dedup of new docs against old representatives -------------
-    # sha-keyed hash join; the NEW side is the small one by definition, so
-    # the matched id set is shard-bounded and safe to collect for the
-    # broadcast anti-filter (Ray Data has no anti-join).
+    # The matched id set is shard-bounded (new side is small by definition)
+    # and safe to collect for the broadcast anti-filter (Ray Data has no
+    # anti-join). The sha lookup itself follows the content_mode discipline:
+    # a broadcast sha→rep map while the old rep count fits the rows gate
+    # (~80 B/rep, no shuffle, no join actors), a sha-keyed hash join past it.
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    np_parts = max(2, min(config.num_join_partitions, cpus))
-    matched = pre_new.select_columns(["id", "sha256"]).join(
-        old_reps_ds.select_columns(["id", "sha256"]),
-        join_type="inner",
-        num_partitions=np_parts,
-        on=("sha256",),
-        right_on=("sha256",),
-        right_suffix="_old",
-    )
-    membership_old = matched.map_batches(
-        lambda t: pa.table(
-            {
-                "id": t["id"].cast(pa.int64()),
-                "rep_id": t["id_old"].cast(pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    n_old_reps = old_reps_ds.count()
+    if exact_match_mode == "auto":
+        exact_match_mode = (
+            "broadcast" if n_old_reps <= config.broadcast_limit_rows else "join"
+        )
+    if exact_match_mode == "broadcast":
+        sha_map: Dict[str, int] = {}
+        for t in ray.get(
+            old_reps_ds.select_columns(["id", "sha256"]).to_arrow_refs()
+        ):
+            if t.num_rows:
+                sha_map.update(
+                    zip(t["sha256"].to_pylist(), t["id"].to_numpy().tolist())
+                )
+        map_ref = ray.put(sha_map)
+
+        def match(batch: pa.Table) -> pa.Table:
+            m = ray.get(map_ref)
+            reps = np.array(
+                [m.get(h, -1) for h in batch["sha256"].to_pylist()], np.int64
+            )
+            tbl = pa.table(
+                {
+                    "id": batch["id"].cast(pa.int64()),
+                    "rep_id": pa.array(reps, pa.int64()),
+                }
+            )
+            return tbl.filter(pc.greater_equal(tbl["rep_id"], 0))
+
+        membership_old = pre_new.select_columns(["id", "sha256"]).map_batches(
+            match, batch_format="pyarrow"
+        ).materialize()
+    else:
+        np_parts = max(2, min(config.num_join_partitions, cpus))
+        matched = pre_new.select_columns(["id", "sha256"]).join(
+            old_reps_ds.select_columns(["id", "sha256"]),
+            join_type="inner",
+            num_partitions=np_parts,
+            on=("sha256",),
+            right_on=("sha256",),
+            right_suffix="_old",
+        )
+        membership_old = matched.map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t["id"].cast(pa.int64()),
+                    "rep_id": t["id_old"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
     matched_ids = _collect_ids(membership_old)
 
     fresh_new = broadcast_id_filter(pre_new, ray.put(matched_ids), keep=False)
@@ -128,7 +164,7 @@ def incremental_near_dup_pairs(
         sigs_new.select_columns(["id", "sig"])
     )
     if content_mode == "auto":
-        n_reps_total = old_reps_ds.count() + len(new_rep_ids)
+        n_reps_total = n_old_reps + len(new_rep_ids)
         rep_bytes = (
             content_union.map_batches(
                 lambda t: pa.table(

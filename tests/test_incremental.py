@@ -87,3 +87,30 @@ def test_incremental_membership_covers_every_new_doc(split_corpus):
     fresh = mem[mem["rep_id"] >= cutoff]
     rep_rows = mem[mem["id"].isin(fresh["rep_id"])]
     assert (rep_rows["id"] == rep_rows["rep_id"]).all()
+
+
+def test_exact_match_join_equals_broadcast_and_old_dup_detection(ray_session):
+    import ray.data as rd
+    import pandas as pd
+
+    config = DedupConfig()
+    old_texts = ["alpha beta gamma delta " * 8, "one two three four " * 8]
+    new_texts = [old_texts[0], "completely different payload " * 8]
+    old = rd.from_pandas(pd.DataFrame({"id": [0, 1], "content": old_texts}))
+    new = rd.from_pandas(pd.DataFrame({"id": [100, 101], "content": new_texts}))
+    old_reps, old_sigs = _old_artifacts(old, config)
+
+    results = {}
+    for mode in ("broadcast", "join"):
+        res = incremental_near_dup_pairs(
+            new, old_reps, old_sigs, config, min_new_id=100,
+            exact_match_mode=mode,
+        )
+        mem = res["membership"].to_pandas().sort_values("id", ignore_index=True)
+        results[mode] = mem
+        # new doc 100 is an exact copy of old doc 0
+        assert res["stats"]["n_new_exact_dups_of_old"] == 1
+        assert mem.loc[mem["id"] == 100, "rep_id"].iloc[0] == 0
+        assert mem.loc[mem["id"] == 101, "rep_id"].iloc[0] == 101
+
+    assert results["broadcast"].equals(results["join"])
