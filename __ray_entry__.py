@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dup_pairs": Q.q_semantic_dup_pairs,
         "decontaminate_docs": Q.q_decontaminate_docs,
         "incremental_dedup_pairs": Q.q_incremental_dedup_pairs,
+        "cluster_survivors": Q.q_cluster_survivors,
         # similarity search
         "ann_topk": Q.q_ann_topk,
         "ann_srp_bucketed": Q.q_ann_srp_bucketed,
@@ -332,6 +333,30 @@ def _ann_ivf_sql(nq: int = 5, k: int = 5, nlist: int = 16, nprobe: int = 4) -> s
     )
 
 
+def _cluster_survivors_sql() -> str:
+    """Survivor policy in SQL: the near-dup cluster closure (same recursive
+    CTE as near_dup_clusters) ranked per cluster by n_chars DESC, doc_id."""
+    return (
+        "WITH RECURSIVE " + _REP_GRAM_PAIRS_CTE + ", "
+        "edges AS (SELECT a, b FROM pairs "
+        "UNION ALL SELECT rep_id AS a, doc_id AS b FROM m WHERE rep_id <> doc_id), "
+        "sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), "
+        "walk(node, label) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node), "
+        "cl AS (SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id "
+        "FROM walk GROUP BY node), "
+        "ranked AS (SELECT cl.cluster_id, d.doc_id, "
+        "row_number() OVER (PARTITION BY cl.cluster_id "
+        "ORDER BY d.n_chars DESC, d.doc_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members "
+        "FROM cl JOIN documents d ON d.doc_id = cl.doc_id) "
+        "SELECT cluster_id, doc_id AS keep_id, CAST(n_members AS BIGINT) AS n_members "
+        "FROM ranked WHERE rn = 1"
+    )
+
+
 def _semantic_dup_sql(threshold: float = 0.35, nlist: int = 16) -> str:
     """SemDeDup pairs in SQL: the same seeded centroids as the Ray stage
     (stages/ann.semantic_dup_pairs) inlined as DOUBLE[] literals; cell
@@ -545,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a, b, ROUND(jacc, 4) AS jaccard_r FROM pairs "
             "WHERE b >= (SELECT (9 * MAX(doc_id)) // 10 FROM documents)"
         ),
+        "cluster_survivors": _cluster_survivors_sql(),
         "tfidf_top_terms": (
             # integer-only ranking (tf desc, df asc, term asc) — float log
             # never participates in ordering, only in the rounded score

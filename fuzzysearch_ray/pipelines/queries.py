@@ -1224,3 +1224,56 @@ def q_incremental_dedup_pairs(sf_dir: str):
         )
     edges["jaccard_r"] = round_half_up(edges["jaccard"], 4)
     return edges[["a", "b", "jaccard_r"]].sort_values(["a", "b"], ignore_index=True)
+
+
+def q_cluster_survivors(sf_dir: str):
+    """Survivor-selection policy over near-dup clusters: keep the LONGEST
+    member per cluster (min doc_id tiebreak) — the training-data policy of
+    preferring the most complete copy, vs exact dedup's min-id rule. Stays
+    a Dataset end to end: cluster labels join content lengths by id (one
+    integer-keyed shuffle), survivors resolve per cluster-partition with a
+    vectorized lexsort — no per-cluster Python."""
+    import ray
+
+    corpus = read_documents_as_corpus(sf_dir)
+    res = near_dup_pipeline(corpus, DedupConfig())
+    clusters_ds = res["clusters"]  # (id, cluster_id)
+
+    lens = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    np_parts = max(2, min(16, cpus))
+    joined = clusters_ds.join(
+        lens,
+        join_type="inner",
+        num_partitions=np_parts,
+        on=("id",),
+        right_on=("doc_id",),
+    )
+
+    def pick(block: pd.DataFrame) -> pd.DataFrame:
+        ids = block["id"].to_numpy().astype(np.int64)
+        cl = block["cluster_id"].to_numpy().astype(np.int64)
+        ln = block["n_chars"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, -ln, cl))  # cluster asc, len desc, id asc
+        cl_s = cl[order]
+        first = np.r_[True, cl_s[1:] != cl_s[:-1]]
+        sizes = np.diff(np.r_[np.flatnonzero(first), cl_s.size])
+        return pd.DataFrame(
+            {
+                "cluster_id": cl_s[first],
+                "keep_id": ids[order][first],
+                "n_members": sizes.astype(np.int64),
+            }
+        )
+
+    out = joined.groupby("cluster_id").map_groups(pick, batch_format="pandas")
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "cluster_id": pd.Series(dtype="int64"),
+                "keep_id": pd.Series(dtype="int64"),
+                "n_members": pd.Series(dtype="int64"),
+            }
+        )
+    return df.sort_values("cluster_id", ignore_index=True)
