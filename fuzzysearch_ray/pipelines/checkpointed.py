@@ -106,21 +106,7 @@ def run_dedup_checkpointed(
     manifest = RunManifest.load_or_create(out_dir, config, input_paths)
 
     # ---- stage 1: per-shard signatures ---------------------------------
-    n_skipped = 0
-    for path in input_paths:
-        part = "signatures/" + _shard_name(path)
-        if manifest.is_complete(part):
-            n_skipped += 1
-            continue
-        shard = preprocess(_read_shard(path))
-        sigs = minhash_signatures(shard, config)
-        hashes = shard.select_columns(["id", "sha256", "sha_int", "n_bytes"])
-        joined = _zip_by_id(hashes, sigs)
-        out_path = write_partition_atomic(joined, out_dir, part)
-        n_rows = int(joined.num_rows)
-        manifest.mark_complete(
-            part, {"input": path, "rows": n_rows, "output": out_path}
-        )
+    n_skipped = _stage1_signatures(input_paths, manifest, out_dir, config)
     manifest.record_metrics({"signature_shards_skipped_on_resume": n_skipped})
 
     # ---- stage 2: global membership + edges ----------------------------
@@ -202,33 +188,82 @@ def run_dedup_checkpointed(
 
     # ---- stage 3: clusters --------------------------------------------
     if not manifest.is_complete("clusters/all"):
-        edges_ds = rd.read_parquet(_part_dir(out_dir, "edges/all"))
-        membership_ds = rd.read_parquet(_part_dir(out_dir, "membership/all"))
-        n_edges = edges_ds.count()
-        if n_edges > config.driver_edges_limit:
-            labels_ds = components_distributed(edges_ds)
-            clusters = assign_clusters_join(membership_ds, labels_ds)
-        else:
-            small = edges_ds.select_columns(["a", "b"]).to_pandas()
-            labels = components_driver(small["a"].to_numpy(), small["b"].to_numpy())
-            clusters = assign_clusters_broadcast(membership_ds, labels)
-        clusters = clusters.materialize()
-        from ray.data.aggregate import Count
-
-        sizes = clusters.groupby("cluster_id").aggregate(Count(alias_name="n"))
-        n_multi = sizes.map_batches(
-            lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
-        ).count()
-        write_partition_atomic(clusters, out_dir, "clusters/all")
-        manifest.mark_complete(
-            "clusters/all",
-            {"rows": int(clusters.count()), "n_clusters_multi": int(n_multi)},
+        _stage3_clusters(
+            manifest, out_dir, config, ["edges/all"], ["membership/all"]
         )
     return manifest.state
 
 
+def _stage1_signatures(input_paths, manifest, out_dir, config) -> int:
+    """Per-shard signature checkpoints (idempotent; returns skip count)."""
+    n_skipped = 0
+    for path in input_paths:
+        part = "signatures/" + _shard_name(path)
+        if manifest.is_complete(part):
+            n_skipped += 1
+            continue
+        shard = preprocess(_read_shard(path))
+        sigs = minhash_signatures(shard, config)
+        hashes = shard.select_columns(["id", "sha256", "sha_int", "n_bytes"])
+        joined = _zip_by_id(hashes, sigs)
+        out_path = write_partition_atomic(joined, out_dir, part)
+        n_rows = int(joined.num_rows)
+        manifest.mark_complete(
+            part, {"input": path, "rows": n_rows, "output": out_path}
+        )
+    return n_skipped
+
+
+def _stage3_clusters(
+    manifest, out_dir, config, edge_parts, membership_parts
+) -> None:
+    """Connected components over the given edge/membership partitions;
+    always recomputes and (re)writes ``clusters/all`` — append runs call it
+    to fold incremental edges into the global clustering."""
+    import ray.data as rd
+
+    edges_ds = rd.read_parquet(_part_files(out_dir, edge_parts))
+    membership_ds = rd.read_parquet(_part_files(out_dir, membership_parts))
+    n_edges = edges_ds.count()
+    if n_edges > config.driver_edges_limit:
+        labels_ds = components_distributed(edges_ds)
+        clusters = assign_clusters_join(membership_ds, labels_ds)
+    else:
+        small = edges_ds.select_columns(["a", "b"]).to_pandas()
+        labels = components_driver(small["a"].to_numpy(), small["b"].to_numpy())
+        clusters = assign_clusters_broadcast(membership_ds, labels)
+    clusters = clusters.materialize()
+    from ray.data.aggregate import Count
+
+    sizes = clusters.groupby("cluster_id").aggregate(Count(alias_name="n"))
+    n_multi = sizes.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+    ).count()
+    write_partition_atomic(clusters, out_dir, "clusters/all")
+    manifest.mark_complete(
+        "clusters/all",
+        {
+            "rows": int(clusters.count()),
+            "n_clusters_multi": int(n_multi),
+            "inputs": sorted(edge_parts) + sorted(membership_parts),
+        },
+    )
+
+
 def _part_dir(out_dir: str, partition: str) -> str:
     return os.path.join(out_dir, "part=%s" % partition)
+
+
+def _part_files(out_dir: str, partitions) -> List[str]:
+    """Parquet files under the given partitions (read_parquet treats list
+    entries as files, so directories must be expanded)."""
+    return sorted(
+        os.path.join(d, f)
+        for p in partitions
+        for d in [_part_dir(out_dir, p)]
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
 
 
 def _zip_by_id(hashes_ds, sigs_ds) -> pa.Table:
@@ -246,3 +281,151 @@ def _zip_by_id(hashes_ds, sigs_ds) -> pa.Table:
     s = s.take(pa.array(order_s, pa.int64()))
     assert h["id"].to_numpy().tolist() == s["id"].to_numpy().tolist()
     return h.append_column("sig", s["sig"])
+
+
+def append_shards_checkpointed(
+    new_paths: List[str],
+    out_dir: str,
+    config: DedupConfig = DEFAULT_CONFIG,
+    content_mode: str = "auto",
+) -> Dict:
+    """Incrementally extend a COMPLETED checkpointed run with new shards.
+
+    The append path (pipelines/incremental.py) never recomputes old-side
+    work: old representative signatures/shas come from the stage-1
+    checkpoints, old rep content is re-read from the base input shards, and
+    candidate generation prunes old×old pairs. New shards get their own
+    stage-1 signature checkpoints (so a killed append resumes), the
+    touching-new edges and new-doc membership land in
+    ``edges/incr_<tag>`` / ``membership/incr_<tag>`` partitions, and the
+    global clustering is refolded over ALL edge partitions (cheap: integer
+    edges only). Repeated appends compose — each treats everything before
+    it as the old side.
+
+    Contract: every new id must be larger than every old id (validated) —
+    that is what keeps old representatives stable.
+    """
+    import hashlib
+    import json
+
+    import ray
+    import ray.data as rd
+
+    from ..state.checkpoint import config_fingerprint
+    from .dedup import _collect_ids
+    from .incremental import incremental_near_dup_pairs
+
+    new_paths = sorted(new_paths)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    if not os.path.exists(manifest_path):
+        raise ValueError("no base run at %s (run run_dedup_checkpointed first)" % out_dir)
+    with open(manifest_path) as f:
+        state = json.load(f)
+    if state.get("config_fingerprint") != config_fingerprint(config):
+        raise ValueError("append config differs from the base run's config")
+    for part in ("edges/all", "membership/all", "clusters/all"):
+        if part not in state["completed_partitions"]:
+            raise ValueError("base run incomplete: missing " + part)
+
+    base_inputs = [p for p in state["input_paths"] if p not in set(new_paths)]
+    manifest = RunManifest(out_dir, config, base_inputs)
+    manifest.state = state
+    tag = hashlib.sha256(
+        "\x1f".join(_shard_name(p) for p in new_paths).encode()
+    ).hexdigest()[:12]
+    edges_part = "edges/incr_%s" % tag
+    mem_part = "membership/incr_%s" % tag
+
+    # stage 1 for the new shards (idempotent per shard)
+    _stage1_signatures(new_paths, manifest, out_dir, config)
+
+    if not manifest.is_complete(edges_part):
+        old_names = {_shard_name(p) for p in base_inputs}
+        new_names = {_shard_name(p) for p in new_paths}
+        sig_dir = os.path.join(out_dir, "part=signatures")
+
+        def _sig_files(names):
+            return sorted(
+                os.path.join(sig_dir, n, f)
+                for n in names
+                if os.path.isdir(os.path.join(sig_dir, n))
+                for f in os.listdir(os.path.join(sig_dir, n))
+                if f.endswith(".parquet")
+            )
+
+        old_sig_ds = rd.read_parquet(_sig_files(old_names)).materialize()
+        new_sig_ds = rd.read_parquet(_sig_files(new_names)).materialize()
+
+        max_old = int(old_sig_ds.max("id"))
+        min_new = int(new_sig_ds.min("id"))
+        if min_new <= max_old:
+            raise ValueError(
+                "append contract violated: new ids must exceed old ids "
+                "(max old %d >= min new %d)" % (max_old, min_new)
+            )
+
+        # old representatives: union of ALL prior membership partitions
+        # (base + earlier increments), so appends compose
+        mem_parts_prior = sorted(
+            p for p in state["completed_partitions"] if p.startswith("membership/")
+        )
+        membership_prior = rd.read_parquet(_part_files(out_dir, mem_parts_prior))
+        rep_ids = _collect_ids(
+            membership_prior.map_batches(
+                lambda t: t.filter(pc.equal(t["id"], t["rep_id"])),
+                batch_format="pyarrow",
+            )
+        )
+        rep_ref = ray.put(rep_ids)
+        old_rep_sigs = broadcast_id_filter(old_sig_ds, rep_ref).materialize()
+        old_rep_content = broadcast_id_filter(
+            _read_shard(base_inputs, columns=["id", "content"]), rep_ref
+        ).materialize()
+
+        # precomputed new side: content re-read from the new shards, sha/sig
+        # from the stage-1 checkpoint — one id-keyed join, nothing re-hashed
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        np_parts = max(2, min(config.num_join_partitions, cpus))
+        pre_new = _read_shard(new_paths, columns=["id", "content"]).join(
+            new_sig_ds.select_columns(["id", "sha256", "sha_int", "n_bytes"]),
+            join_type="inner",
+            num_partitions=np_parts,
+            on=("id",),
+            right_on=("id",),
+        )
+
+        res = incremental_near_dup_pairs(
+            None,
+            old_rep_content,
+            old_rep_sigs.select_columns(["id", "sig"]),
+            config,
+            min_new_id=min_new,
+            content_mode=content_mode,
+            old_sha_ds=old_rep_sigs,
+            pre_new_ds=pre_new,
+            new_sigs_ds=new_sig_ds,
+        )
+        write_partition_atomic(res["edges"], out_dir, edges_part)
+        manifest.mark_complete(
+            edges_part,
+            {"rows": res["stats"]["n_verified_edges"], "inputs": new_paths,
+             "stats": res["stats"]},
+        )
+        write_partition_atomic(res["membership"], out_dir, mem_part)
+        manifest.mark_complete(
+            mem_part, {"rows": int(res["membership"].count()), "inputs": new_paths}
+        )
+
+    # refold the global clustering over every edge/membership partition
+    edge_parts = sorted(
+        p for p in manifest.state["completed_partitions"] if p.startswith("edges/")
+    )
+    mem_parts = sorted(
+        p
+        for p in manifest.state["completed_partitions"]
+        if p.startswith("membership/")
+    )
+    _stage3_clusters(manifest, out_dir, config, edge_parts, mem_parts)
+    manifest.state["input_paths"] = sorted(set(base_inputs) | set(new_paths))
+    manifest.record_metrics({"last_append_tag": tag})
+    return manifest.state

@@ -47,14 +47,23 @@ def incremental_near_dup_pairs(
     min_new_id: int | None = None,
     content_mode: str = "auto",
     exact_match_mode: str = "auto",
+    old_sha_ds=None,
+    pre_new_ds=None,
+    new_sigs_ds=None,
 ) -> Dict[str, object]:
     """Dedup ``new_corpus_ds`` (id, content; ids > all old ids) against an
     existing run's representatives.
 
-    ``old_reps_ds``: (id, content, sha256, ...) of OLD representatives.
+    ``old_reps_ds``: (id, content, ...) of OLD representatives.
     ``old_sigs_ds``: (id, sig) MinHash signatures of old representatives —
     MUST come from the same signature config (scheme/seed/shingle_k) or the
     band keys won't align.
+    ``old_sha_ds``: (id, sha256) of old representatives; defaults to
+    ``old_reps_ds`` (checkpointed runs pass the signature table, which
+    carries sha256 without re-reading content).
+    ``pre_new_ds`` / ``new_sigs_ds``: precomputed new-side artifacts
+    (preprocessed rows incl. content / full new signature table) from a
+    stage-1 checkpoint, so nothing is hashed twice on the append path.
 
     Returns ``edges`` (a, b, jaccard — every pair touches a new doc),
     ``membership`` (new_id, rep_id — rep may be an old or new doc), and
@@ -63,11 +72,17 @@ def incremental_near_dup_pairs(
     import ray
     from ray.data.aggregate import Sum
 
-    if min_new_id is None:
-        mn = new_corpus_ds.select_columns(["id"]).min("id")
-        min_new_id = int(mn if np.isscalar(mn) else mn["id"])
+    if old_sha_ds is None:
+        old_sha_ds = old_reps_ds
 
-    pre_new = preprocess(new_corpus_ds).materialize()
+    pre_new = (
+        pre_new_ds.materialize()
+        if pre_new_ds is not None
+        else preprocess(new_corpus_ds).materialize()
+    )
+    if min_new_id is None:
+        mn = pre_new.select_columns(["id"]).min("id")
+        min_new_id = int(mn if np.isscalar(mn) else mn["id"])
     n_new = pre_new.count()
 
     # --- exact dedup of new docs against old representatives -------------
@@ -85,7 +100,7 @@ def incremental_near_dup_pairs(
     if exact_match_mode == "broadcast":
         sha_map: Dict[str, int] = {}
         for t in ray.get(
-            old_reps_ds.select_columns(["id", "sha256"]).to_arrow_refs()
+            old_sha_ds.select_columns(["id", "sha256"]).to_arrow_refs()
         ):
             if t.num_rows:
                 sha_map.update(
@@ -112,7 +127,7 @@ def incremental_near_dup_pairs(
     else:
         np_parts = max(2, min(config.num_join_partitions, cpus))
         matched = pre_new.select_columns(["id", "sha256"]).join(
-            old_reps_ds.select_columns(["id", "sha256"]),
+            old_sha_ds.select_columns(["id", "sha256"]),
             join_type="inner",
             num_partitions=np_parts,
             on=("sha256",),
@@ -143,7 +158,12 @@ def incremental_near_dup_pairs(
     reps_new = broadcast_id_filter(fresh_new, ray.put(new_rep_ids)).materialize()
 
     # --- signatures for NEW representatives only --------------------------
-    sigs_new = minhash_signatures(reps_new, config).materialize()
+    if new_sigs_ds is not None:
+        sigs_new = broadcast_id_filter(
+            new_sigs_ds.select_columns(["id", "sig"]), ray.put(new_rep_ids)
+        ).materialize()
+    else:
+        sigs_new = minhash_signatures(reps_new, config).materialize()
 
     # --- banding: old keys from checkpointed signatures, new keys fresh ---
     bands = bands_from_signatures(old_sigs_ds, config).union(

@@ -31,6 +31,10 @@ def main() -> int:
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only for standalone local runs")
+    p.add_argument("--append", action="store_true",
+                   help="treat --input as NEW shards to fold into an "
+                        "existing completed run at --out (incremental "
+                        "dedup; new ids must exceed all old ids)")
     args = p.parse_args()
 
     paths = sorted(glob.glob(args.input))
@@ -54,7 +58,10 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
 
     from fuzzysearch_ray.config import DedupConfig
-    from fuzzysearch_ray.pipelines.checkpointed import run_dedup_checkpointed
+    from fuzzysearch_ray.pipelines.checkpointed import (
+        append_shards_checkpointed,
+        run_dedup_checkpointed,
+    )
 
     config = DedupConfig(
         shingle_k=args.shingle_k,
@@ -63,7 +70,10 @@ def main() -> int:
         jaccard_threshold=args.threshold,
     )
     t0 = time.time()
-    state = run_dedup_checkpointed(paths, args.out, config)
+    if args.append:
+        state = append_shards_checkpointed(paths, args.out, config)
+    else:
+        state = run_dedup_checkpointed(paths, args.out, config)
     wall = time.time() - t0
     done = state["completed_partitions"]
     n_rows = sum(

@@ -1,0 +1,77 @@
+"""Append path of the checkpointed run: incremental shard ingestion must
+reproduce exactly the clusters a from-scratch run over all shards yields."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from fuzzysearch_ray.config import DedupConfig
+from fuzzysearch_ray.pipelines.checkpointed import (
+    append_shards_checkpointed,
+    run_dedup_checkpointed,
+)
+from fuzzysearch_ray.sources.corpus import write_corpus_shards
+
+
+N_ROWS = 1500
+ROWS_PER_SHARD = 500
+
+
+@pytest.fixture(scope="module")
+def shards(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("append_corpus"))
+    write_corpus_shards(d, N_ROWS, rows_per_shard=ROWS_PER_SHARD)
+    paths = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    assert len(paths) == 3
+    return paths
+
+
+def _clusters(out_dir):
+    df = pq.read_table(os.path.join(out_dir, "part=clusters/all")).to_pandas()
+    return df.sort_values("id", ignore_index=True)
+
+
+def test_append_matches_full_run(ray_session, shards, tmp_path):
+    cfg = DedupConfig()
+
+    full_dir = str(tmp_path / "full")
+    run_dedup_checkpointed(shards, full_dir, cfg)
+    want = _clusters(full_dir)
+
+    incr_dir = str(tmp_path / "incr")
+    run_dedup_checkpointed(shards[:2], incr_dir, cfg)
+    state = append_shards_checkpointed([shards[2]], incr_dir, cfg)
+    got = _clusters(incr_dir)
+
+    pd.testing.assert_frame_equal(got, want)
+    # lineage recorded for the increment
+    incr_edges = [
+        p for p in state["completed_partitions"] if p.startswith("edges/incr_")
+    ]
+    assert len(incr_edges) == 1
+    assert state["completed_partitions"][incr_edges[0]]["inputs"] == [shards[2]]
+    assert sorted(state["input_paths"]) == sorted(shards)
+
+
+def test_append_is_idempotent_and_validates(ray_session, shards, tmp_path):
+    cfg = DedupConfig()
+    out = str(tmp_path / "run")
+    run_dedup_checkpointed(shards[:2], out, cfg)
+    s1 = append_shards_checkpointed([shards[2]], out, cfg)
+    before = _clusters(out)
+    # re-append of the same shard resumes from its checkpoints (no change)
+    s2 = append_shards_checkpointed([shards[2]], out, cfg)
+    pd.testing.assert_frame_equal(_clusters(out), before)
+    assert s2["metrics"]["last_append_tag"] == s1["metrics"]["last_append_tag"]
+
+    # id-ordering contract: appending an OLD shard must be rejected
+    with pytest.raises(ValueError, match="new ids must exceed old ids"):
+        append_shards_checkpointed([shards[0]], out, cfg)
+
+    # config drift must be rejected
+    with pytest.raises(ValueError, match="config differs"):
+        append_shards_checkpointed([shards[2]], out, DedupConfig(shingle_k=7))
