@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": Q.q_ann_topk,
         "ann_srp_bucketed": Q.q_ann_srp_bucketed,
         "ann_ivf": Q.q_ann_ivf,
+        "embedding_kmeans": Q.q_embedding_kmeans,
         # text analysis
         "char_class_stats": Q.q_char_class_stats,
         "token_counts": Q.q_token_counts,
@@ -357,6 +358,41 @@ def _cluster_survivors_sql() -> str:
     )
 
 
+def _kmeans_sql(nlist: int = 8, dim: int = 64) -> str:
+    """One Lloyd round of spherical k-means in SQL, replaying
+    stages/ann.kmeans_assign exactly: seeded unit centroids inlined as
+    literals, first assignment = first-max cosine, centroid update = AVG of
+    the normalized vectors per (cell, dim) — GROUP BY yields only the
+    non-empty cells, same as the engine's surviving-cell rule — final
+    assignment ranked sim DESC, cid (ties to the lowest cell id)."""
+    from fuzzysearch_ray.stages.ann import seeded_centroids
+
+    cents = seeded_centroids(dim, nlist, 42)
+
+    def arr(c) -> str:
+        return "[" + ",".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
+
+    sims_list = "[" + ", ".join(
+        "list_cosine_similarity(nv, %s)" % arr(cents[j]) for j in range(nlist)
+    ) + "]"
+    return (
+        "WITH n AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        "x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) "
+        "AS nv FROM embeddings), "
+        f"s0 AS (SELECT vec_id, nv, {sims_list} AS s FROM n), "
+        "a0 AS (SELECT vec_id, nv, list_indexof(s, list_max(s)) AS cid FROM s0), "
+        "t1 AS (SELECT a0.cid, CAST(i.i AS INTEGER) AS ord, "
+        "AVG(a0.nv[CAST(i.i AS INTEGER)]) AS v "
+        f"FROM a0, LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) i "
+        "GROUP BY 1, 2), "
+        "c1 AS (SELECT cid, list(v ORDER BY ord) AS cent FROM t1 GROUP BY cid), "
+        "s1 AS (SELECT n.vec_id, c1.cid, list_cosine_similarity(n.nv, c1.cent) "
+        "AS sim FROM n, c1) "
+        "SELECT vec_id, CAST(cid - 1 AS BIGINT) AS cid FROM s1 "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1"
+    )
+
+
 def _semantic_dup_sql(threshold: float = 0.35, nlist: int = 16) -> str:
     """SemDeDup pairs in SQL: the same seeded centroids as the Ray stage
     (stages/ann.semantic_dup_pairs) inlined as DOUBLE[] literals; cell
@@ -571,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE b >= (SELECT (9 * MAX(doc_id)) // 10 FROM documents)"
         ),
         "cluster_survivors": _cluster_survivors_sql(),
+        "embedding_kmeans": _kmeans_sql(),
         "tfidf_top_terms": (
             # integer-only ranking (tf desc, df asc, term asc) — float log
             # never participates in ordering, only in the rounded score

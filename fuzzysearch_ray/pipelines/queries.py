@@ -1277,3 +1277,16 @@ def q_cluster_survivors(sf_dir: str):
             }
         )
     return df.sort_values("cluster_id", ignore_index=True)
+
+
+def q_embedding_kmeans(sf_dir: str, nlist: int = 8, iters: int = 1):
+    """Distributed spherical k-means over the embeddings table
+    (stages/ann.kmeans_assign): one streaming assignment + partial-sum pass
+    per Lloyd iteration, driver holds only nlist x dim floats. Output is the
+    final (vec_id, cid) assignment; the SQL oracle replays the identical
+    seeded-init rounds with generated CTEs."""
+    from ..stages.ann import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = kmeans_assign(ds, nlist=nlist, iters=iters).to_pandas()
+    return out.sort_values("vec_id", ignore_index=True)

@@ -381,3 +381,101 @@ def _embedding_dim(embeddings_ds) -> int:
     """Embedding width from the first row (schema list width is dynamic)."""
     first = embeddings_ds.select_columns(["embedding"]).limit(1).take_all()
     return len(first[0]["embedding"])
+
+
+def kmeans_assign(embeddings_ds, nlist: int = 8, iters: int = 1, seed: int = 42):
+    """Distributed spherical k-means: seeded unit init, then per iteration
+    ONE streaming pass over the Dataset — broadcast centroids, per-batch
+    cosine argmax + per-cell partial sums/counts — reduced on the driver to
+    nlist x dim floats (the only driver state; Lloyd's update is an
+    associative aggregate, so the reduction tree is shuffle-free). Returns
+    the final (vec_id, cid) assignment Dataset.
+
+    Empty cells drop out of the candidate set for subsequent rounds (the
+    SQL oracle's GROUP BY produces exactly the non-empty cells). Ties
+    resolve to the lowest surviving cell id on both sides. The per-sample
+    driver trainer for IVF (ivf_centroids) stays separate — this is the
+    full-corpus operator."""
+    import ray
+
+    dim = _embedding_dim(embeddings_ds)
+
+    def normalize_block(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_stack_embeddings(batch["embedding"]))
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "nvec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), pa.float64()), dim
+                ),
+            }
+        )
+
+    norm = embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        normalize_block, batch_format="pyarrow", batch_size=8192
+    ).materialize()
+
+    def unpack(batch: pa.Table) -> np.ndarray:
+        col = batch["nvec"].combine_chunks()
+        return col.flatten().to_numpy().reshape(batch.num_rows, -1)
+
+    cents = seeded_centroids(dim, nlist, seed)
+    cent_ids = np.arange(nlist, dtype=np.int64)
+
+    for _ in range(iters):
+        cref = ray.put((_normalize(cents), cent_ids))
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c, cids = ray.get(cref)
+            mat = unpack(batch)
+            a = np.argmax(mat @ c.T, axis=1)
+            counts = np.bincount(a, minlength=len(cids))
+            sums = np.zeros((len(cids), mat.shape[1]))
+            np.add.at(sums, a, mat)
+            present = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "cid": pa.array(cids[present], pa.int64()),
+                    "n": pa.array(counts[present], pa.int64()),
+                    "s": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums[present].reshape(-1), pa.float64()),
+                        mat.shape[1],
+                    ),
+                }
+            )
+
+        agg = {}
+        for t in ray.get(
+            norm.map_batches(partials, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        ):
+            if not t.num_rows:
+                continue
+            svals = t["s"].combine_chunks().flatten().to_numpy().reshape(
+                t.num_rows, -1
+            )
+            for cid, n, s in zip(t["cid"].to_numpy(), t["n"].to_numpy(), svals):
+                cur = agg.get(int(cid))
+                if cur is None:
+                    agg[int(cid)] = [int(n), s.copy()]
+                else:
+                    cur[0] += int(n)
+                    cur[1] += s
+        cent_ids = np.array(sorted(agg), dtype=np.int64)
+        cents = np.stack([agg[int(c)][1] / agg[int(c)][0] for c in cent_ids])
+
+    cref = ray.put((_normalize(cents), cent_ids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c, cids = ray.get(cref)
+        mat = unpack(batch)
+        a = np.argmax(mat @ c.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cid": pa.array(cids[a], pa.int64()),
+            }
+        )
+
+    return norm.map_batches(assign, batch_format="pyarrow")

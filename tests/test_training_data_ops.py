@@ -133,3 +133,35 @@ def test_semantic_dup_pairs_matches_numpy_bruteforce(ray_session):
     # regardless of cell assignment)
     for a, b in got:
         assert float(m[a] @ m[b]) >= thr - 1e-9
+
+
+# ------------------------------------------------------------------ k-means
+
+def test_kmeans_assign_matches_numpy_reference(ray_session):
+    import ray.data as rd
+
+    from fuzzysearch_ray.stages.ann import kmeans_assign
+
+    rng = np.random.default_rng(5)
+    n, d, nlist, iters = 400, 16, 6, 2
+    mat = rng.standard_normal((n, d))
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": [r.tolist() for r in mat]})
+    )
+
+    m = _normalize(np.asarray(mat, np.float64))
+    cents = seeded_centroids(d, nlist, 42)
+    cent_ids = np.arange(nlist)
+    for _ in range(iters):
+        a = np.argmax(m @ _normalize(cents).T, axis=1)
+        present = sorted(set(a.tolist()))
+        cents = np.stack([m[a == j].mean(axis=0) for j in present])
+        cent_ids = cent_ids[present]
+    want = cent_ids[np.argmax(m @ _normalize(cents).T, axis=1)]
+
+    out = kmeans_assign(ds, nlist=nlist, iters=iters).to_pandas()
+    out = out.sort_values("vec_id", ignore_index=True)
+    assert out["cid"].to_numpy().tolist() == want.tolist()
+    # every vector is assigned exactly once
+    assert out["vec_id"].to_numpy().tolist() == ids.tolist()
