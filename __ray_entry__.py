@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang": Q.q_docs_by_lang,
         "top_longest_docs": Q.q_top_longest_docs,
         "events_hourly": Q.q_events_hourly,
+        "events_hopping": Q.q_events_hopping,
         "user_sessions": Q.q_user_sessions,
         "asof_click_attribution": Q.q_asof_click_attribution,
         "fuzzy_join_parts": Q.q_fuzzy_join_parts,
@@ -493,6 +494,16 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": (
             "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, "
             "COUNT(*) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "events_hopping": (
+            # 3h window, 1h hop: every event lands in the 3 windows that
+            # contain its hour (window_start in {h-2, h-1, h})
+            "WITH e AS (SELECT event_type, "
+            "CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h FROM events) "
+            "SELECT event_type, h - CAST(o.i AS BIGINT) AS window_start, "
+            "COUNT(*) AS n_events FROM e, "
+            "LATERAL (SELECT unnest(generate_series(0, 2)) AS i) o "
+            "GROUP BY 1, 2"
         ),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, "

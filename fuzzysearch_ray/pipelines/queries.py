@@ -1290,3 +1290,38 @@ def q_embedding_kmeans(sf_dir: str, nlist: int = 8, iters: int = 1):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = kmeans_assign(ds, nlist=nlist, iters=iters).to_pandas()
     return out.sort_values("vec_id", ignore_index=True)
+
+
+def q_events_hopping(sf_dir: str, window_hours: int = 3, hop_hours: int = 1):
+    """Hopping-window aggregate over the events stream: per event_type, the
+    event count of every ``window_hours``-wide window advancing by
+    ``hop_hours`` — the overlapping-window sibling of the tumbling
+    ``events_hourly``. Each event fans out to the window_hours/hop_hours
+    windows containing it inside one vectorized map_batches (np.repeat +
+    offset tile), then ONE integer-keyed groupby counts — no window state,
+    no sort."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    k = window_hours // hop_hours
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        epoch_us = batch["ts"].cast(pa.int64()).to_numpy()
+        hour = np.floor_divide(epoch_us, 3_600_000_000)
+        n = len(hour)
+        starts = np.repeat(hour, k) - np.tile(np.arange(k, dtype=np.int64), n)
+        types = batch["event_type"].take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        )
+        return pa.table(
+            {
+                "event_type": types,
+                "window_start": pa.array(starts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(fan_out, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"))
+    )
