@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": Q.q_repetition_scores,
         # relational / windowed
         "docs_by_lang": Q.q_docs_by_lang,
+        "doc_length_quantiles": Q.q_doc_length_quantiles,
         "top_longest_docs": Q.q_top_longest_docs,
         "events_hourly": Q.q_events_hourly,
         "events_hopping": Q.q_events_hopping,
@@ -494,6 +495,12 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": (
             "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, "
             "COUNT(*) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "doc_length_quantiles": (
+            "SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50, "
+            "CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90, "
+            "CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99 "
+            "FROM documents GROUP BY lang"
         ),
         "events_hopping": (
             # 3h window, 1h hop: every event lands in the 3 windows that

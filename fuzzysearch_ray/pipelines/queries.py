@@ -1325,3 +1325,53 @@ def q_events_hopping(sf_dir: str, window_hours: int = 3, hop_hours: int = 1):
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n_events"))
     )
+
+
+def q_doc_length_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
+    """Exact per-language length quantiles WITHOUT a global sort: n_chars
+    has a bounded domain, so per-batch (lang, n_chars) count partials plus
+    one small integer-keyed groupby yield the complete histogram; quantiles
+    fall out of a cumsum over each language's (tiny) histogram. The
+    fixed-domain-histogram trick is the scale path for exact distribution
+    stats — a 100 TB corpus still has only ~max_len distinct lengths.
+    Quantile rule pinned to DuckDB quantile_disc: sorted index
+    ceil(q*n) - 1."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs, lcodes = np.unique(np.asarray(batch["lang"].to_pylist()), return_inverse=True)
+        lens = batch["n_chars"].to_numpy()
+        key = lcodes.astype(np.int64) * (int(lens.max()) + 1 if len(lens) else 1) + lens
+        uk, inv_first, cnt = np.unique(key, return_index=True, return_counts=True)
+        base = int(lens.max()) + 1 if len(lens) else 1
+        return pa.table(
+            {
+                "lang": pa.array(langs[(uk // base).astype(np.int64)], pa.string()),
+                "n_chars": pa.array((uk % base).astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for lang, grp in hist.groupby("lang"):
+        grp = grp.sort_values("n_chars")
+        vals = grp["n_chars"].to_numpy()
+        counts = grp["n"].to_numpy()
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        row = {"lang": lang}
+        for q, name in zip(qs, ("p50", "p90", "p99")):
+            idx = max(math.ceil(q * total) - 1, 0)
+            row[name] = int(vals[np.searchsorted(cum, idx + 1)])
+        rows.append(row)
+    return pd.DataFrame(rows).sort_values("lang", ignore_index=True)

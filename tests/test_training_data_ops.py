@@ -165,3 +165,24 @@ def test_kmeans_assign_matches_numpy_reference(ray_session):
     assert out["cid"].to_numpy().tolist() == want.tolist()
     # every vector is assigned exactly once
     assert out["vec_id"].to_numpy().tolist() == ids.tolist()
+
+
+# ---------------------------------------------------------------- quantiles
+
+def test_quantile_rule_matches_duckdb_on_random_data():
+    """The histogram-cumsum quantile (ceil(q*n)-1 sorted index) must equal
+    DuckDB quantile_disc for arbitrary multisets."""
+    import math
+
+    import duckdb
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        vals = rng.integers(1, 50, size=rng.integers(1, 200)).tolist()
+        for q in (0.5, 0.9, 0.99, 0.25):
+            want = duckdb.sql(
+                f"SELECT quantile_disc(x, {q}) FROM (SELECT unnest({vals}) AS x)"
+            ).fetchone()[0]
+            s = sorted(vals)
+            got = s[max(math.ceil(q * len(s)) - 1, 0)]
+            assert got == want, (trial, q, vals)
