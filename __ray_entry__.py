@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": Q.q_quality_scores,
         "doc_fingerprints": Q.q_doc_fingerprints,
         "tfidf_top_terms": Q.q_tfidf_top_terms,
+        "top_terms": Q.q_top_terms,
         "repetition_scores": Q.q_repetition_scores,
         # relational / windowed
         "docs_by_lang": Q.q_docs_by_lang,
@@ -495,6 +496,12 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": (
             "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, "
             "COUNT(*) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "top_terms": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS term FROM documents) "
+            "SELECT term, COUNT(*) AS n FROM toks GROUP BY term "
+            "ORDER BY n DESC, term LIMIT 20"
         ),
         "doc_length_quantiles": (
             "SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50, "

@@ -1375,3 +1375,38 @@ def q_doc_length_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
             row[name] = int(vals[np.searchsorted(cum, idx + 1)])
         rows.append(row)
     return pd.DataFrame(rows).sort_values("lang", ignore_index=True)
+
+
+def q_top_terms(sf_dir: str, k: int = 20):
+    """Corpus-level heavy hitters: the k most frequent terms. Per-batch
+    partial counts act as a combiner BEFORE the term-keyed shuffle (the
+    exchange moves one row per distinct term per batch, not per token);
+    the final sort runs on the distinct-term table only. Ranking is
+    integer + lexicographic (count DESC, term ASC) — no float anywhere."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+    pat = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms = []
+        for t in batch["text"].to_pylist():
+            terms.extend(pat.findall(t.lower()))
+        uniq, cnt = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(uniq.astype(str), pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+    df = agg.to_pandas()
+    df = df.sort_values(["n", "term"], ascending=[False, True], ignore_index=True)
+    return df.head(k).reset_index(drop=True)
