@@ -322,8 +322,10 @@ def semantic_dup_pairs(
     cosine-scored — the linear-shuffle scale path for embedding dedup where
     the blocked all-pairs product (cosine_pairs_blocked) stays quadratic.
 
-    One integer-keyed shuffle (groupby cell id) moves each vector once;
-    per-cell scoring is a single float64 matmul + triu threshold. Cells are
+    One integer-keyed shuffle (groupby cell id) moves each vector once —
+    and moves it in its STORED float32 width (the normalize-then-matmul in
+    float64 happens inside the cell, on exactly the same raw values, so the
+    shuffle carries half the bytes with bit-identical results). Cells are
     the seeded unit centroids shared with ivf_topk, so the operator is
     exactly SQL-checkable (assignment ties resolve to the FIRST maximal
     centroid = numpy argmax = DuckDB list_indexof-of-max). Cross-cell dups
@@ -338,14 +340,11 @@ def semantic_dup_pairs(
     def assign(batch: pa.Table) -> pa.Table:
         mat = _normalize(_stack_embeddings(batch["embedding"]))
         cid = np.argmax(mat @ cents.T, axis=1)
-        dim = mat.shape[1]
         return pa.table(
             {
                 "cid": pa.array(cid.astype(np.int64), pa.int64()),
                 "vec_id": batch["vec_id"].cast(pa.int64()),
-                "nvec": pa.FixedSizeListArray.from_arrays(
-                    pa.array(mat.reshape(-1), pa.float64()), dim
-                ),
+                "embedding": batch["embedding"],
             }
         )
 
@@ -357,9 +356,15 @@ def semantic_dup_pairs(
 
     def cell_pairs(group: pa.Table) -> pa.Table:
         ids = group["vec_id"].to_numpy()
-        mat = group["nvec"].combine_chunks().flatten().to_numpy().reshape(
-            len(ids), -1
-        )
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cos_r": pa.array([], pa.float64()),
+                }
+            )
+        mat = _normalize(_stack_embeddings(group["embedding"]))
         sims = mat @ mat.T
         ii, jj = np.triu_indices(len(ids), k=1)
         keep = sims[ii, jj] >= threshold
