@@ -405,24 +405,13 @@ def kmeans_assign(embeddings_ds, nlist: int = 8, iters: int = 1, seed: int = 42)
 
     dim = _embedding_dim(embeddings_ds)
 
-    def normalize_block(batch: pa.Table) -> pa.Table:
-        mat = _normalize(_stack_embeddings(batch["embedding"]))
-        return pa.table(
-            {
-                "vec_id": batch["vec_id"].cast(pa.int64()),
-                "nvec": pa.FixedSizeListArray.from_arrays(
-                    pa.array(mat.reshape(-1), pa.float64()), dim
-                ),
-            }
-        )
-
-    norm = embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
-        normalize_block, batch_format="pyarrow", batch_size=8192
-    ).materialize()
+    # the resident copy keeps the STORED float32 width (half the plasma
+    # footprint of pre-normalized float64); each pass normalizes per batch
+    # in float64 — same values, same results
+    norm = embeddings_ds.select_columns(["vec_id", "embedding"]).materialize()
 
     def unpack(batch: pa.Table) -> np.ndarray:
-        col = batch["nvec"].combine_chunks()
-        return col.flatten().to_numpy().reshape(batch.num_rows, -1)
+        return _normalize(_stack_embeddings(batch["embedding"]))
 
     cents = seeded_centroids(dim, nlist, seed)
     cent_ids = np.arange(nlist, dtype=np.int64)
