@@ -336,33 +336,36 @@ def append_shards_checkpointed(
     edges_part = "edges/incr_%s" % tag
     mem_part = "membership/incr_%s" % tag
 
+    old_names = {_shard_name(p) for p in base_inputs}
+    new_names = {_shard_name(p) for p in new_paths}
+    sig_dir = os.path.join(out_dir, "part=signatures")
+
+    def _sig_files(names):
+        return sorted(
+            os.path.join(sig_dir, n, f)
+            for n in names
+            if os.path.isdir(os.path.join(sig_dir, n))
+            for f in os.listdir(os.path.join(sig_dir, n))
+            if f.endswith(".parquet")
+        )
+
+    # id-ordering contract checked BEFORE any checkpoint is written: a
+    # rejected append must not leave orphan signature partitions that a
+    # later base re-run's stage-2 glob would silently ingest
+    max_old = int(rd.read_parquet(_sig_files(old_names)).max("id"))
+    min_new = int(_read_shard(new_paths, columns=["id"]).min("id"))
+    if min_new <= max_old:
+        raise ValueError(
+            "append contract violated: new ids must exceed old ids "
+            "(max old %d >= min new %d)" % (max_old, min_new)
+        )
+
     # stage 1 for the new shards (idempotent per shard)
     _stage1_signatures(new_paths, manifest, out_dir, config)
 
     if not manifest.is_complete(edges_part):
-        old_names = {_shard_name(p) for p in base_inputs}
-        new_names = {_shard_name(p) for p in new_paths}
-        sig_dir = os.path.join(out_dir, "part=signatures")
-
-        def _sig_files(names):
-            return sorted(
-                os.path.join(sig_dir, n, f)
-                for n in names
-                if os.path.isdir(os.path.join(sig_dir, n))
-                for f in os.listdir(os.path.join(sig_dir, n))
-                if f.endswith(".parquet")
-            )
-
         old_sig_ds = rd.read_parquet(_sig_files(old_names)).materialize()
         new_sig_ds = rd.read_parquet(_sig_files(new_names)).materialize()
-
-        max_old = int(old_sig_ds.max("id"))
-        min_new = int(new_sig_ds.min("id"))
-        if min_new <= max_old:
-            raise ValueError(
-                "append contract violated: new ids must exceed old ids "
-                "(max old %d >= min new %d)" % (max_old, min_new)
-            )
 
         # old representatives: union of ALL prior membership partitions
         # (base + earlier increments), so appends compose
