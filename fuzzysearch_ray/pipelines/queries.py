@@ -1343,6 +1343,14 @@ def q_doc_length_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
         langs, lcodes = np.unique(np.asarray(batch["lang"].to_pylist()), return_inverse=True)
         lens = batch["n_chars"].to_numpy()
         key = lcodes.astype(np.int64) * (int(lens.max()) + 1 if len(lens) else 1) + lens
