@@ -336,23 +336,34 @@ def append_shards_checkpointed(
     edges_part = "edges/incr_%s" % tag
     mem_part = "membership/incr_%s" % tag
 
+    increment_done = manifest.is_complete(edges_part) and manifest.is_complete(
+        mem_part
+    )
+
+    # a PARTIAL overlap with already-ingested shards would reprocess those
+    # shards as "new" under a fresh tag and duplicate their membership rows
+    # in the refold; only the exact-same-set retry (same tag, increment
+    # already complete) is a legal re-append
+    overlap = set(new_paths) & set(state["input_paths"])
+    if overlap and not increment_done:
+        raise ValueError(
+            "append overlaps already-ingested shards %s; re-append is only "
+            "legal for the exact same shard set after it completed"
+            % sorted(overlap)[:3]
+        )
+
     old_names = {_shard_name(p) for p in base_inputs}
     new_names = {_shard_name(p) for p in new_paths}
-    sig_dir = os.path.join(out_dir, "part=signatures")
 
-    def _sig_files(names):
-        return sorted(
-            os.path.join(sig_dir, n, f)
-            for n in names
-            if os.path.isdir(os.path.join(sig_dir, n))
-            for f in os.listdir(os.path.join(sig_dir, n))
-            if f.endswith(".parquet")
-        )
+    def _sig_parts(names):
+        return _part_files(out_dir, ["signatures/" + n for n in sorted(names)])
 
     # id-ordering contract checked BEFORE any checkpoint is written: a
     # rejected append must not leave orphan signature partitions that a
-    # later base re-run's stage-2 glob would silently ingest
-    max_old = int(rd.read_parquet(_sig_files(old_names)).max("id"))
+    # later base re-run's stage-2 glob would silently ingest. (_part_files
+    # raises on a missing signature dir — a corrupted base run fails loudly
+    # instead of shrinking max_old and silently dropping reps.)
+    max_old = int(rd.read_parquet(_sig_parts(old_names), columns=["id"]).max("id"))
     min_new = int(_read_shard(new_paths, columns=["id"]).min("id"))
     if min_new <= max_old:
         raise ValueError(
@@ -363,9 +374,9 @@ def append_shards_checkpointed(
     # stage 1 for the new shards (idempotent per shard)
     _stage1_signatures(new_paths, manifest, out_dir, config)
 
-    if not manifest.is_complete(edges_part):
-        old_sig_ds = rd.read_parquet(_sig_files(old_names)).materialize()
-        new_sig_ds = rd.read_parquet(_sig_files(new_names)).materialize()
+    if not increment_done:
+        old_sig_ds = rd.read_parquet(_sig_parts(old_names)).materialize()
+        new_sig_ds = rd.read_parquet(_sig_parts(new_names)).materialize()
 
         # old representatives: union of ALL prior membership partitions
         # (base + earlier increments), so appends compose
@@ -408,13 +419,17 @@ def append_shards_checkpointed(
             pre_new_ds=pre_new,
             new_sigs_ds=new_sig_ds,
         )
+        # BOTH partitions are written before EITHER is marked: a kill
+        # between the marks must not leave a manifest whose edges exist but
+        # whose membership is missing — the retry gate (increment_done)
+        # requires both, so any partial state is recomputed whole
         write_partition_atomic(res["edges"], out_dir, edges_part)
+        write_partition_atomic(res["membership"], out_dir, mem_part)
         manifest.mark_complete(
             edges_part,
             {"rows": res["stats"]["n_verified_edges"], "inputs": new_paths,
              "stats": res["stats"]},
         )
-        write_partition_atomic(res["membership"], out_dir, mem_part)
         manifest.mark_complete(
             mem_part, {"rows": int(res["membership"].count()), "inputs": new_paths}
         )

@@ -1175,7 +1175,6 @@ def q_incremental_dedup_pairs(sf_dir: str):
     touching the new shard — exactly the ``b >= cutoff`` slice of
     minhash_lsh_pairs, which is what the SQL oracle enumerates."""
     import ray
-    from ray.data.aggregate import Max
 
     from ..pipelines.dedup import _collect_ids
     from ..pipelines.incremental import incremental_near_dup_pairs
@@ -1353,9 +1352,9 @@ def q_doc_length_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
             )
         langs, lcodes = np.unique(np.asarray(batch["lang"].to_pylist()), return_inverse=True)
         lens = batch["n_chars"].to_numpy()
-        key = lcodes.astype(np.int64) * (int(lens.max()) + 1 if len(lens) else 1) + lens
-        uk, inv_first, cnt = np.unique(key, return_index=True, return_counts=True)
-        base = int(lens.max()) + 1 if len(lens) else 1
+        base = int(lens.max()) + 1
+        key = lcodes.astype(np.int64) * base + lens
+        uk, cnt = np.unique(key, return_counts=True)
         return pa.table(
             {
                 "lang": pa.array(langs[(uk // base).astype(np.int64)], pa.string()),
@@ -1382,6 +1381,15 @@ def q_doc_length_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
             idx = max(math.ceil(q * total) - 1, 0)
             row[name] = int(vals[np.searchsorted(cum, idx + 1)])
         rows.append(row)
+    if not rows:
+        return pd.DataFrame(
+            {
+                "lang": pd.Series(dtype="object"),
+                "p50": pd.Series(dtype="int64"),
+                "p90": pd.Series(dtype="int64"),
+                "p99": pd.Series(dtype="int64"),
+            }
+        )
     return pd.DataFrame(rows).sort_values("lang", ignore_index=True)
 
 

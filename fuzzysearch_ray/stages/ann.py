@@ -424,9 +424,12 @@ def kmeans_assign(embeddings_ds, nlist: int = 8, iters: int = 1, seed: int = 42)
             mat = unpack(batch)
             a = np.argmax(mat @ c.T, axis=1)
             counts = np.bincount(a, minlength=len(cids))
-            sums = np.zeros((len(cids), mat.shape[1]))
-            np.add.at(sums, a, mat)
             present = np.flatnonzero(counts)
+            # vectorized per-cell reduction (np.add.at's unbuffered scatter
+            # is 10-100x slower on float rows)
+            sums = np.zeros((len(cids), mat.shape[1]))
+            for j in present:
+                sums[j] = mat[a == j].sum(axis=0)
             return pa.table(
                 {
                     "cid": pa.array(cids[present], pa.int64()),

@@ -68,9 +68,28 @@ def test_append_is_idempotent_and_validates(ray_session, shards, tmp_path):
     pd.testing.assert_frame_equal(_clusters(out), before)
     assert s2["metrics"]["last_append_tag"] == s1["metrics"]["last_append_tag"]
 
-    # id-ordering contract: appending an OLD shard must be rejected
-    with pytest.raises(ValueError, match="new ids must exceed old ids"):
+    # an already-ingested shard under a DIFFERENT set is an overlap (would
+    # duplicate its membership rows under a fresh tag) — rejected first
+    with pytest.raises(ValueError, match="overlaps already-ingested"):
         append_shards_checkpointed([shards[0]], out, cfg)
+
+    # a genuinely NEW shard whose ids are not all larger than the old ids
+    # violates the ordering contract (old representatives would shift)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    low_path = str(tmp_path / "part-low.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "content": pa.array(["x y z", "p q r"], pa.string())}),
+        low_path,
+    )
+    with pytest.raises(ValueError, match="new ids must exceed old ids"):
+        append_shards_checkpointed([low_path], out, cfg)
+    # the rejected append must NOT have left a signature checkpoint behind
+    assert not os.path.exists(
+        os.path.join(out, "part=signatures", "part-low")
+    )
 
     # config drift must be rejected
     with pytest.raises(ValueError, match="config differs"):

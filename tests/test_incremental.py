@@ -1,5 +1,6 @@
 """Incremental dedup: arriving-shard edges must equal the touching-new
 slice of a full-pipeline run, without recomputing old-side signatures."""
+# (append-path tests live in tests/test_append.py)
 
 import numpy as np
 import pyarrow as pa
