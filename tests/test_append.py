@@ -94,3 +94,36 @@ def test_append_is_idempotent_and_validates(ray_session, shards, tmp_path):
     # config drift must be rejected
     with pytest.raises(ValueError, match="config differs"):
         append_shards_checkpointed([shards[2]], out, DedupConfig(shingle_k=7))
+
+
+def test_append_recovers_from_partial_increment_state(ray_session, shards, tmp_path):
+    """Simulate a kill that left the increment's edges marked complete but
+    its membership partition missing: the retry must recompute the whole
+    increment (gate requires BOTH partitions) and converge to the
+    from-scratch clustering."""
+    import json
+    import shutil
+
+    cfg = DedupConfig()
+    out = str(tmp_path / "run")
+    run_dedup_checkpointed(shards[:2], out, cfg)
+    append_shards_checkpointed([shards[2]], out, cfg)
+    want = _clusters(out)
+
+    manifest_path = os.path.join(out, "manifest.json")
+    with open(manifest_path) as f:
+        state = json.load(f)
+    mem_parts = [
+        p for p in state["completed_partitions"] if p.startswith("membership/incr_")
+    ]
+    assert len(mem_parts) == 1
+    # poison: membership unmarked + partition dir gone, edges still marked,
+    # input_paths rolled back (the crash happened before the final flush)
+    del state["completed_partitions"][mem_parts[0]]
+    state["input_paths"] = sorted(shards[:2])
+    with open(manifest_path, "w") as f:
+        json.dump(state, f)
+    shutil.rmtree(os.path.join(out, "part=%s" % mem_parts[0]))
+
+    append_shards_checkpointed([shards[2]], out, cfg)
+    pd.testing.assert_frame_equal(_clusters(out), want)
