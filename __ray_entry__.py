@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": Q.q_doc_fingerprints,
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         "top_terms": Q.q_top_terms,
+        "oov_counts": Q.q_oov_counts,
         "repetition_scores": Q.q_repetition_scores,
         # relational / windowed
         "docs_by_lang": Q.q_docs_by_lang,
@@ -502,6 +503,17 @@ def oracle_sql() -> dict[str, str]:
             "'[a-z0-9]+')) AS term FROM documents) "
             "SELECT term, COUNT(*) AS n FROM toks GROUP BY term "
             "ORDER BY n DESC, term LIMIT 20"
+        ),
+        "oov_counts": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS term FROM documents), "
+            "vocab AS (SELECT term FROM (SELECT term, COUNT(*) AS n FROM toks "
+            "GROUP BY term ORDER BY n DESC, term LIMIT 100)) "
+            "SELECT d.doc_id, "
+            "CAST(COUNT(t.term) AS BIGINT) AS n_tokens, "
+            "CAST(COUNT(t.term) FILTER (WHERE t.term NOT IN (SELECT term FROM vocab)) AS BIGINT) AS n_oov "
+            "FROM documents d LEFT JOIN toks t ON t.doc_id = d.doc_id "
+            "GROUP BY d.doc_id"
         ),
         "doc_length_quantiles": (
             "SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50, "

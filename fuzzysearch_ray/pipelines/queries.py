@@ -1426,3 +1426,39 @@ def q_top_terms(sf_dir: str, k: int = 20):
     df = agg.to_pandas()
     df = df.sort_values(["n", "term"], ascending=[False, True], ignore_index=True)
     return df.head(k).reset_index(drop=True)
+
+
+def q_oov_counts(sf_dir: str, vocab_k: int = 100):
+    """Out-of-vocabulary quality signal: per document, how many tokens fall
+    outside the corpus's top-``vocab_k`` vocabulary — the integer-valued
+    sibling of LM-perplexity filtering (OOV fraction = n_oov / n_tokens
+    derives downstream). Two passes: the vocabulary is a tiny top-k
+    aggregate broadcast via ray.put; the per-doc count is one stateless
+    vectorized map over the corpus. Vocabulary ties resolve (count DESC,
+    term ASC) on both sides."""
+    import re
+
+    import ray
+
+    vocab = set(q_top_terms(sf_dir, k=vocab_k)["term"])
+    vocab_ref = ray.put(frozenset(vocab))
+    pat = re.compile(r"[a-z0-9]+")
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_oov(batch: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        n_tok, n_oov = [], []
+        for t in batch["text"].to_pylist():
+            toks = pat.findall(t.lower())
+            n_tok.append(len(toks))
+            n_oov.append(sum(1 for w in toks if w not in v))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count_oov, batch_format="pyarrow")
