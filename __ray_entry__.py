@@ -508,7 +508,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
             "'[a-z0-9]+')) AS term FROM documents), "
             "vocab AS (SELECT term FROM (SELECT term, COUNT(*) AS n FROM toks "
-            "GROUP BY term ORDER BY n DESC, term LIMIT 100)) "
+            "GROUP BY term ORDER BY n DESC, term LIMIT 16)) "
             "SELECT d.doc_id, "
             "CAST(COUNT(t.term) AS BIGINT) AS n_tokens, "
             "CAST(COUNT(t.term) FILTER (WHERE t.term NOT IN (SELECT term FROM vocab)) AS BIGINT) AS n_oov "

