@@ -19,11 +19,12 @@ from fuzzysearch_ray.stages.signatures import minhash_signatures
 N_ROWS = 1200
 
 
-@pytest.fixture(scope="module")
-def split_corpus(ray_session):
+@pytest.fixture(scope="module", params=[(1200, 42), (800, 7)], ids=["n1200-s42", "n800-s7"])
+def split_corpus(ray_session, request):
     import ray.data as rd
 
-    table = generate_corpus_table(N_ROWS)
+    n_rows, seed = request.param
+    table = generate_corpus_table(n_rows, seed)
     ids = table["id"].to_numpy()
     cutoff = int(np.quantile(ids, 0.9))
     old = rd.from_arrow(table.filter(pc.less(table["id"], cutoff)))
