@@ -1,0 +1,85 @@
+"""Batch API for the pair-verify bounded Levenshtein kernel.
+
+``batched_bounded_levenshtein`` is semantically ONE ``hybrid_levenshtein``
+call per pair (None mapped to -1) — pinned by tests/test_banded_lev.py's
+equivalence fuzz — executed as a single native batch call when the host
+has a C compiler (kernels/native.py: the buffers for the whole batch are
+packed once, the GIL is released for the duration, and no per-pair Python
+objects are allocated — the allocator churn BASELINE.md measured as the
+verify stage's scaling constraint disappears). Hosts without a compiler
+run the pure-Python kernel per pair, bit-identically.
+
+Non-ASCII pairs always take the Python path: the native kernel works on
+UTF-8 bytes, and byte edit distance differs from codepoint edit distance
+outside ASCII.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from .bounded_distance import hybrid_levenshtein
+from .native import get_lib, native_batch_lev
+
+
+def batched_bounded_levenshtein(
+    texts_a: Sequence[str],
+    texts_b: Sequence[str],
+    caps: np.ndarray,
+) -> np.ndarray:
+    """Edit distances of aligned pairs; -1 where the distance exceeds
+    ``caps[i]`` (or the kernel's documented best-effort work budget)."""
+    npairs = len(texts_a)
+    out = np.full(npairs, -1, dtype=np.int64)
+    if npairs == 0:
+        return out
+    caps = np.asarray(caps, dtype=np.int64)
+    lib = get_lib()
+
+    if lib is None:
+        for i in range(npairs):
+            d = hybrid_levenshtein(texts_a[i], texts_b[i], int(caps[i]))
+            out[i] = -1 if d is None else int(d)
+        return out
+
+    parts: List[bytes] = []
+    idx: List[int] = []
+    a_len: List[int] = []
+    b_len: List[int] = []
+    for i in range(npairs):
+        a, b = texts_a[i], texts_b[i]
+        if a is b or a == b:
+            out[i] = 0
+            continue
+        if a.isascii() and b.isascii():
+            parts.append(a.encode())
+            parts.append(b.encode())
+            idx.append(i)
+            a_len.append(len(a))
+            b_len.append(len(b))
+        else:
+            d = hybrid_levenshtein(a, b, int(caps[i]))
+            out[i] = -1 if d is None else int(d)
+    if not idx:
+        return out
+
+    lens = np.empty(2 * len(idx), dtype=np.int64)
+    lens[0::2] = a_len
+    lens[1::2] = b_len
+    offs = np.zeros(2 * len(idx), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    buf = np.frombuffer(b"".join(parts), dtype=np.uint8)
+    if buf.size == 0:  # all-empty strings still need a valid base pointer
+        buf = np.zeros(1, dtype=np.uint8)
+    ii = np.asarray(idx, dtype=np.int64)
+    out[ii] = native_batch_lev(
+        buf,
+        np.ascontiguousarray(offs[0::2]),
+        np.ascontiguousarray(lens[0::2]),
+        np.ascontiguousarray(offs[1::2]),
+        np.ascontiguousarray(lens[1::2]),
+        np.ascontiguousarray(caps[ii]),
+    )
+    return out

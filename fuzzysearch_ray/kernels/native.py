@@ -1,0 +1,252 @@
+"""Optional native (C) implementation of the pair-verify Levenshtein kernel.
+
+The verify stage's bounded whole-string edit distance is pure per-pair
+compute — the one place profiling shows Python/numpy overhead dominating
+useful work (BASELINE.md: the binding single-box scaling constraint). The
+reference resolves the same tension with shipped C/Cython kernels
+(_levenshtein_ngrams.c, _substitutions_only.c); this engine keeps every
+kernel available in pure Python (kernels/bounded_distance.py is the
+always-on reference implementation) and, when a system C compiler exists,
+builds this ~150-line mirror of ``hybrid_levenshtein`` once per host and
+calls it per BATCH of pairs (one ctypes call, GIL released, so verify
+actors scale across cores without allocator churn).
+
+Strict semantic mirror of kernels/bounded_distance.hybrid_levenshtein —
+same two stages (Ukkonen diagonal DP at cap<=16, then Hyyro/Myers
+multi-word bit-parallel at the full cap), same budgets, same best-effort
+None(-1) semantics — pinned by tests/test_banded_lev.py's equivalence
+fuzz. ASCII-only by construction (byte edit distance == char edit
+distance); callers route non-ASCII pairs to the Python kernel.
+
+If compilation fails for any reason the engine silently runs the pure
+Python path; nothing imports this module's compiled artifact directly.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+_C_SOURCE = r"""
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define NEG (-(int64_t)1 << 40)
+
+/* drop shared prefix/suffix (edit distance is invariant) */
+static void strip_common(const uint8_t **pa, int64_t *pla,
+                         const uint8_t **pb, int64_t *plb) {
+    const uint8_t *a = *pa, *b = *pb;
+    int64_t la = *pla, lb = *plb;
+    int64_t lim = la < lb ? la : lb, pre = 0, suf = 0;
+    while (pre < lim && a[pre] == b[pre]) pre++;
+    while (suf < lim - pre && a[la - 1 - suf] == b[lb - 1 - suf]) suf++;
+    *pa = a + pre; *pb = b + pre;
+    *pla = la - pre - suf; *plb = lb - pre - suf;
+}
+
+/* Ukkonen diagonal cut-off DP: distance if <= cap, else -1.
+   Mirrors bounded_levenshtein(); caller guarantees n <= m (a shorter),
+   m - n <= cap, n >= 1, cap <= 16 (so the fixed buffers suffice). */
+static int64_t diag_lev(const uint8_t *a, int64_t n, const uint8_t *b,
+                        int64_t m, int64_t cap) {
+    int64_t goal_k = m - n;
+    int64_t buf1[40], buf2[40];
+    int64_t *prev = buf1, *cur = buf2;
+    int64_t i = 0;
+    while (i < n && i < m && a[i] == b[i]) i++;
+    if (i >= n && goal_k == 0) return 0;
+    prev[0] = i;
+    for (int64_t p = 1; p <= cap; p++) {
+        int any = 0;
+        for (int64_t k = -p; k <= p; k++) {
+            int64_t best = NEG;
+            int64_t pm1 = p - 1;
+            if (k >= -pm1 && k <= pm1) {               /* substitution */
+                int64_t v = prev[k + pm1] + 1;
+                if (v > best) best = v;
+            }
+            if (k - 1 >= -pm1 && k - 1 <= pm1) {       /* insertion into a */
+                int64_t v = prev[k - 1 + pm1];
+                if (v > best) best = v;
+            }
+            if (k + 1 >= -pm1 && k + 1 <= pm1) {       /* deletion from a */
+                int64_t v = prev[k + 1 + pm1] + 1;
+                if (v > best) best = v;
+            }
+            if (best < NEG + 2) {
+                if (k == -p) best = p;       /* fresh diagonal: p deletions */
+                else if (k == p) best = 0;   /* fresh diagonal: p insertions */
+                else { cur[k + p] = NEG; continue; }
+            }
+            i = best < n ? best : n;
+            if (i + k > m) { cur[k + p] = NEG; continue; }
+            {
+                int64_t j = i + k;
+                while (i < n && j < m && a[i] == b[j]) { i++; j++; }
+            }
+            cur[k + p] = i;
+            any = 1;
+            if (k == goal_k && i >= n) return p;
+        }
+        { int64_t *t = prev; prev = cur; cur = t; }
+        if (!any) break;
+    }
+    return -1;
+}
+
+/* Myers/Hyyro multi-word bit-parallel global edit distance: distance if
+   <= cap else -1; -1 as well past the word-op budget (best-effort, the
+   exact mirror of levenshtein_bitparallel's max_word_ops=50M None). */
+static int64_t myers_lev(const uint8_t *a, int64_t m, const uint8_t *b,
+                         int64_t n, int64_t cap) {
+    int64_t W = (m + 63) / 64;
+    if (n * W > 50000000LL) return -1;
+    uint64_t *mem = (uint64_t *)calloc((size_t)(W * 258), sizeof(uint64_t));
+    if (!mem) return -1;
+    uint64_t *peq = mem;            /* [256][W] */
+    uint64_t *vp = mem + 256 * W, *vn = vp + W;
+    for (int64_t i = 0; i < m; i++)
+        peq[(int64_t)a[i] * W + (i >> 6)] |= (uint64_t)1 << (i & 63);
+    for (int64_t w = 0; w < W; w++) vp[w] = ~(uint64_t)0;
+    int64_t last_bit = (m - 1) & 63;
+    int64_t score = m;
+    for (int64_t j = 0; j < n; j++) {
+        const uint64_t *eqr = peq + (int64_t)b[j] * W;
+        int hin = 1;                /* row-0 boundary: +1 per column */
+        for (int64_t w = 0; w < W; w++) {
+            uint64_t eq = eqr[w], pv = vp[w], mv = vn[w];
+            uint64_t xv = eq | mv;
+            if (hin < 0) eq |= 1;
+            uint64_t xh = (((eq & pv) + pv) ^ pv) | eq;
+            uint64_t ph = mv | ~(xh | pv);
+            uint64_t mh = pv & xh;
+            if (w == W - 1) {
+                if ((ph >> last_bit) & 1) score++;
+                else if ((mh >> last_bit) & 1) score--;
+            }
+            int hout = 0;
+            if (ph >> 63) hout = 1;
+            else if (mh >> 63) hout = -1;
+            ph <<= 1; mh <<= 1;
+            if (hin > 0) ph |= 1;
+            else if (hin < 0) mh |= 1;
+            vp[w] = mh | ~(xv | ph);
+            vn[w] = ph & xv;
+            hin = hout;
+        }
+        if (score - (n - j - 1) > cap) { free(mem); return -1; }
+    }
+    free(mem);
+    return score <= cap ? score : -1;
+}
+
+/* hybrid_levenshtein mirror for one ASCII pair */
+static int64_t one_pair(const uint8_t *a, int64_t la, const uint8_t *b,
+                        int64_t lb, int64_t cap) {
+    if (cap <= 0) {
+        if (la == lb && memcmp(a, b, (size_t)la) == 0) return 0;
+        return -1;
+    }
+    {
+        int64_t dl = la > lb ? la - lb : lb - la;
+        if (dl > cap) return -1;
+    }
+    strip_common(&a, &la, &b, &lb);
+    if (la == 0) return lb <= cap ? lb : -1;
+    if (lb == 0) return la <= cap ? la : -1;
+    if (la > lb) {
+        const uint8_t *t = a; a = b; b = t;
+        int64_t tl = la; la = lb; lb = tl;
+    }
+    {
+        int64_t small = cap < 16 ? cap : 16;
+        int64_t d = diag_lev(a, la, b, lb, small);
+        if (d >= 0) return d;
+        if (cap <= 16) return -1;
+    }
+    return myers_lev(a, la, b, lb, cap);
+}
+
+void fsray_batch_lev(const uint8_t *buf,
+                     const int64_t *a_off, const int64_t *a_len,
+                     const int64_t *b_off, const int64_t *b_len,
+                     const int64_t *caps, int64_t npairs, int64_t *out) {
+    for (int64_t i = 0; i < npairs; i++)
+        out[i] = one_pair(buf + a_off[i], a_len[i],
+                          buf + b_off[i], b_len[i], caps[i]);
+}
+"""
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    tag = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
+    so_path = os.path.join(tempfile.gettempdir(), "fsray_native_%s.so" % tag)
+    if not os.path.exists(so_path):
+        cc = os.environ.get("CC", "cc")
+        fd, tmp_c = tempfile.mkstemp(suffix=".c", prefix="fsray_")
+        with os.fdopen(fd, "w") as f:
+            f.write(_C_SOURCE)
+        tmp_so = so_path + ".%d.tmp" % os.getpid()
+        try:
+            subprocess.run(
+                [cc, "-O2", "-fPIC", "-shared", "-o", tmp_so, tmp_c],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            os.replace(tmp_so, so_path)  # atomic under concurrent builders
+        finally:
+            for p in (tmp_c, tmp_so):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+    lib = ctypes.CDLL(so_path)
+    p64 = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+    pu8 = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+    lib.fsray_batch_lev.argtypes = [pu8, p64, p64, p64, p64, p64, ctypes.c_int64, p64]
+    lib.fsray_batch_lev.restype = None
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, building it on first use; None when no
+    compiler is available (the engine then runs the pure-Python kernels)."""
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        if os.environ.get("FSRAY_NO_NATIVE"):
+            _LIB = None
+        else:
+            try:
+                _LIB = _build_and_load()
+            except Exception:
+                _LIB = None
+    return _LIB
+
+
+def native_batch_lev(
+    buf: np.ndarray,
+    a_off: np.ndarray,
+    a_len: np.ndarray,
+    b_off: np.ndarray,
+    b_len: np.ndarray,
+    caps: np.ndarray,
+) -> np.ndarray:
+    """One C call over a packed pair batch; -1 where distance > cap."""
+    lib = get_lib()
+    assert lib is not None
+    out = np.empty(len(a_off), dtype=np.int64)
+    lib.fsray_batch_lev(buf, a_off, a_len, b_off, b_len, caps, len(a_off), out)
+    return out

@@ -32,7 +32,7 @@ from ..functions.hashing import (
     shares_long_run_hashed,
     shingle_hashes,
 )
-from ..kernels.bounded_distance import hybrid_levenshtein
+from ..kernels.batched_lev import batched_bounded_levenshtein
 
 PAIR_SCHEMA = pa.schema(
     [
@@ -98,8 +98,23 @@ class ShardedIdLookup:
         self.off = off[order]
 
     def positions(self, q_ids: np.ndarray) -> np.ndarray:
-        """Global sorted positions of ``q_ids`` (stable cache keys)."""
-        return np.searchsorted(self.sorted_ids, q_ids)
+        """Global sorted positions of ``q_ids`` (stable cache keys).
+
+        Every caller relies on the completeness invariant (the broadcast
+        blocks cover all queried ids); verify it loudly — a silent miss
+        would verify the WRONG row's content/signature."""
+        pos = np.searchsorted(self.sorted_ids, q_ids)
+        if self.sorted_ids.size == 0:
+            if len(q_ids):
+                raise KeyError("broadcast lookup is empty but ids were queried")
+            return pos
+        hit = self.sorted_ids[np.minimum(pos, self.sorted_ids.size - 1)] == q_ids
+        if not hit.all():
+            missing = np.asarray(q_ids)[~hit][:8]
+            raise KeyError(
+                "ids missing from broadcast lookup (first 8): %s" % missing.tolist()
+            )
+        return pos
 
     def take_values(self, positions: np.ndarray) -> list:
         """Python values for global positions, gathered block-wise."""
@@ -133,6 +148,18 @@ class ShardedShingleLookup(ShardedIdLookup):
         i = self.off[position]
         off = self.offsets[b]
         return self.values[b][off[i] : off[i + 1]]
+
+    def row_sizes(self, positions: np.ndarray) -> np.ndarray:
+        """Shingle-set sizes for global positions, gathered block-wise."""
+        blk = self.blk[positions]
+        off = self.off[positions]
+        out = np.empty(len(positions), dtype=np.int64)
+        for b in np.unique(blk):
+            sel = blk == b
+            o = self.offsets[b]
+            idx = off[sel]
+            out[sel] = o[idx + 1] - o[idx]
+        return out
 
 
 class ShardedSigLookup(ShardedIdLookup):
@@ -276,8 +303,16 @@ class VerifyPairs:
             pos_a = self._shingles.positions(a_all)
             pos_b = self._shingles.positions(b_all)
             get_row = self._shingles.get_row
-            jacs = np.empty(n, dtype=np.float64)
-            for i in range(n):
+            # size-ratio prefilter (vectorized, exact): inter <= min size and
+            # union >= max size, so jaccard <= min/max — pairs whose set
+            # sizes alone cannot reach the threshold never touch the data
+            sz_a = self._shingles.row_sizes(pos_a)
+            sz_b = self._shingles.row_sizes(pos_b)
+            jacs = np.zeros(n, dtype=np.float64)
+            plausible = np.minimum(sz_a, sz_b) >= cfg.jaccard_threshold * np.maximum(
+                sz_a, sz_b
+            )
+            for i in np.flatnonzero(plausible).tolist():
                 jacs[i] = exact_jaccard(get_row(pos_a[i]), get_row(pos_b[i]))
             keep = np.flatnonzero(jacs >= cfg.jaccard_threshold)
             a_ids = a_all[keep]
@@ -306,36 +341,41 @@ class VerifyPairs:
             texts_a = [texts_all_a[i] for i in keep.tolist()]
             texts_b = [texts_all_b[i] for i in keep.tolist()]
 
-        out_d, out_r = [], []
-        for i in range(len(a_ids)):
+        # capped edit distance for the whole surviving batch in ONE kernel
+        # call (kernels/batched_lev.py: native C mirror of hybrid_levenshtein
+        # when the host has a compiler, per-pair Python otherwise)
+        len_a = np.array([len(t) for t in texts_a], dtype=np.int64)
+        len_b = np.array([len(t) for t in texts_b], dtype=np.int64)
+        max_len = np.maximum(len_a, len_b)
+        caps = np.maximum(16, (cfg.lev_cap_ratio * max_len).astype(np.int64))
+        dists = batched_bounded_levenshtein(texts_a, texts_b, caps)
+
+        # Pigeonhole shortcut, vectorized: d edits split the shorter string
+        # into at most d+1 preserved segments totalling >= len-d chars, each
+        # a verbatim common substring — when the longest guaranteed segment
+        # already reaches min_exact_run, the hash probe is provably True and
+        # skipped (most verified near-dups hit this).
+        min_len = np.minimum(len_a, len_b)
+        runs = (dists >= 0) & (
+            (min_len - dists) >= (dists + 1) * cfg.min_exact_run
+        )
+        undecided = ~runs & (min_len >= cfg.min_exact_run)
+        for i in np.flatnonzero(undecided).tolist():
             ta, tb = texts_a[i], texts_b[i]
-            cap = max(16, int(cfg.lev_cap_ratio * max(len(ta), len(tb))))
-            dist = hybrid_levenshtein(ta, tb, cap)
-            # Pigeonhole shortcut: d edits split the shorter string into at
-            # most d+1 preserved segments totalling >= len-d chars, each a
-            # verbatim common substring — when the longest guaranteed
-            # segment already reaches min_exact_run, the hash probe is
-            # provably True and skipped (most verified near-dups hit this).
-            min_len = min(len(ta), len(tb))
-            if dist is not None and (min_len - dist) >= (dist + 1) * cfg.min_exact_run:
-                run = True
-            else:
-                run = shares_long_run_hashed(
-                    ta,
-                    tb,
-                    cfg.min_exact_run,
-                    hashes_a=self._run_hashes(int(a_ids[i]), ta),
-                    hashes_b=self._run_hashes(int(b_ids[i]), tb),
-                )
-            out_d.append(-1 if dist is None else int(dist))
-            out_r.append(bool(run))
+            runs[i] = shares_long_run_hashed(
+                ta,
+                tb,
+                cfg.min_exact_run,
+                hashes_a=self._run_hashes(int(a_ids[i]), ta),
+                hashes_b=self._run_hashes(int(b_ids[i]), tb),
+            )
         return pa.table(
             {
                 "a": pa.array(a_ids.astype(np.int64), pa.int64()),
                 "b": pa.array(b_ids.astype(np.int64), pa.int64()),
                 "jaccard": pa.array(out_j, pa.float64()),
-                "lev_dist": pa.array(out_d, pa.int64()),
-                "shares_long_run": pa.array(out_r, pa.bool_()),
+                "lev_dist": pa.array(dists, pa.int64()),
+                "shares_long_run": pa.array(runs, pa.bool_()),
             }
         )
 

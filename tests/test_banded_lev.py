@@ -1,0 +1,188 @@
+"""Equivalence fuzz for the batched banded Levenshtein kernel.
+
+The contract: ``batched_bounded_levenshtein(A, B, caps)[i]`` equals
+``hybrid_levenshtein(A[i], B[i], caps[i])`` with None mapped to -1, for
+every input shape — exhaustive tiny alphabet, corpus-shaped mutated
+documents, mixed unicode, large texts — whether the native (C) kernel is
+available or the pure-Python fallback runs.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from fuzzysearch_ray.kernels.batched_lev import batched_bounded_levenshtein
+
+BAND_C = 31  # historical band constant, kept to shape the fuzz cases
+from fuzzysearch_ray.kernels.bounded_distance import (
+    bounded_levenshtein,
+    hybrid_levenshtein,
+)
+
+
+def ref(a: str, b: str, cap: int) -> int:
+    d = hybrid_levenshtein(a, b, cap)
+    return -1 if d is None else d
+
+
+def check(pairs, caps):
+    got = batched_bounded_levenshtein(
+        [p[0] for p in pairs], [p[1] for p in pairs], np.array(caps, dtype=np.int64)
+    )
+    want = [ref(a, b, c) for (a, b), c in zip(pairs, caps)]
+    assert got.tolist() == want
+
+
+def test_exhaustive_tiny_alphabet():
+    """Every pair of strings over {a, b} up to length 4, caps 0..5."""
+    strs = [""]
+    for ln in range(1, 5):
+        strs += ["".join(s) for s in __import__("itertools").product("ab", repeat=ln)]
+    pairs, caps = [], []
+    for a in strs:
+        for b in strs:
+            for cap in (0, 1, 2, 3, 5):
+                pairs.append((a, b))
+                caps.append(cap)
+    check(pairs, caps)
+
+
+def test_random_short_strings():
+    rng = random.Random(7)
+    alpha = "abcdef"
+    pairs, caps = [], []
+    for _ in range(600):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 24)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 24)))
+        pairs.append((a, b))
+        caps.append(rng.randrange(0, 12))
+    check(pairs, caps)
+
+
+def _mutate(text: str, rng: random.Random, n_edits: int) -> str:
+    chars = list(text)
+    for _ in range(n_edits):
+        if not chars:
+            break
+        pos = rng.randrange(len(chars))
+        kind = rng.choice(("sub", "ins", "del"))
+        if kind == "sub":
+            chars[pos] = rng.choice("xyz01_")
+        elif kind == "ins":
+            chars.insert(pos, rng.choice("xyz_ "))
+        else:
+            del chars[pos]
+    return "".join(chars)
+
+
+def test_corpus_shaped_near_dups():
+    """Long documents with scattered edits — the verify stage's real load.
+    True distance small, residues long: exercises the banded lockstep."""
+    rng = random.Random(42)
+    base_words = ["item", "value", "node = count + 3;", "return state;", "func f() {"]
+    pairs, caps = [], []
+    for trial in range(60):
+        doc = "\n".join(rng.choice(base_words) for _ in range(rng.randrange(40, 120)))
+        other = _mutate(doc, rng, rng.randrange(1, 17))
+        cap = max(16, int(0.2 * max(len(doc), len(other))))
+        pairs.append((doc, other))
+        caps.append(cap)
+        # and a deliberately tight cap to exercise the -1 path
+        pairs.append((doc, _mutate(doc, rng, 40)))
+        caps.append(3)
+    check(pairs, caps)
+
+
+def test_distance_above_band_with_large_cap():
+    """computed > BAND_C with cap > BAND_C must escalate to scalar and
+    still return the exact distance."""
+    rng = random.Random(9)
+    doc = "".join(rng.choice("abcdefgh ") for _ in range(400))
+    other = _mutate(doc, rng, BAND_C + 20)  # distance likely > 31
+    cap = 200
+    d_ref = ref(doc, other, cap)
+    got = batched_bounded_levenshtein([doc], [other], np.array([cap]))
+    assert got[0] == d_ref
+    if d_ref != -1:
+        assert d_ref == bounded_levenshtein(doc, other, cap)
+
+
+def test_length_diff_beyond_band():
+    a = "x" * 10
+    b = "x" * 10 + "y" * (BAND_C + 10)  # len diff 41 > band, < cap
+    check([(a, b), (a, b)], [100, 5])
+
+
+def test_non_ascii_falls_back():
+    pairs = [
+        ("größe prüfen", "große prüfen"),
+        ("héllo wörld", "hello world"),
+        ("abc", "größe"),
+        ("ünïcode" * 50 + "tail", "ünïcode" * 50 + "tbil"),
+    ]
+    check(pairs, [5, 8, 20, 4])
+
+
+def test_identical_and_empty():
+    pairs = [("", ""), ("abc", "abc"), ("", "abc"), ("abc", ""), ("", "x" * 50)]
+    check(pairs, [0, 0, 5, 2, 10])
+
+
+def test_large_texts():
+    a = "a" * 20000
+    b = "a" * 19995 + "bbbbb"
+    got = batched_bounded_levenshtein([a, b], [b, a], np.array([20, 20]))
+    want = ref(a, b, 20)
+    assert got.tolist() == [want, want]
+
+
+def test_native_kernel_is_used_and_matches_python():
+    """When a compiler exists the native path must be active and produce
+    the same results the pure-Python fallback does."""
+    from fuzzysearch_ray.kernels import native
+
+    if native.get_lib() is None:
+        pytest.skip("no C compiler on this host")
+    rng = random.Random(11)
+    pairs, caps = [], []
+    for _ in range(150):
+        a = "".join(rng.choice("abcd _;") for _ in range(rng.randrange(0, 200)))
+        b = _mutate(a, rng, rng.randrange(0, 12))
+        pairs.append((a, b))
+        caps.append(rng.choice([0, 1, 5, 16, 40, 400]))
+    check(pairs, caps)
+
+
+def test_mixed_batch_order_independence():
+    """Results must not depend on batch composition or ordering."""
+    rng = random.Random(3)
+    pairs, caps = [], []
+    for _ in range(200):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randrange(0, 300)))
+        b = _mutate(a, rng, rng.randrange(0, 10))
+        pairs.append((a, b))
+        caps.append(rng.choice([0, 1, 4, 16, 31, 60]))
+    singles = [
+        batched_bounded_levenshtein([a], [b], np.array([c]))[0]
+        for (a, b), c in zip(pairs, caps)
+    ]
+    batch = batched_bounded_levenshtein(
+        [p[0] for p in pairs], [p[1] for p in pairs], np.array(caps)
+    )
+    assert batch.tolist() == singles
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_hypothesis_style_random(seed):
+    rng = random.Random(seed)
+    pairs, caps = [], []
+    for _ in range(300):
+        n = rng.randrange(0, 80)
+        a = "".join(rng.choice("ab!9 \t") for _ in range(n))
+        b = "".join(rng.choice("ab!9 \t") for _ in range(rng.randrange(0, 80)))
+        pairs.append((a, b))
+        caps.append(rng.randrange(0, 40))
+    check(pairs, caps)
