@@ -62,8 +62,13 @@ def components_distributed(edges_ds, max_rounds: int = 25, num_partitions: int |
     one node-keyed groupby-min + one label merge. The driver holds only the
     per-round changed-count (O(1)), never a label map or node set — the
     100-TB-safe replacement for a driver union-find when the edge set is
-    large. Converges in O(component diameter) rounds; dup clusters are
-    near-cliques, so 2-3 rounds typical. Returns a Dataset (node, label).
+    large. Each round ends with a pointer-jumping shortcut (label <-
+    label(label), one self-join), so convergence is O(log diameter) rounds
+    — a chain-shaped component longer than ``max_rounds`` hops is still
+    labeled correctly, matching the path compression the driver union-find
+    applies. Raises RuntimeError instead of silently returning
+    partially-propagated labels if the fixpoint is not reached. Returns a
+    Dataset (node, label).
     """
     import pyarrow as pa
     import ray
@@ -138,8 +143,35 @@ def components_distributed(edges_ds, max_rounds: int = 25, num_partitions: int |
         changed = merged.aggregate(Sum("changed", alias_name="n"))["n"] or 0
         labels = merged.select_columns(["node", "label"])
         if changed == 0:
-            break
-    return labels
+            return labels
+        # pointer jumping: label <- label(label). Every label value is an
+        # edge-endpoint node id (mins of node ids), so the inner self-join
+        # is total; labels are monotone nonincreasing, so label(label) <=
+        # label and the jump needs no min. Restores ~O(log diameter)
+        # convergence, the distributed analog of the driver union-find's
+        # path compression.
+        lab_map = labels.map_batches(
+            lambda t: pa.table({"jkey": t["node"], "jlabel": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.join(
+                lab_map,
+                join_type="inner",
+                num_partitions=np_parts,
+                on=("label",),
+                right_on=("jkey",),
+            )
+            .map_batches(
+                lambda t: pa.table({"node": t["node"], "label": t["jlabel"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    raise RuntimeError(
+        "components_distributed did not reach a fixpoint in %d rounds "
+        "(last round still changed %s labels)" % (max_rounds, changed)
+    )
 
 
 def assign_clusters_broadcast(membership_ds, labels: Dict[int, int]):
@@ -194,13 +226,15 @@ def assign_clusters_join(membership_ds, labels_ds, num_partitions: int | None = 
     )
 
     def finish(batch):
-        rep = batch["rep_id"].to_numpy()
-        lbl = batch["label"].to_numpy(zero_copy_only=False)
-        cluster = np.where(pa.compute.is_null(batch["label"]).to_numpy(zero_copy_only=False), rep, lbl)
+        # coalesce in Arrow: a numpy round-trip would promote the nullable
+        # int64 label column to float64 and silently corrupt ids >= 2^53
+        cluster = pa.compute.coalesce(
+            batch["label"].cast(pa.int64()), batch["rep_id"].cast(pa.int64())
+        )
         return pa.table(
             {
                 "id": batch["id"].cast(pa.int64()),
-                "cluster_id": pa.array(cluster.astype(np.int64), pa.int64()),
+                "cluster_id": cluster,
             }
         )
 

@@ -52,14 +52,21 @@ def simhash_candidate_pairs(
     num_chunks: int = 4,
     num_partitions: int = 32,
     bucket_limit: int = 200,
+    chain_window: int = 3,
 ):
     """(id, simhash) → (a, b, hamming) pairs with hamming <= max_hamming.
 
     Pigeonhole blocking on 16-bit chunks (<=3 differing bits leaves >=1 of 4
     chunks intact), the same partitioned-bucket shuffle as ``candidate_pairs``
     — no driver-side collection, so it scales with the corpus. Buckets larger
-    than ``bucket_limit`` are skipped (they are degenerate constant-hash
-    groups; exact dedup upstream removes identical content first).
+    than ``bucket_limit`` switch from all-pairs (O(n²)) to a windowed chain
+    over members SORTED BY SIMHASH CODE (each member pairs with its next
+    ``chain_window`` neighbors): near-identical codes sort adjacently, so a
+    genuinely hot bucket (boilerplate family that survived exact dedup) keeps
+    its cluster connectivity through chain edges instead of being silently
+    dropped — the same skew guard ``bucket_pairs`` applies on the MinHash
+    path. Under the cap the pair set is exhaustive; over it, recall is
+    connectivity-level rather than pair-level (documented contract).
     """
     bits = 64 // num_chunks
 
@@ -100,20 +107,35 @@ def simhash_candidate_pairs(
         rows_a, rows_b, rows_h = [], [], []
         for s, e in zip(starts.tolist(), ends.tolist()):
             m = e - s
-            if m < 2 or m > bucket_limit:
+            if m < 2:
                 continue
             gi, gc = ids[s:e], codes[s:e]
             uniq, first = np.unique(gi, return_index=True)
             gi, gc = uniq, gc[first]
-            iu, ju = np.triu_indices(gi.size, k=1)
+            if gi.size > bucket_limit:
+                # skew guard: windowed chain over code-sorted members keeps
+                # connectivity at O(n·w) instead of O(n²) pair emission
+                order = np.argsort(gc, kind="stable")
+                gi, gc = gi[order], gc[order]
+                ius, jus = [], []
+                for w in range(1, chain_window + 1):
+                    ius.append(np.arange(gi.size - w))
+                    jus.append(np.arange(w, gi.size))
+                iu = np.concatenate(ius)
+                ju = np.concatenate(jus)
+            else:
+                iu, ju = np.triu_indices(gi.size, k=1)
             if iu.size == 0:
                 continue
             x = gc[iu] ^ gc[ju]
             # vectorized popcount of uint64 via byte-table lookup
             h = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
             keep = h <= max_hamming
-            rows_a.append(gi[iu[keep]])
-            rows_b.append(gi[ju[keep]])
+            pa_ids = gi[iu[keep]]
+            pb_ids = gi[ju[keep]]
+            # chain pairs come out code-ordered, not id-ordered: normalize
+            rows_a.append(np.minimum(pa_ids, pb_ids))
+            rows_b.append(np.maximum(pa_ids, pb_ids))
             rows_h.append(h[keep].astype(np.int64))
         if not rows_a:
             return pd.DataFrame({"a": [], "b": [], "hamming": []}, dtype=np.int64)

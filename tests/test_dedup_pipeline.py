@@ -132,3 +132,26 @@ def test_components_distributed_matches_driver(ray_session):
     for node, label in got.items():
         assert want[node] == label, node
     assert set(got) == set(want)
+
+
+def test_components_distributed_long_chain(ray_session):
+    """A path graph of diameter 120 must converge well inside max_rounds:
+    pointer jumping makes rounds O(log diameter), so the 25-round default
+    can no longer silently split chain-shaped components (ADVICE.md)."""
+    from fuzzysearch_ray.stages.cluster import components_distributed
+
+    n = 121
+    edges = pd.DataFrame({"a": np.arange(n - 1), "b": np.arange(1, n)})
+    got = components_distributed(rd.from_pandas(edges), max_rounds=10).to_pandas()
+    assert len(got) == n
+    assert (got["label"] == 0).all()
+
+
+def test_components_distributed_raises_without_fixpoint(ray_session):
+    """Exhausting max_rounds must be loud, never partial labels."""
+    from fuzzysearch_ray.stages.cluster import components_distributed
+
+    n = 600
+    edges = pd.DataFrame({"a": np.arange(n - 1), "b": np.arange(1, n)})
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        components_distributed(rd.from_pandas(edges), max_rounds=1)

@@ -88,6 +88,45 @@ def test_simhash_candidate_pairs_distributed_matches_reference(ray_session):
             assert (i, i + 1, h) in got_set
 
 
+def test_simhash_hot_bucket_keeps_connectivity(ray_session):
+    """A bucket over ``bucket_limit`` must not be dropped: the code-sorted
+    windowed chain has to keep the near-identical family connected."""
+    import ray.data as rd
+
+    n = 120  # one 16-bit chunk bucket of 120 members, limit forced below it
+    ids = np.arange(n, dtype=np.int64)
+    base = np.uint64(0x0123456789AB0000)  # low 16 bits zero: shared chunk 0
+    # consecutive codes differ in exactly one bit of chunk 3 -> hamming 1-2
+    codes = np.array(
+        [base ^ (np.uint64(i & 3) << np.uint64(62)) for i in range(n)],
+        dtype=np.uint64,
+    )
+    df = pd.DataFrame({"id": ids, "simhash": codes.view(np.int64)})
+    got = simhash_candidate_pairs(
+        rd.from_pandas(df), max_hamming=3, bucket_limit=50, chain_window=3
+    ).to_pandas()
+    assert len(got) > 0
+    assert (got["a"] < got["b"]).all()
+    # connectivity: union-find over emitted pairs -> ONE component
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(got["a"], got["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert len({find(i) for i in range(n)}) == 1
+    # hamming values are real distances, within the requested bound
+    code_of = dict(zip(ids.tolist(), codes.tolist()))
+    for a, b, h in zip(got["a"], got["b"], got["hamming"]):
+        assert bin(code_of[int(a)] ^ code_of[int(b)]).count("1") == int(h) <= 3
+
+
 def test_verify_shingle_and_gate_paths_agree(ray_session):
     """Broadcast verify has two Jaccard paths — precomputed shingle sets
     (zero-copy views, no gate) and the est-Jaccard pre-gate with per-actor
