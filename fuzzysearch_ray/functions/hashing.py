@@ -116,6 +116,37 @@ def shingle_hashes(text: str, k: int = DEFAULT_SHINGLE_K) -> np.ndarray:
     return _sorted_unique_inplace(_splitmix64(_poly_window_hashes(data, k)))
 
 
+def char_gram_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Sorted-unique uint64 hashes of the DISTINCT k-CHAR grams of ``text``;
+    empty when the text is shorter than k (matching the SQL oracle's
+    substring+range gram generation, which yields no grams then).
+
+    ASCII texts vectorize: k-char grams == k-byte windows, so the doubling
+    polynomial construction hashes every gram in O(log k) numpy passes.
+    Non-ASCII texts hash each distinct gram's UTF-8 bytes with the same
+    polynomial basis (identical values for ASCII grams), one small Python
+    loop per DISTINCT gram. Distinct grams map to distinct hashes for all
+    practical purposes: the 3-byte window basis is exhaustively injective
+    over all 2^24 byte triples (pinned by tests/test_hashing.py)."""
+    n = len(text)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    if text.isascii():
+        data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        return _sorted_unique_inplace(_splitmix64(_poly_window_hashes(data, k)))
+    grams = {text[i : i + k] for i in range(n - k + 1)}
+    out = np.empty(len(grams), dtype=np.uint64)
+    p = int(_POLY_P)
+    for i, g in enumerate(grams):
+        h = 0
+        for byte in g.encode("utf-8"):
+            h = (h * p + byte) & 0xFFFFFFFFFFFFFFFF
+        out[i] = h
+    out = _splitmix64(out)
+    out.sort()
+    return out
+
+
 def minhash_coefficients(num_perm: int = DEFAULT_NUM_PERM, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
     """Seeded (a, b) coefficient vectors for ``num_perm`` permutations.
 

@@ -407,50 +407,61 @@ def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
 
 
 def _gram_pair_index(sf_dir: str, max_doc_id: int):
-    """Shared 3-gram inverted-index pair machinery: explode distinct grams →
-    partitioned gram-bucket pair emission (with per-partition combiner) →
-    global (a, b) intersection counts. Returns ``(inter_ds, sizes_ref)``
-    where ``inter_ds`` has columns (a, b, i) and ``sizes_ref`` is a
-    broadcast (sorted doc_ids, gram-set sizes) pair. Jaccard and containment
-    finalizers both derive from it."""
+    """Shared 3-gram inverted-index pair machinery: explode distinct gram
+    HASHES (vectorized — char_gram_hashes runs the doubling polynomial over
+    each doc's bytes, no per-gram Python) → partitioned gram-bucket pair
+    emission (with per-partition combiner) → global (a, b) intersection
+    counts. Returns ``(inter_ds, sizes_ref)`` where ``inter_ds`` has columns
+    (a, b, i) and ``sizes_ref`` is a broadcast (sorted doc_ids, gram-set
+    sizes) pair. Jaccard and containment finalizers both derive from it.
+
+    Hash-basis note: intersection/size COUNTS over injectively-hashed gram
+    sets equal counts over the gram strings themselves, so the SQL oracle
+    (which intersects literal 3-gram sets) stays valid; the 3-byte window
+    basis is exhaustively injective over all 2^24 triples
+    (tests/test_hashing.py pins it)."""
     import ray
-    from ray.data.aggregate import Count
+
+    from ..functions.hashing import char_gram_hashes
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lambda t: t.filter(pc.less(t["doc_id"], max_doc_id)),
         batch_format="pyarrow",
     )
 
+    P = 16
+
     def explode_grams(batch: pa.Table) -> pa.Table:
-        out_id, out_g = [], []
-        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            grams = {t[j : j + 3] for j in range(max(0, len(t) - 2))}
-            out_id.extend([i] * len(grams))
-            out_g.extend(grams)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        hs = [char_gram_hashes(t, 3) for t in batch["text"].to_pylist()]
+        counts = np.array([h.size for h in hs], dtype=np.int64)
+        gh = (
+            np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        )
         return pa.table(
-            {"doc_id": pa.array(out_id, pa.int64()), "g": pa.array(out_g, pa.string())}
+            {
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "gh": pa.array(gh.view(np.int64), pa.int64()),
+                "part": pa.array((gh % np.uint64(P)).astype(np.int64), pa.int64()),
+            }
         )
 
     grams_ds = ds.map_batches(explode_grams, batch_format="pyarrow").materialize()
 
-    # per-doc gram-set sizes: partial counts per batch (grams are distinct
-    # per doc), summed on the driver — a shuffle-free aggregate over one
-    # tiny int table, broadcast for the final ratio
-    def partial_sizes(batch: pa.Table) -> pa.Table:
-        ids, counts = np.unique(batch["doc_id"].to_numpy(), return_counts=True)
+    # per-doc gram-set sizes: one row per doc straight off the doc table
+    # (a doc's rows never split across batches, so no aggregation — driver
+    # collection here IS the broadcast-side build, a (doc_id, n) int pair
+    # per doc, the same thing ray.put ships)
+    def doc_sizes(batch: pa.Table) -> pa.Table:
+        n = np.array(
+            [char_gram_hashes(t, 3).size for t in batch["text"].to_pylist()],
+            dtype=np.int64,
+        )
         return pa.table(
-            {
-                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
-                "n": pa.array(counts.astype(np.int64), pa.int64()),
-            }
+            {"doc_id": batch["doc_id"].cast(pa.int64()), "n": pa.array(n, pa.int64())}
         )
 
-    sizes_df = (
-        grams_ds.map_batches(partial_sizes, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("doc_id", as_index=False)["n"]
-        .sum()
-    )
+    sizes_df = ds.map_batches(doc_sizes, batch_format="pyarrow").to_pandas()
     size_keys = sizes_df["doc_id"].to_numpy().astype(np.int64)
     size_vals = sizes_df["n"].to_numpy().astype(np.int64)
     order = np.argsort(size_keys)
@@ -459,26 +470,6 @@ def _gram_pair_index(sf_dir: str, max_doc_id: int):
     # partitioned-bucket shuffle (same pattern as stages/lsh.py): grams hash
     # into coarse partitions — ONE shuffle, then each partition emits all its
     # gram-bucket pairs vectorized, instead of one Python call per gram
-    P = 16
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        import hashlib
-
-        # deterministic across worker processes (builtin hash() is salted)
-        h = np.array(
-            [
-                int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little") >> 1
-                for g in batch["g"].to_pylist()
-            ],
-            dtype=np.int64,
-        )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "gh": pa.array(h, pa.int64()),
-                "part": pa.array(h % P, pa.int64()),
-            }
-        )
 
     def emit_pairs(block: pd.DataFrame) -> pd.DataFrame:
         ids = block["doc_id"].to_numpy().astype(np.int64)
@@ -499,15 +490,19 @@ def _gram_pair_index(sf_dir: str, max_doc_id: int):
             return pd.DataFrame({"a": [], "b": [], "cnt": []}, dtype=np.int64)
         # partial pre-aggregation (combiner): collapse this partition's pair
         # multiplicities before the global shuffle — hot grams otherwise
-        # inflate the exchange quadratically
+        # inflate the exchange quadratically. Lossless two-column grouping
+        # (lexsort + run boundaries), valid for ANY id range — the earlier
+        # packed (a << 31) | b key silently corrupted ids >= 2^31.
         a = np.concatenate(los)
         b = np.concatenate(his)
-        key = (a << np.int64(31)) | b
-        uniq, cnt = np.unique(key, return_counts=True)
+        order2 = np.lexsort((b, a))
+        a, b = a[order2], b[order2]
+        firsts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        cnt = np.diff(np.r_[firsts, a.size])
         return pd.DataFrame(
             {
-                "a": (uniq >> np.int64(31)).astype(np.int64),
-                "b": (uniq & np.int64((1 << 31) - 1)).astype(np.int64),
+                "a": a[firsts],
+                "b": b[firsts],
                 "cnt": cnt.astype(np.int64),
             }
         )
@@ -515,8 +510,7 @@ def _gram_pair_index(sf_dir: str, max_doc_id: int):
     from ray.data.aggregate import Sum
 
     inter = (
-        grams_ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
+        grams_ds.groupby("part")
         .map_groups(emit_pairs, batch_format="pandas")
         .groupby(["a", "b"])
         .aggregate(Sum("cnt", alias_name="i"))
@@ -830,121 +824,227 @@ def q_asof_click_attribution(sf_dir: str):
 def q_fuzzy_join_parts(sf_dir: str, k: int = 2):
     """Fuzzy self-join: all part pairs whose names are within edit distance
     ``k`` — fuzzysearch's bounded-distance kernel lifted to a relational
-    join operator (entity-resolution shape).
+    join operator (entity-resolution shape). Fully distributed: the
+    dictionary never visits the driver and no stage compares a name against
+    the whole dictionary.
 
-    Dictionary-factorized: the join key's distinct values are aggregated
-    first (names dictionary ≪ rows for catalog-style columns), name-level
-    pairs are verified DISTRIBUTED — each block of names compares against
-    the broadcast dictionary under a vectorized length pre-filter before the
-    exact bounded kernel — and surviving name pairs expand back to row pairs
-    via the broadcast name→rowids lists. Content moves nowhere: the only
-    shuffle is the distinct-name aggregate.
+    Exact-recall candidate blocking (q-chunk pigeonhole, the PassJoin /
+    Ed-Join family, VLDB 2011/2008): take the SHORTER name of a pair at
+    edit distance <= k and split it into floor(L/q) disjoint q-chunks with
+    q = floor(L / (k+1)) (so at least k+1 chunks). Each edit corrupts at
+    most one chunk, so >= 1 chunk survives VERBATIM inside the longer name
+    — i.e. it equals one of the longer name's sliding q-grams. Every
+    distinct name therefore emits (a) its own chunk hashes and (b) its
+    sliding q-gram hashes for every q a (+-k)-length partner may use; the
+    (q, gram-hash) buckets emit chunk x gram candidate pairs. Names of
+    length <= 2k (whose pairs can dodge the pigeonhole) share one extra
+    bucket — a vanishing, length-bounded set. Candidates are deduplicated,
+    verified with the batched bounded kernel, and expanded to row pairs by
+    integer joins against the (id -> name-rep) map.
 
-    Partitioning assumption: the DISTINCT-key dictionary fits in the object
-    store (not the driver heap — blocks stay plasma-backed). For join keys
-    where it doesn't, the gram-blocked candidate path of
-    ``q_ngram_jaccard_pairs`` + this verify kernel is the fallback."""
+    Shuffles are all on integer columns except the two name-attach joins
+    over the DISTINCT-name candidate set (dictionary-sized, << rows)."""
     import ray
     import ray.data as rd
 
-    from ..kernels.bounded_distance import hybrid_levenshtein
+    from ..functions.hashing import _poly_window_hashes, _splitmix64
+    from ..kernels.batched_lev import batched_bounded_levenshtein
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    np_parts = max(2, min(16, cpus))
+    P = 16
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in ("a", "b", "dist")})
 
     ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
 
-    def name_ids(block: pd.DataFrame) -> pd.DataFrame:
+    # (id, nid, name) rows: nid = min p_partkey of the name group — a
+    # dense-enough integer surrogate for the distinct name, computed by the
+    # one string-keyed shuffle of the pipeline
+    def tag_group(block: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(block["p_partkey"].to_numpy().astype(np.int64))
         return pd.DataFrame(
-            {
-                "name": [block["p_name"].iloc[0]],
-                "ids": [np.sort(block["p_partkey"].to_numpy().astype(np.int64)).tolist()],
-            }
+            {"id": ids, "nid": ids[0], "name": block["p_name"].iloc[0]}
         )
 
-    dict_df = (
-        ds.groupby("p_name").map_groups(name_ids, batch_format="pandas").to_pandas()
+    rows_map = (
+        ds.groupby("p_name").map_groups(tag_group, batch_format="pandas").materialize()
     )
-    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in ("a", "b", "dist")})
-    if dict_df.empty:
-        return empty
-    dict_df = dict_df.sort_values("name", ignore_index=True)
-    names = dict_df["name"].to_numpy()
-    lens = np.array([len(n) for n in names], dtype=np.int64)
-    names_ref = ray.put((names, lens))
-    ids_ref = ray.put(list(dict_df["ids"]))
+    reps = rows_map.map_batches(
+        lambda t: t.filter(pc.equal(t["id"], t["nid"])), batch_format="pyarrow"
+    ).materialize()
 
-    name_idx = rd.from_pandas(
-        pd.DataFrame({"i": np.arange(len(names), dtype=np.int64)})
-    ).repartition(min(16, len(names)))
+    def gram_hash(name: str, q: int) -> np.ndarray:
+        if name.isascii():
+            data = np.frombuffer(name.encode(), dtype=np.uint8)
+            return _poly_window_hashes(data, q)
+        # generic fallback: same polynomial basis per char-gram
+        p = 1099511628211
+        out = np.empty(len(name) - q + 1, dtype=np.uint64)
+        for i in range(out.size):
+            h = 0
+            for byte in name[i : i + q].encode("utf-8"):
+                h = (h * p + byte) & 0xFFFFFFFFFFFFFFFF
+            out[i] = h
+        return out
 
-    def verify_block(batch: pa.Table) -> pa.Table:
-        all_names, all_lens = ray.get(names_ref)
-        out_a, out_b, out_d = [], [], []
-        for i in batch["i"].to_pylist():
-            # self-pair (identical names, dist 0) + upper-triangle candidates
-            # surviving the |len(a)-len(b)| <= k necessary condition
-            out_a.append(i)
-            out_b.append(i)
-            out_d.append(0)
-            cand = np.nonzero(np.abs(all_lens[i + 1 :] - all_lens[i]) <= k)[0]
-            a_name = all_names[i]
-            for j in cand + i + 1:
-                d = hybrid_levenshtein(a_name, all_names[j], k)
-                if d is not None:
-                    out_a.append(i)
-                    out_b.append(int(j))
-                    out_d.append(d)
-        return pa.table(
-            {
-                "ia": pa.array(out_a, pa.int64()),
-                "ib": pa.array(out_b, pa.int64()),
-                "dist": pa.array(out_d, pa.int64()),
-            }
-        )
-
-    def expand(batch: pa.Table) -> pa.Table:
-        id_lists = ray.get(ids_ref)
-        out_a, out_b, out_d = [], [], []
-        for ia, ib, d in zip(
-            batch["ia"].to_pylist(), batch["ib"].to_pylist(), batch["dist"].to_pylist()
-        ):
-            if ia == ib:
-                ids = np.asarray(id_lists[ia], dtype=np.int64)
-                if len(ids) < 2:
+    def explode_keys(batch: pa.Table) -> pa.Table:
+        out_nid, out_key, out_role = [], [], []
+        for nid, name in zip(batch["nid"].to_pylist(), batch["name"].to_pylist()):
+            L = len(name)
+            if L <= 2 * k:
+                # pigeonhole needs floor(L/q) >= k+1 with q >= 1; pairs
+                # whose shorter side is <= k dodge it, and their partners
+                # are <= 2k — one shared bucket, both roles
+                out_nid += [nid, nid]
+                out_key += [np.uint64(1), np.uint64(1)]
+                out_role += [0, 1]
+                if L <= k:
                     continue
-                iu, ju = np.triu_indices(len(ids), k=1)
-                out_a.append(ids[iu])
-                out_b.append(ids[ju])
-                out_d.append(np.full(len(iu), d, dtype=np.int64))
-            else:
-                xa, xb = np.meshgrid(
-                    np.asarray(id_lists[ia], dtype=np.int64),
-                    np.asarray(id_lists[ib], dtype=np.int64),
-                    indexing="ij",
-                )
-                xa, xb = xa.ravel(), xb.ravel()
-                out_a.append(np.minimum(xa, xb))
-                out_b.append(np.maximum(xa, xb))
-                out_d.append(np.full(len(xa), d, dtype=np.int64))
-        if not out_a:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "dist": pa.array([], pa.int64()),
-                }
+            q = L // (k + 1)
+            wins = _splitmix64(gram_hash(name, q))
+            nchunks = L // q
+            chunk_keys = _splitmix64(
+                wins[: (nchunks - 1) * q + 1 : q]
+                ^ np.uint64(q * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
             )
+            out_nid += [nid] * nchunks
+            out_key += chunk_keys.tolist()
+            out_role += [0] * nchunks
+            for qq in range(max(1, (L - k) // (k + 1)), L // (k + 1) + 1):
+                grams = np.unique(_splitmix64(gram_hash(name, qq)))
+                keys = _splitmix64(
+                    grams ^ np.uint64(qq * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+                )
+                out_nid += [nid] * keys.size
+                out_key += keys.tolist()
+                out_role += [1] * keys.size
+        key = np.array(out_key, dtype=np.uint64)
         return pa.table(
             {
-                "a": pa.array(np.concatenate(out_a), pa.int64()),
-                "b": pa.array(np.concatenate(out_b), pa.int64()),
-                "dist": pa.array(np.concatenate(out_d), pa.int64()),
+                "nid": pa.array(out_nid, pa.int64()),
+                "key": pa.array(key.view(np.int64), pa.int64()),
+                "role": pa.array(out_role, pa.int64()),
+                "part": pa.array((key % np.uint64(P)).astype(np.int64), pa.int64()),
             }
         )
 
-    out = (
-        name_idx.map_batches(verify_block, batch_format="pyarrow")
-        .map_batches(expand, batch_format="pyarrow")
-        .to_pandas()
+    keyed = reps.map_batches(explode_keys, batch_format="pyarrow")
+
+    def emit_candidates(block: pd.DataFrame) -> pd.DataFrame:
+        nids = block["nid"].to_numpy().astype(np.int64)
+        keys = block["key"].to_numpy()
+        roles = block["role"].to_numpy()
+        order = np.lexsort((roles, nids, keys))
+        nids, keys, roles = nids[order], keys[order], roles[order]
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], keys.size]
+        los, his = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            gn, gr = nids[s:e], roles[s:e]
+            cn = np.unique(gn[gr == 0])
+            pn = np.unique(gn[gr == 1])
+            if cn.size == 0 or pn.size == 0:
+                continue
+            xa = np.repeat(cn, pn.size)
+            xb = np.tile(pn, cn.size)
+            keep = xa != xb
+            los.append(np.minimum(xa[keep], xb[keep]))
+            his.append(np.maximum(xa[keep], xb[keep]))
+        if not los:
+            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+        out = pd.DataFrame({"a": np.concatenate(los), "b": np.concatenate(his)})
+        return out.drop_duplicates(ignore_index=True)
+
+    cands = (
+        keyed.groupby("part")
+        .map_groups(emit_candidates, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda df: df.head(1), batch_format="pandas")
     )
+
+    # attach both names from the object-store broadcast of the dictionary
+    # blocks (the documented partitioning assumption: DISTINCT names fit in
+    # the object store — same ShardedIdLookup pattern as the verify stage,
+    # no driver collection), then verify with the batched bounded kernel
+    from ..stages.verify import ShardedIdLookup
+
+    name_refs = list(
+        reps.map_batches(
+            lambda t: pa.table({"id": t["nid"], "content": t["name"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+        .to_arrow_refs()
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ShardedIdLookup(name_refs, "content")
+        a_ids = batch["a"].to_numpy()
+        b_ids = batch["b"].to_numpy()
+        na = lookup.take_values(lookup.positions(a_ids))
+        nb = lookup.take_values(lookup.positions(b_ids))
+        caps = np.full(len(na), k, dtype=np.int64)
+        d = batched_bounded_levenshtein(na, nb, caps)
+        keep = d >= 0
+        return pa.table(
+            {
+                "na": pa.array(a_ids[keep], pa.int64()),
+                "nb": pa.array(b_ids[keep], pa.int64()),
+                "dist": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    verified = cands.map_batches(verify, batch_format="pyarrow").materialize()
+
+    # row-pair expansion, all integer joins: cross-name pairs via two joins
+    # against (nid -> id); same-name pairs (dist 0) via one nid groupby
+    id_map = rows_map.map_batches(
+        lambda t: pa.table({"jnid": t["nid"], "jid": t["id"]}), batch_format="pyarrow"
+    ).materialize()
+    cross = (
+        verified.join(
+            id_map, join_type="inner", num_partitions=np_parts, on=("na",),
+            right_on=("jnid",),
+        )
+        .rename_columns({"jid": "id_a"})
+        .join(
+            id_map, join_type="inner", num_partitions=np_parts, on=("nb",),
+            right_on=("jnid",),
+        )
+        .rename_columns({"jid": "id_b"})
+    )
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        xa = batch["id_a"].to_numpy()
+        xb = batch["id_b"].to_numpy()
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(xa, xb), pa.int64()),
+                "b": pa.array(np.maximum(xa, xb), pa.int64()),
+                "dist": batch["dist"].cast(pa.int64()),
+            }
+        )
+
+    cross_rows = cross.map_batches(normalize, batch_format="pyarrow")
+
+    def same_name_pairs(block: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(block["id"].to_numpy().astype(np.int64))
+        if ids.size < 2:
+            return pd.DataFrame({"a": [], "b": [], "dist": []}, dtype=np.int64)
+        iu, ju = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame(
+            {"a": ids[iu], "b": ids[ju], "dist": np.zeros(iu.size, dtype=np.int64)}
+        )
+
+    same_rows = (
+        rows_map.select_columns(["nid", "id"])
+        .groupby("nid")
+        .map_groups(same_name_pairs, batch_format="pandas")
+    )
+
+    out = cross_rows.union(same_rows.map_batches(
+        lambda t: t.select(["a", "b", "dist"]), batch_format="pyarrow"
+    )).to_pandas()
     if out.empty:
         return empty
     return out.sort_values(["a", "b"], ignore_index=True)

@@ -171,3 +171,64 @@ def test_shingle_hashes_match_direct_construction():
             got = shingle_hashes(s, k)
             want = direct(s, k)
             assert np.array_equal(got, want), (n, k)
+
+
+def test_char_gram_hashes_injective_over_all_byte_triples():
+    """The 3-byte polynomial window basis maps every distinct byte triple to
+    a distinct hash — the property that lets _gram_pair_index count gram-set
+    intersections on hashes while the SQL oracle counts gram strings."""
+    import numpy as np
+
+    from fuzzysearch_ray.functions.hashing import (
+        _poly_window_hashes,
+        _splitmix64,
+    )
+
+    b0 = np.repeat(np.arange(256, dtype=np.uint64), 256 * 256)
+    b1 = np.tile(np.repeat(np.arange(256, dtype=np.uint64), 256), 256)
+    b2 = np.tile(np.arange(256, dtype=np.uint64), 256 * 256)
+    p = np.uint64(1099511628211)
+    h = ((b0 * p + b1) * p + b2).astype(np.uint64)
+    h = _splitmix64(h)
+    h.sort()
+    assert not (h[1:] == h[:-1]).any()
+    # and the window construction computes the same basis
+    data = np.frombuffer(b"abcde", dtype=np.uint8)
+    win = _poly_window_hashes(data, 3)
+    direct = np.array(
+        [
+            (np.uint64(a) * p + np.uint64(b)) * p + np.uint64(c)
+            for a, b, c in (b"abc", b"bcd", b"cde")
+        ],
+        dtype=np.uint64,
+    )
+    assert win.tolist() == direct.tolist()
+
+
+def test_char_gram_hashes_matches_gram_sets():
+    """Hash-set size == distinct-gram count; ASCII fast path and the
+    per-gram fallback agree on ASCII text."""
+    import numpy as np
+
+    from fuzzysearch_ray.functions.hashing import char_gram_hashes
+
+    texts = [
+        "",
+        "ab",
+        "abc",
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaa",
+        "abcabcabc",
+        "def größe_prüfen(wörter): pass",
+    ]
+    for t in texts:
+        h = char_gram_hashes(t, 3)
+        grams = {t[i : i + 3] for i in range(len(t) - 2)} if len(t) >= 3 else set()
+        assert h.size == len(grams), t
+        assert (np.sort(h) == h).all()
+    ascii_t = "the quick brown fox"
+    fast = char_gram_hashes(ascii_t, 3)
+    # force the fallback path on the same logical gram set
+    grams = {ascii_t[i : i + 3] for i in range(len(ascii_t) - 2)}
+    slow = char_gram_hashes("ü" + ascii_t, 3)  # superset via non-ascii route
+    assert set(fast.tolist()) <= set(slow.tolist())
