@@ -226,7 +226,19 @@ _REP_GRAM_PAIRS_CTE = (
     # exact-dup membership (md5 groups, min-id representative), then exact
     # 9-char-gram Jaccard between representatives — the near-dup pipeline's
     # own dup criterion (verify gates on EXACT shingle Jaccard >= 0.8, so
-    # with full LSH candidate recall its edge set equals this enumeration)
+    # with full LSH candidate recall its edge set equals this enumeration).
+    #
+    # RECALL ASSUMPTION (gate semantics, not engine semantics): equating the
+    # LSH pipeline's edge set with this exhaustive enumeration relies on
+    # banding recall being effectively 1.0 on the gated corpus. At 21 bands
+    # x 6 rows a pair sitting exactly AT the 0.8 threshold collides with
+    # P = 1 - (1 - 0.8^6)^21 ~= 0.9983, not 1.0 — on the pinned sf corpora
+    # (seeded testdata; near-dup pairs sit well above threshold, J >= 0.93
+    # observed) full recall holds, which is why the gate is exact today.
+    # If this gate ever fails on a single just-above-threshold pair after a
+    # corpus/num_bands/num_perm/scheme change, suspect a probabilistic LSH
+    # miss (expected behavior, documented in SURVEY §4) before suspecting
+    # an engine bug; scripts/check_correctness.py prints the differing rows.
     "m AS (SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id "
     "FROM documents), "
     "reps AS (SELECT doc_id, text FROM m WHERE doc_id = rep_id), "

@@ -56,6 +56,29 @@ def search_exact(
             pos = cand + 1
             if all(haystack[cand + j] == needle[j] for j in range(1, m)):
                 hits.append(cand)
+    elif hasattr(haystack, "find") or hasattr(haystack, "index"):
+        # duck-typed sequences, mirroring the reference's Bio.Seq extension
+        # (search_exact.py:11-19 appends Seq to CLASSES_WITH_INDEX when
+        # BioPython imports): any sequence exposing find() or index() gets
+        # the same scan, generically — no BioPython dependency needed
+        m = len(needle)
+        last_head_index = hi - (m - 1)
+        if hasattr(haystack, "find"):
+            pos = haystack.find(needle, lo, hi)
+            while pos >= 0:
+                hits.append(pos)
+                pos = haystack.find(needle, pos + 1, hi)
+        else:
+            head = needle[0]
+            pos = lo
+            while True:
+                try:
+                    cand = haystack.index(head, pos, last_head_index)
+                except ValueError:
+                    break
+                pos = cand + 1
+                if all(haystack[cand + j] == needle[j] for j in range(1, m)):
+                    hits.append(cand)
     else:
         raise TypeError("unsupported sequence type: %s" % type(haystack))
     return hits

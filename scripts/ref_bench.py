@@ -1,0 +1,145 @@
+"""Reference-parity kernel microbenchmark (SURVEY.md §6's "(to measure)").
+
+Times the reference's own benchmark workloads
+(/root/reference/benchmarks/__init__.py:76-95 — 4 needle/haystack/max_dist
+triples) against BOTH the reference's pure-Python search functions
+(imported from /root/reference/src; its C/Cython variants are not built in
+this environment) and this engine's per-row kernel equivalents, plus the
+engine's batch-shaped executions of the same workload (the lockstep Myers
+scan and the native batch verify kernel) — the engine's actual execution
+shape, where one call covers a whole document batch.
+
+Usage: python scripts/ref_bench.py            # prints one JSON line
+Writes nothing; BASELINE.md records the numbers.
+
+The two "random_kevin" workloads are seeded here (the reference leaves
+them unseeded, Python-2 era) so runs are reproducible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, "/root/reference/src")
+
+_rng = random.Random(42)
+
+WORKLOADS = {
+    "dna_no_match": dict(
+        subsequence="GCTAGCTAGCTA", sequence="ATCG" * (10**3), max_dist=1
+    ),
+    "dna_no_match2": dict(
+        subsequence="ATGATGATG", sequence="ATCG" * (10**3), max_dist=2
+    ),
+    "random_kevin": dict(
+        subsequence="".join(_rng.choice("ATCG") for _ in range(36)),
+        sequence="".join(_rng.choice("ATCG" * 5 + "N") for _ in range(90)),
+        max_dist=3,
+    ),
+    "random_kevin_partial_match": dict(
+        subsequence="AAGTCTAGT" + "".join(_rng.choice("ATCG") for _ in range(36 - 9)),
+        sequence="AAGTCTAGT"
+        + "".join(_rng.choice("ATCG" * 5 + "N") for _ in range(90 - 9)),
+        max_dist=3,
+    ),
+}
+
+
+def timeit_us(fn, min_seconds=0.25):
+    """Best-of-3 mean-per-call microseconds, timeit-style."""
+    best = None
+    for _ in range(3):
+        n = 1
+        while True:
+            t0 = time.perf_counter()
+            for _ in range(n):
+                fn()
+            dt = time.perf_counter() - t0
+            if dt >= min_seconds:
+                break
+            n = max(n + 1, int(n * min(10, max(2, min_seconds / max(dt, 1e-9)))))
+        per = dt / n * 1e6
+        best = per if best is None else min(best, per)
+    return round(best, 2)
+
+
+def main():
+    # reference pure-Python functions
+    from fuzzysearch import find_near_matches as ref_fnm
+    from fuzzysearch.generic_search import (
+        find_near_matches_generic_ngrams as ref_generic_ngrams,
+    )
+    from fuzzysearch.levenshtein_ngram import (
+        find_near_matches_levenshtein_ngrams as ref_lev_ngrams,
+    )
+
+    # engine per-row kernels
+    from fuzzysearch_ray.kernels.dispatch import find_near_matches as eng_fnm
+    from fuzzysearch_ray.kernels.match import SearchParams
+    from fuzzysearch_ray.kernels.generic import (
+        find_near_matches_generic_ngrams as eng_generic_ngrams,
+    )
+    from fuzzysearch_ray.kernels.levenshtein import (
+        find_near_matches_levenshtein_ngrams as eng_lev_ngrams,
+    )
+
+    out = {}
+    for name, w in WORKLOADS.items():
+        needle, hay, k = w["subsequence"], w["sequence"], w["max_dist"]
+        row = {}
+        row["ref_fnm"] = timeit_us(lambda: ref_fnm(needle, hay, max_l_dist=k))
+        row["eng_fnm"] = timeit_us(lambda: eng_fnm(needle, hay, max_l_dist=k))
+        row["ref_levenshtein_ngrams"] = timeit_us(
+            lambda: list(ref_lev_ngrams(needle, hay, k))
+        )
+        row["eng_levenshtein_ngrams"] = timeit_us(
+            lambda: list(eng_lev_ngrams(needle, hay, k))
+        )
+        from fuzzysearch.common import LevenshteinSearchParams
+
+        rp = LevenshteinSearchParams(k, k, k, k)
+        row["ref_generic_ngrams"] = timeit_us(
+            lambda: list(ref_generic_ngrams(needle, hay, rp))
+        )
+        gp = SearchParams(k, k, k, k)
+        row["eng_generic_ngrams"] = timeit_us(
+            lambda: list(eng_generic_ngrams(needle, hay, gp))
+        )
+        # parity spot-check: same (start, end, dist) sets from fnm
+        ref_set = {(m.start, m.end, m.dist) for m in ref_fnm(needle, hay, max_l_dist=k)}
+        eng_set = {(m.start, m.end, m.dist) for m in eng_fnm(needle, hay, max_l_dist=k)}
+        row["fnm_matches_agree"] = ref_set == eng_set
+        out[name] = row
+
+    # the engine's BATCH shape on the same workload: one lockstep Myers call
+    # over a batch of documents (docs/sec is the number that matters at
+    # corpus scale; per-row harnesses have no analog of this)
+    import numpy as np
+    import pyarrow as pa
+
+    from fuzzysearch_ray.stages.scan import MyersScan
+
+    for name in ("dna_no_match", "random_kevin_partial_match"):
+        w = WORKLOADS[name]
+        nb = 512
+        batch = pa.table(
+            {
+                "id": pa.array(np.arange(nb), pa.int64()),
+                "content": pa.array([w["sequence"]] * nb, pa.string()),
+            }
+        )
+        scan = MyersScan(w["subsequence"], w["max_dist"])
+        per_batch = timeit_us(lambda: scan(batch), min_seconds=0.5)
+        out[name]["eng_lockstep_scan_per_doc"] = round(per_batch / nb, 2)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -173,3 +173,46 @@ class TestConsolidation:
         matches = [Match(0, 4, 1, "x"), Match(1, 5, 0, "x"), Match(9, 12, 2, "x")]
         out = consolidate_overlapping_matches(matches)
         assert [(m.start, m.end, m.dist) for m in out] == [(1, 5, 0), (9, 12, 2)]
+
+
+class _SeqLikeFind:
+    """Bio.Seq-shaped wrapper: sequence protocol + find()."""
+
+    def __init__(self, data: str):
+        self._d = data
+
+    def __len__(self):
+        return len(self._d)
+
+    def __getitem__(self, i):
+        return self._d[i]
+
+    def find(self, sub, lo=0, hi=None):
+        return self._d.find(str(sub), lo, hi if hi is not None else len(self._d))
+
+
+class _SeqLikeIndex:
+    """Sequence protocol + index() only (CLASSES_WITH_INDEX shape)."""
+
+    def __init__(self, data):
+        self._d = list(data)
+
+    def __len__(self):
+        return len(self._d)
+
+    def __getitem__(self, i):
+        return self._d[i]
+
+    def index(self, item, lo=0, hi=None):
+        return self._d.index(item, lo, hi if hi is not None else len(self._d))
+
+
+def test_search_exact_duck_typed_sequences():
+    """The reference appends Bio.Seq to its searchable classes when
+    BioPython imports (search_exact.py:11-19); the engine accepts any
+    find()- or index()-capable sequence generically."""
+    from fuzzysearch_ray.kernels.exact import search_exact
+
+    assert search_exact("ab", _SeqLikeFind("abcabcab")) == [0, 3, 6]
+    assert search_exact([1, 2], _SeqLikeIndex([1, 2, 9, 1, 2, 1])) == [0, 3]
+    assert search_exact("zz", _SeqLikeFind("abc")) == []
