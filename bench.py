@@ -126,6 +126,18 @@ def run_bench() -> dict:
     corpus_sec = time.time() - t0
     timings["corpus_dedup"] = round(corpus_sec, 3)
 
+    # the 100-TB verify path: content attached by hash-partitioned joins +
+    # distributed components instead of the object-store broadcast — timed
+    # at the same scale so the scale path has performance evidence, not
+    # just equality tests (VERDICT r2 #3)
+    t0 = time.time()
+    res_join = near_dup_pipeline(
+        rd.read_parquet(corpus_path), DedupConfig(), content_mode="join"
+    )
+    join_sec = time.time() - t0
+    timings["corpus_dedup_join"] = round(join_sec, 3)
+    assert res_join["stats"]["n_verified_edges"] == res["stats"]["n_verified_edges"]
+
     result = {
         "metric": "dedup_pipeline_wall_sec",
         "value": round(corpus_sec, 3),
@@ -135,6 +147,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "corpus_rows": CORPUS_ROWS,
         "corpus_files_per_sec": round(CORPUS_ROWS / corpus_sec, 1),
+        "corpus_join_files_per_sec": round(CORPUS_ROWS / join_sec, 1),
         "dedup_stats": res["stats"],
     }
     ray.shutdown()
@@ -243,8 +256,9 @@ def run_corpus_only() -> dict:
     rd.read_parquet(corpus_path).limit(2000).map_batches(
         _warm_import, batch_format="pyarrow"
     ).materialize()
+    mode = os.environ.get("GRAFT_CONTENT_MODE", "broadcast")
     t0 = time.time()
-    res = near_dup_pipeline(rd.read_parquet(corpus_path), DedupConfig())
+    res = near_dup_pipeline(rd.read_parquet(corpus_path), DedupConfig(), content_mode=mode)
     sec = time.time() - t0
     out = {
         "metric": "dedup_pipeline_wall_sec",
@@ -253,6 +267,7 @@ def run_corpus_only() -> dict:
         "num_cpus": NUM_CPUS,
         "corpus_rows": CORPUS_ROWS,
         "corpus_files_per_sec": round(CORPUS_ROWS / sec, 1),
+        "content_mode": mode,
         "dedup_stats": res["stats"],
     }
     ray.shutdown()

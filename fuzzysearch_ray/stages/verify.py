@@ -444,48 +444,177 @@ def verify_pairs_broadcast(
     )
 
 
-def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig):
-    """Scale path: attach contents via two hash-partitioned joins, then the
-    same verify actors (content columns instead of a broadcast map)."""
-    import ray
+def _pair_partition(a: np.ndarray, b: np.ndarray, num_parts: int) -> np.ndarray:
+    from ..functions.hashing import _splitmix64
 
-    # Ray's hash-shuffle join runs one aggregator actor per partition; asking
-    # for more partitions than cluster CPUs deadlocks the streaming executor
-    # (observed at num_cpus=4 with 32 partitions)
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    np_parts = max(2, min(config.num_join_partitions, cpus))
-    left = pairs_ds.join(
-        content_ds.select_columns(["id", "content"]),
-        join_type="inner",
-        num_partitions=np_parts,
-        on=("a",),
-        right_on=("id",),
-        right_suffix="_a",
+    h = _splitmix64(
+        a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ b.astype(np.uint64)
     )
-    # ray renames collision columns with the suffix; normalize explicitly
-    left = left.rename_columns({"content": "content_a"})
-    both = left.join(
-        content_ds.select_columns(["id", "content"]),
-        join_type="inner",
-        num_partitions=np_parts,
-        on=("b",),
-        right_on=("id",),
-        right_suffix="_b",
+    return (h % np.uint64(num_parts)).astype(np.int64)
+
+
+def _verify_group(group: pa.Table, config: DedupConfig, token: str) -> pa.Table:
+    """Co-grouped verify: one partition's pair rows (tag 0) + the content
+    rows those pairs need (tag 1), delivered by the same shuffle. Builds the
+    local id->content map and runs the worker-global verifier on the
+    assembled (a, b, content_a, content_b) batch."""
+    tags = group["tag"].to_numpy()
+    pair_rows = group.filter(pa.array(tags == 0))
+    content_rows = group.filter(pa.array(tags == 1))
+    if pair_rows.num_rows == 0:
+        return pa.table(
+            {f.name: pa.array([], f.type) for f in PAIR_SCHEMA}
+        )
+    lookup = dict(
+        zip(
+            content_rows["id"].to_pylist(),
+            content_rows["content"].to_pylist(),
+        )
     )
-    both = both.rename_columns({"content": "content_b"})
+    a = pair_rows["a"].to_pylist()
+    b = pair_rows["b"].to_pylist()
+    batch = pa.table(
+        {
+            "a": pair_rows["a"].cast(pa.int64()),
+            "b": pair_rows["b"].cast(pa.int64()),
+            "content_a": pa.array([lookup[x] for x in a], pa.string()),
+            "content_b": pa.array([lookup[x] for x in b], pa.string()),
+        }
+    )
+    return _verify_task(batch, token, config, None, None, None)
+
+
+def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig):
+    """Scale path: verify WITHOUT broadcasting content. A naive version of
+    this (two hash joins attaching content_a then content_b) re-shuffles the
+    pair stream WITH the attached content bytes a second time — measured 4x
+    the cost of the whole rest of the stage at 120k rows. Instead, content
+    bytes move exactly ONCE:
+
+    1. pairs are assigned a pair-partition key p = hash(a, b) (ints only);
+    2. each needed (id -> p) content *assignment* is derived from the pairs
+       — broadcast as two int vectors when small (the common case: pair
+       endpoints << corpus), else via an integer-keyed join;
+    3. reps content flows straight to its pair partitions (one copy per
+       requesting partition), tagged-unioned with the pair rows, and ONE
+       groupby(p) co-groups both — the verifier assembles (a, b, content_a,
+       content_b) locally per partition.
+
+    Exchanges: pair ints twice (assignment derivation + final groupby) and
+    content bytes once. Equality with the broadcast mode is pinned by
+    tests/test_dedup_pipeline.py."""
     import functools
     import uuid
 
-    fn = functools.partial(
-        _verify_task,
-        token=uuid.uuid4().hex,
-        config=config,
-        content_refs=None,
-        sig_refs=None,
-        shingle_refs=None,
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    P = max(4, min(4 * cpus, 64))
+    token = uuid.uuid4().hex
+
+    def emit_requests(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        p = _pair_partition(a, b, P)
+        ids = np.concatenate([a, b])
+        ps = np.concatenate([p, p])
+        order = np.lexsort((ps, ids))  # lossless two-column dedupe
+        ids, ps = ids[order], ps[order]
+        keep = np.r_[True, (ids[1:] != ids[:-1]) | (ps[1:] != ps[:-1])]
+        return pa.table(
+            {
+                "id": pa.array(ids[keep], pa.int64()),
+                "p": pa.array(ps[keep], pa.int64()),
+            }
+        )
+
+    requests = pairs_ds.map_batches(emit_requests, batch_format="pyarrow").materialize()
+    n_requests = requests.count()
+
+    if n_requests <= 20_000_000:
+        # assignment map fits as two int vectors (16 bytes/row): broadcast
+        # it and fan content out locally — no join at all
+        req_tbl = pa.concat_tables(
+            [t for t in ray.get(requests.to_arrow_refs()) if t.num_rows]
+        )
+        ids = req_tbl["id"].to_numpy().astype(np.int64)
+        ps = req_tbl["p"].to_numpy().astype(np.int64)
+        order = np.lexsort((ps, ids))  # id-sorted for searchsorted fan-out
+        ids, ps = ids[order], ps[order]
+        keep = np.r_[True, (ids[1:] != ids[:-1]) | (ps[1:] != ps[:-1])]
+        req_ref = ray.put((ids[keep], ps[keep]))
+
+        def fan_out(batch: pa.Table) -> pa.Table:
+            rid, rp = ray.get(req_ref)
+            ids_b = batch["id"].to_numpy().astype(np.int64)
+            lo = np.searchsorted(rid, ids_b, side="left")
+            hi = np.searchsorted(rid, ids_b, side="right")
+            counts = hi - lo
+            take = np.flatnonzero(counts > 0)
+            if take.size == 0:
+                return pa.table(
+                    {
+                        "id": pa.array([], pa.int64()),
+                        "p": pa.array([], pa.int64()),
+                        "content": pa.array([], pa.string()),
+                    }
+                )
+            row_idx = np.repeat(take, counts[take])
+            req_idx = np.concatenate(
+                [np.arange(lo[i], hi[i]) for i in take.tolist()]
+            )
+            return pa.table(
+                {
+                    "id": batch["id"].take(pa.array(row_idx, pa.int64())).cast(pa.int64()),
+                    "p": pa.array(rp[req_idx], pa.int64()),
+                    "content": batch["content"].take(pa.array(row_idx, pa.int64())),
+                }
+            )
+
+        assigned = content_ds.select_columns(["id", "content"]).map_batches(
+            fan_out, batch_format="pyarrow"
+        )
+    else:
+        # assignment map too large to broadcast: integer-keyed join ships
+        # each content row to its partitions (content still moves once)
+        np_parts = max(2, min(config.num_join_partitions, cpus))
+        assigned = requests.join(
+            content_ds.select_columns(["id", "content"]),
+            join_type="inner",
+            num_partitions=np_parts,
+            on=("id",),
+        )
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        n = len(a)
+        return pa.table(
+            {
+                "p": pa.array(_pair_partition(a, b, P), pa.int64()),
+                "tag": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "id": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "content": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def tag_content(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "p": batch["p"].cast(pa.int64()),
+                "tag": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+                "a": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "b": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "id": batch["id"].cast(pa.int64()),
+                "content": batch["content"],
+            }
+        )
+
+    tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+        assigned.map_batches(tag_content, batch_format="pyarrow")
     )
-    return both.map_batches(
-        fn,
-        batch_format="pyarrow",
-        batch_size=config.verify_batch_size,
-    )
+    fn = functools.partial(_verify_group, config=config, token=token)
+    return tagged.groupby("p").map_groups(fn, batch_format="pyarrow")
