@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": Q.q_top_terms,
         "oov_counts": Q.q_oov_counts,
         "repetition_scores": Q.q_repetition_scores,
+        # training-batch preparation
+        "pack_sequences": Q.q_pack_sequences,
+        "doc_chunks": Q.q_doc_chunks,
         # relational / windowed
         "docs_by_lang": Q.q_docs_by_lang,
         "doc_length_quantiles": Q.q_doc_length_quantiles,
@@ -497,6 +500,28 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        "pack_sequences": (
+            # bin = global token prefix-sum (docs in doc_id order) // budget
+            "WITH t AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT) AS n_tokens "
+            "FROM documents) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) "
+            "AS bin_id FROM t"
+        ),
+        "doc_chunks": (
+            # window=128, stride=96; last chunk clipped to the doc's n tokens
+            "WITH t AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT) AS n "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n, "
+            "unnest(generate_series(0, CAST((n - 1) // 96 AS BIGINT))) AS chunk_idx "
+            "FROM t WHERE n > 0) "
+            "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, "
+            "CAST(chunk_idx * 96 AS BIGINT) AS tok_start, "
+            "CAST(LEAST(chunk_idx * 96 + 128, n) AS BIGINT) AS tok_end FROM c"
         ),
         "docs_by_lang": (
             "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "

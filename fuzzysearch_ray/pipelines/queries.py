@@ -113,6 +113,96 @@ def q_token_counts(sf_dir: str):
     return ds.map_batches(counts, batch_format="pyarrow")
 
 
+def q_pack_sequences(sf_dir: str, budget: int = 512, range_size: int = 1000):
+    """Sequence packing: assign documents (in doc_id order) to fixed
+    token-budget bins — the standard pre-training batching op (docs are
+    concatenated into ~budget-token rows; a doc's bin is where its first
+    token lands: bin = prefix_sum_of_previous_tokens // budget).
+
+    The global prefix sum is a DISTRIBUTED SCAN, the pattern a driver loop
+    cannot fake at 100 TB: (1) token counts reduce per doc_id-range to a
+    range-sums table (one int row per range — metadata-sized, collected and
+    prefix-summed on the driver, broadcast back); (2) one integer-keyed
+    groupby co-locates each range, which cumsums its own docs on top of its
+    broadcast offset. Ranges key on doc_id // range_size — ids need not be
+    dense, only ordered."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch["text"], "[^ \t\n\r\f\v]+"), pa.int64()
+        )
+        rng = pc.cast(
+            pc.floor(pc.divide(pc.cast(batch["doc_id"], pa.float64()), range_size)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"].cast(pa.int64()), "n_tokens": n, "rng": rng}
+        )
+
+    toks = ds.map_batches(counts, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Sum
+
+    range_sums = toks.groupby("rng").aggregate(Sum("n_tokens", alias_name="s")).to_pandas()
+    range_sums = range_sums.sort_values("rng", ignore_index=True)
+    keys = range_sums["rng"].to_numpy().astype(np.int64)
+    sums = range_sums["s"].to_numpy().astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+    off_ref = ray.put((keys, offsets))
+
+    def assign(block: pd.DataFrame) -> pd.DataFrame:
+        k, off = ray.get(off_ref)
+        block = block.sort_values("doc_id")
+        n = block["n_tokens"].to_numpy().astype(np.int64)
+        prev = np.cumsum(n) - n + off[np.searchsorted(k, int(block["rng"].iloc[0]))]
+        return pd.DataFrame(
+            {
+                "doc_id": block["doc_id"].to_numpy().astype(np.int64),
+                "n_tokens": n,
+                "bin_id": prev // budget,
+            }
+        )
+
+    return toks.groupby("rng").map_groups(assign, batch_format="pandas")
+
+
+def q_doc_chunks(sf_dir: str, window: int = 128, stride: int = 96):
+    """Context-window chunking: split each document into ``window``-token
+    chunks at ``stride``-token starts (overlapping; last chunk clipped) —
+    the flat_map that prepares documents for fixed-context training.
+    Emits TOKEN offsets (doc_id, chunk_idx, tok_start, tok_end), all
+    vectorized (repeat + ragged-arange, no per-doc Python)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        n = (
+            pc.cast(pc.count_substring_regex(batch["text"], "[^ \t\n\r\f\v]+"), pa.int64())
+            .to_numpy()
+            .astype(np.int64)
+        )
+        n_chunks = np.where(n > 0, (n - 1) // stride + 1, 0)
+        total = int(n_chunks.sum())
+        doc_rep = np.repeat(ids, n_chunks)
+        ends = np.cumsum(n_chunks)
+        idx = np.arange(total, dtype=np.int64) - np.repeat(ends - n_chunks, n_chunks)
+        tok_start = idx * stride
+        tok_end = np.minimum(tok_start + window, np.repeat(n, n_chunks))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "chunk_idx": pa.array(idx, pa.int64()),
+                "tok_start": pa.array(tok_start, pa.int64()),
+                "tok_end": pa.array(tok_end, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
 def q_docs_by_lang(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 

@@ -1,0 +1,94 @@
+"""Hardware-ceiling control for the scaling criterion (no Ray involved).
+
+Runs the pipeline-shaped per-document workload — corpus-row generation
+(string assembly), shingle hashing (numpy doubling construction), OPH
+signatures, and the native batch Levenshtein over near-dup pairs — under
+plain ``multiprocessing`` at two pool sizes, with a FIXED total amount of
+work. The N→4N efficiency this measures is the box's own ceiling for the
+workload class, before any framework: on a single shared-memory VM every
+"node" contends for the same DRAM bandwidth and allocator, which real
+multi-node clusters do not. BASELINE.md reports the pipeline's
+`bench.py --scaling` ratio alongside this control ratio from the same
+quiet window; pipeline/control is the framework's share of the loss.
+
+Usage: python scripts/hw_control.py [lo hi]   (defaults 4 16)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TASKS = int(os.environ.get("GRAFT_CONTROL_TASKS", "192"))
+DOCS_PER_TASK = int(os.environ.get("GRAFT_CONTROL_DOCS", "120"))
+
+
+def one_task(task_id: int) -> int:
+    import numpy as np
+
+    from fuzzysearch_ray.functions.hashing import (
+        oph_minhash_signature,
+        shingle_hashes,
+    )
+    from fuzzysearch_ray.kernels.batched_lev import batched_bounded_levenshtein
+    from fuzzysearch_ray.sources.corpus import (
+        _apply_edits,
+        _gen_base_content,
+        _rng_for,
+    )
+
+    total = 0
+    texts_a, texts_b = [], []
+    for d in range(DOCS_PER_TASK):
+        g = task_id * DOCS_PER_TASK + d
+        base = _gen_base_content(42, g, 1, "py")
+        sh = shingle_hashes(base, 9)
+        sig = oph_minhash_signature(sh, 128)
+        total += int(sig[0] & np.uint64(0xFF))
+        if d % 4 == 0:
+            texts_a.append(base)
+            texts_b.append(_apply_edits(base, _rng_for(42, g, 13, 0xED17), 8))
+    caps = np.full(len(texts_a), 300, dtype=np.int64)
+    dists = batched_bounded_levenshtein(texts_a, texts_b, caps)
+    return total + int((dists >= 0).sum())
+
+
+def run_pool(nprocs: int) -> float:
+    t0 = time.time()
+    with mp.get_context("spawn").Pool(nprocs) as pool:
+        pool.map(one_task, range(TASKS), chunksize=1)
+    return time.time() - t0
+
+
+def main():
+    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    # warm once (compiles the native kernel, primes imports/page cache)
+    one_task(0)
+    t_lo = min(run_pool(lo) for _ in range(2))
+    t_hi = min(run_pool(hi) for _ in range(2))
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "hw_control_efficiency",
+                "value": round(eff, 3),
+                "sec_lo": round(t_lo, 2),
+                "sec_hi": round(t_hi, 2),
+                "nprocs": [lo, hi],
+                "tasks": TASKS,
+                "docs_per_task": DOCS_PER_TASK,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

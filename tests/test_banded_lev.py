@@ -15,12 +15,12 @@ import numpy as np
 import pytest
 
 from fuzzysearch_ray.kernels.batched_lev import batched_bounded_levenshtein
-
-BAND_C = 31  # historical band constant, kept to shape the fuzz cases
 from fuzzysearch_ray.kernels.bounded_distance import (
     bounded_levenshtein,
     hybrid_levenshtein,
 )
+
+BAND_C = 31  # edit-distance scale constant shaping the fuzz cases
 
 
 def ref(a: str, b: str, cap: int) -> int:
@@ -80,7 +80,7 @@ def _mutate(text: str, rng: random.Random, n_edits: int) -> str:
 
 def test_corpus_shaped_near_dups():
     """Long documents with scattered edits — the verify stage's real load.
-    True distance small, residues long: exercises the banded lockstep."""
+    True distance small, residues long."""
     rng = random.Random(42)
     base_words = ["item", "value", "node = count + 3;", "return state;", "func f() {"]
     pairs, caps = [], []

@@ -186,3 +186,72 @@ def test_quantile_rule_matches_duckdb_on_random_data():
             s = sorted(vals)
             got = s[max(math.ceil(q * len(s)) - 1, 0)]
             assert got == want, (trial, q, vals)
+
+
+# ------------------------------------------------------- packing / chunking
+
+def _docs_dir(tmp_path, texts):
+    """Write a minimal documents.parquet (doc_id, text) and return its dir."""
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _rand_texts(rng, n):
+    return [
+        " ".join(f"w{rng.integers(0, 50)}" for _ in range(int(rng.integers(0, 40))))
+        for _ in range(n)
+    ]
+
+
+def test_pack_sequences_matches_global_prefix_sum(tmp_path):
+    """bin_id must equal (prefix sum of earlier docs' tokens) // budget —
+    i.e. the distributed range-offset scan equals the serial scan, across
+    range boundaries (range_size smaller than the doc count)."""
+    from fuzzysearch_ray.pipelines.queries import q_pack_sequences
+
+    rng = np.random.default_rng(7)
+    texts = _rand_texts(rng, 137)
+    out = (
+        q_pack_sequences(_docs_dir(tmp_path, texts), budget=64, range_size=10)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    n = np.array([len(t.split()) for t in texts], dtype=np.int64)
+    prev = np.cumsum(n) - n
+    assert out["doc_id"].tolist() == list(range(len(texts)))
+    assert out["n_tokens"].tolist() == n.tolist()
+    assert out["bin_id"].tolist() == (prev // 64).tolist()
+    # bins are contiguous and non-decreasing in doc order
+    assert (np.diff(out["bin_id"].to_numpy()) >= 0).all()
+
+
+def test_doc_chunks_tile_each_document(tmp_path):
+    """Chunks start every `stride` tokens, are `window` wide (last clipped),
+    and jointly cover [0, n) for every non-empty doc; empty docs emit none."""
+    from fuzzysearch_ray.pipelines.queries import q_doc_chunks
+
+    rng = np.random.default_rng(11)
+    texts = _rand_texts(rng, 60) + ["", "single"]
+    window, stride = 16, 12
+    out = (
+        q_doc_chunks(_docs_dir(tmp_path, texts), window=window, stride=stride)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+    )
+    n = {i: len(t.split()) for i, t in enumerate(texts)}
+    for doc_id, g in out.groupby("doc_id"):
+        nt = n[int(doc_id)]
+        want_chunks = (nt - 1) // stride + 1
+        assert g["chunk_idx"].tolist() == list(range(want_chunks))
+        assert (g["tok_start"] == g["chunk_idx"] * stride).all()
+        assert (
+            g["tok_end"] == np.minimum(g["tok_start"] + window, nt)
+        ).all()
+        assert g["tok_end"].iloc[-1] == nt  # full coverage
+    # empty docs emit no chunks; all non-empty docs appear
+    assert set(out["doc_id"]) == {i for i, c in n.items() if c > 0}
