@@ -1087,22 +1087,27 @@ def q_fuzzy_join_parts(sf_dir: str, k: int = 2):
     verified = cands.map_batches(verify, batch_format="pyarrow").materialize()
 
     # row-pair expansion, all integer joins: cross-name pairs via two joins
-    # against (nid -> id); same-name pairs (dist 0) via one nid groupby
-    id_map = rows_map.map_batches(
-        lambda t: pa.table({"jnid": t["nid"], "jid": t["id"]}), batch_format="pyarrow"
-    ).materialize()
-    cross = (
-        verified.join(
-            id_map, join_type="inner", num_partitions=np_parts, on=("na",),
-            right_on=("jnid",),
+    # against (nid -> id); same-name pairs (dist 0) via one nid groupby.
+    # verified.count() is block metadata (already materialized): a zero-block
+    # dataset has no schema, which the hash join's key resolution rejects.
+    cross = None
+    if verified.count() > 0:
+        id_map = rows_map.map_batches(
+            lambda t: pa.table({"jnid": t["nid"], "jid": t["id"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        cross = (
+            verified.join(
+                id_map, join_type="inner", num_partitions=np_parts, on=("na",),
+                right_on=("jnid",),
+            )
+            .rename_columns({"jid": "id_a"})
+            .join(
+                id_map, join_type="inner", num_partitions=np_parts, on=("nb",),
+                right_on=("jnid",),
+            )
+            .rename_columns({"jid": "id_b"})
         )
-        .rename_columns({"jid": "id_a"})
-        .join(
-            id_map, join_type="inner", num_partitions=np_parts, on=("nb",),
-            right_on=("jnid",),
-        )
-        .rename_columns({"jid": "id_b"})
-    )
 
     def normalize(batch: pa.Table) -> pa.Table:
         xa = batch["id_a"].to_numpy()
@@ -1115,7 +1120,11 @@ def q_fuzzy_join_parts(sf_dir: str, k: int = 2):
             }
         )
 
-    cross_rows = cross.map_batches(normalize, batch_format="pyarrow")
+    cross_rows = (
+        cross.map_batches(normalize, batch_format="pyarrow")
+        if cross is not None
+        else None
+    )
 
     def same_name_pairs(block: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(block["id"].to_numpy().astype(np.int64))
@@ -1132,9 +1141,12 @@ def q_fuzzy_join_parts(sf_dir: str, k: int = 2):
         .map_groups(same_name_pairs, batch_format="pandas")
     )
 
-    out = cross_rows.union(same_rows.map_batches(
+    same_rows = same_rows.map_batches(
         lambda t: t.select(["a", "b", "dist"]), batch_format="pyarrow"
-    )).to_pandas()
+    )
+    out = (
+        cross_rows.union(same_rows) if cross_rows is not None else same_rows
+    ).to_pandas()
     if out.empty:
         return empty
     return out.sort_values(["a", "b"], ignore_index=True)
