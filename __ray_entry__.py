@@ -67,6 +67,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": Q.q_top_terms,
         "oov_counts": Q.q_oov_counts,
         "repetition_scores": Q.q_repetition_scores,
+        # quality filters / tokenizer training / mixture audit
+        "gopher_quality_flags": Q.q_gopher_quality_flags,
+        "dup_bigram_fraction": Q.q_dup_bigram_fraction,
+        "source_overlap": Q.q_source_overlap,
+        "bpe_pair_counts": Q.q_bpe_pair_counts,
         # training-batch preparation
         "pack_sequences": Q.q_pack_sequences,
         "doc_chunks": Q.q_doc_chunks,
@@ -109,6 +114,34 @@ def _language_id_sql() -> str:
         "WHEN fr >= es AND fr > 0 THEN 'fr' "
         "WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_pred FROM c"
     ).format(**hits)
+
+
+def _gopher_sql(min_words: int = 10, max_words: int = 1000) -> str:
+    """Gopher-rule flags in SQL, generated from the same English stopword
+    table the Ray-side kernel uses (single source of truth; same pattern as
+    _language_id_sql). Integer comparisons only — mean word length and
+    alpha-word fraction are cross-multiplied, never divided."""
+    from fuzzysearch_ray.functions.text_stats import _STOPWORDS
+
+    swlist = ", ".join("'%s'" % w for w in sorted(_STOPWORDS["en"]))
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+') AS ts, "
+        "length(text) AS n, "
+        "len(regexp_extract_all(text, '[ \\t\\n\\r\\f\\v]')) AS ns FROM documents), "
+        "f AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words, "
+        "CAST((len(ts) BETWEEN {lo} AND {hi}) AS BIGINT) AS flag_word_count, "
+        "CAST((3*len(ts) <= n - ns AND n - ns <= 10*len(ts) AND len(ts) > 0) "
+        "AS BIGINT) AS flag_mean_word_len, "
+        "CAST((5 * len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) "
+        ">= 4 * len(ts)) AS BIGINT) AS flag_alpha_words, "
+        "CAST((len(list_intersect(ts, [{sw}])) >= 2) AS BIGINT) AS flag_stopwords "
+        "FROM t) "
+        "SELECT doc_id, n_words, flag_word_count, flag_mean_word_len, "
+        "flag_alpha_words, flag_stopwords, "
+        "flag_word_count * flag_mean_word_len * flag_alpha_words * flag_stopwords "
+        "AS keep FROM f"
+    ).format(lo=min_words, hi=max_words, sw=swlist)
 
 
 def _hamming_expr(needle: str, pos_expr: str = "i.i") -> str:
@@ -522,6 +555,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, "
             "CAST(chunk_idx * 96 AS BIGINT) AS tok_start, "
             "CAST(LEAST(chunk_idx * 96 + 128, n) AS BIGINT) AS tok_end FROM c"
+        ),
+        "gopher_quality_flags": _gopher_sql(),
+        "dup_bigram_fraction": (
+            # within-doc duplicated word-bigram fraction; docs with < 2
+            # tokens have no bigrams (inner semantics)
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+') AS ts FROM documents), "
+            "b AS (SELECT doc_id, ts[CAST(i.i AS INTEGER)] || ' ' || "
+            "ts[CAST(i.i AS INTEGER)+1] AS bg FROM t, "
+            "LATERAL (SELECT unnest(generate_series(1, len(ts)-1)) AS i) i "
+            "WHERE len(ts) >= 2) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            "CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_distinct, "
+            "ROUND((COUNT(*) - COUNT(DISTINCT bg)) / COUNT(*)::DOUBLE, 4) "
+            "AS dup_frac_r FROM b GROUP BY doc_id"
+        ),
+        "source_overlap": (
+            # distinct 48-char prefixes shared between source pairs; the Ray
+            # side compares sha256(prefix) int64s — injective up to hash
+            # collision (2^-64/pair), so COUNT parity holds
+            "WITH h AS (SELECT DISTINCT substr(text, 1, 48) AS p, source "
+            "FROM documents) "
+            "SELECT a.source AS src_a, b.source AS src_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_shared "
+            "FROM h a JOIN h b ON a.p = b.p AND a.source < b.source GROUP BY 1, 2"
+        ),
+        "bpe_pair_counts": (
+            # adjacent char pairs inside words, weighted by word frequency
+            "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS w FROM documents), "
+            "wc AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w), "
+            "p AS (SELECT substr(w, CAST(i.i AS INTEGER), 2) AS pair, c FROM wc, "
+            "LATERAL (SELECT unnest(generate_series(1, length(w)-1)) AS i) i "
+            "WHERE length(w) >= 2) "
+            "SELECT pair, CAST(SUM(c) AS BIGINT) AS n FROM p GROUP BY pair "
+            "ORDER BY n DESC, pair LIMIT 30"
         ),
         "docs_by_lang": (
             "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "

@@ -1664,3 +1664,305 @@ def q_oov_counts(sf_dir: str, vocab_k: int = 16):
         )
 
     return ds.map_batches(count_oov, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Corpus quality filters / tokenizer-training / mixture-audit operators
+# --------------------------------------------------------------------------
+
+def q_gopher_quality_flags(sf_dir: str, min_words: int = 10, max_words: int = 1000):
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 shape,
+    bounds scaled to this corpus's doc sizes): per-doc integer flags for
+    word-count bounds, mean word length in [3, 10], >=80% of words
+    containing an alphabetic character, and >=2 distinct English stopwords
+    present; ``keep`` is their conjunction — the standard pre-training
+    filter chain. All checks are Arrow RE2 kernels over the batch; the
+    mean-word-length and alpha-fraction rules compare integers
+    (3*nw <= wchars <= 10*nw, 5*naw >= 4*nw) so no float enters the
+    result. Stopword presence = per-stopword whole-token regex match
+    (distinct-membership semantics, == the oracle's list_intersect)."""
+    from ..functions.text_stats import _STOPWORDS
+
+    sw = sorted(_STOPWORDS["en"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ws = "[ \\t\\n\\r\\f\\v]"
+
+    def flags(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        nw = pc.cast(
+            pc.count_substring_regex(text, "[^ \t\n\r\f\v]+"), pa.int64()
+        ).to_numpy()
+        n = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+        ns = pc.cast(pc.count_substring_regex(text, ws), pa.int64()).to_numpy()
+        naw = pc.cast(
+            pc.count_substring_regex(text, "[^ \t\n\r\f\v]*[A-Za-z][^ \t\n\r\f\v]*"),
+            pa.int64(),
+        ).to_numpy()
+        hits = np.zeros(len(nw), dtype=np.int64)
+        for w in sw:
+            pat = "(?:^|%s)%s(?:%s|$)" % (ws, w, ws)
+            hits += (
+                pc.match_substring_regex(text, pat)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        wchars = n - ns
+        f_wc = ((nw >= min_words) & (nw <= max_words)).astype(np.int64)
+        f_mwl = ((3 * nw <= wchars) & (wchars <= 10 * nw) & (nw > 0)).astype(np.int64)
+        f_alpha = (5 * naw >= 4 * nw).astype(np.int64)
+        f_sw = (hits >= 2).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "flag_word_count": pa.array(f_wc, pa.int64()),
+                "flag_mean_word_len": pa.array(f_mwl, pa.int64()),
+                "flag_alpha_words": pa.array(f_alpha, pa.int64()),
+                "flag_stopwords": pa.array(f_sw, pa.int64()),
+                "keep": pa.array(f_wc & f_mwl & f_alpha & f_sw, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flags, batch_format="pyarrow")
+
+
+def q_dup_bigram_fraction(sf_dir: str):
+    """Within-doc duplicated word-bigram fraction (the MassiveText /
+    RefinedWeb "repeated n-gram" quality signal, n=2): per document, the
+    fraction of bigram occurrences that repeat an earlier bigram of the
+    same doc. Fully vectorized per batch: pandas factorize over the
+    flattened token values, adjacent-code pair keys masked at doc
+    boundaries, and a lexsort boundary-step count for per-doc distinct
+    bigrams — no per-doc Python. Docs with < 2 tokens have no bigrams and
+    are excluded (inner semantics, same as the oracle's GROUP BY)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def frac(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        toks = pc.split_pattern_regex(batch["text"], "[ \t\n\r\f\v]+").combine_chunks()
+        values = toks.flatten()
+        counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        vals = values.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        nonempty = np.array([len(v) > 0 for v in vals], dtype=bool)
+        if not nonempty.all():  # leading/trailing whitespace edge
+            vals = vals[nonempty]
+            doc_idx = doc_idx[nonempty]
+            counts = np.bincount(doc_idx, minlength=len(ids)).astype(np.int64)
+        if len(vals):
+            codes = pd.factorize(vals)[0].astype(np.int64)
+            nuniq = int(codes.max()) + 1
+            same_doc = doc_idx[:-1] == doc_idx[1:]
+            key = (codes[:-1] * nuniq + codes[1:])[same_doc]
+            dpair = doc_idx[:-1][same_doc]
+        else:
+            key = np.empty(0, np.int64)
+            dpair = np.empty(0, np.int64)
+        nb = np.maximum(counts - 1, 0)
+        if len(key):
+            order = np.lexsort((key, dpair))
+            dp, kp = dpair[order], key[order]
+            new = np.ones(len(kp), dtype=bool)
+            new[1:] = (dp[1:] != dp[:-1]) | (kp[1:] != kp[:-1])
+            ndist = np.bincount(dp[new], minlength=len(ids)).astype(np.int64)
+        else:
+            ndist = np.zeros(len(ids), dtype=np.int64)
+        mask = nb > 0
+        nbm, ndm = nb[mask], ndist[mask]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[mask], pa.int64()),
+                "n_bigrams": pa.array(nbm, pa.int64()),
+                "n_distinct": pa.array(ndm, pa.int64()),
+                "dup_frac_r": pa.array(
+                    round_half_up((nbm - ndm) / nbm.astype(np.float64), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(frac, batch_format="pyarrow")
+
+
+def q_source_overlap(sf_dir: str, prefix_len: int = 48):
+    """Cross-source shared-content audit for mixture weighting: for each
+    source pair, how many distinct ``prefix_len``-char document prefixes
+    appear in BOTH sources (shared boilerplate / cross-crawl duplication).
+    The prefix text never shuffles: it is sha256-hashed buffer-level to one
+    int64 per row (same basis as exact dedup — memoryview slices over the
+    Arrow offsets, no per-row Python strings), (hash, source) rows are
+    distinct-ed by a grouped aggregate, and pair emission runs inside
+    coarse hash partitions of h (stages/lsh.py bucket pattern — a join
+    would choke on empty partitions at low key cardinality) with a
+    per-partition partial count; output is #source-pairs rows."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        pref = pc.cast(
+            pc.utf8_slice_codeunits(batch["text"], 0, prefix_len), pa.large_binary()
+        ).combine_chunks()
+        n = len(pref)
+        if n:
+            off = np.frombuffer(
+                pref.buffers()[1], dtype=np.int64, count=pref.offset + n + 1
+            )[pref.offset:]
+            mv = (
+                memoryview(pref.buffers()[2])
+                if pref.buffers()[2] is not None
+                else memoryview(b"")
+            )
+            sha = hashlib.sha256
+            h = (
+                np.frombuffer(
+                    b"".join(sha(mv[off[i]: off[i + 1]]).digest()[:8] for i in range(n)),
+                    dtype=">u8",
+                )
+                .astype(np.uint64)
+                .view(np.int64)
+            )
+        else:
+            h = np.empty(0, np.int64)
+        return pa.table({"h": pa.array(h, pa.int64()), "source": batch["source"]})
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import _splitmix64
+
+    P = 16
+    distinct = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby(["h", "source"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = _splitmix64(batch["h"].to_numpy().view(np.uint64)) % P
+        return pa.table(
+            {
+                "h": batch["h"],
+                "source": batch["source"],
+                "part": pa.array(part.astype(np.int64), pa.int64()),
+            }
+        )
+
+    # one coarse shuffle keyed by part co-locates each h's rows (same
+    # pattern as stages/lsh.py); pair emission + a per-partition partial
+    # count happen vectorized inside the partition, so the final exchange
+    # moves one row per (src_a, src_b) per partition
+    def emit_pairs(block: pd.DataFrame) -> pd.DataFrame:
+        srcs, codes = np.unique(block["source"].to_numpy(), return_inverse=True)
+        h = block["h"].to_numpy().astype(np.int64)
+        order = np.lexsort((codes, h))
+        hs, cs = h[order], codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], hs[1:] != hs[:-1])))
+        ends = np.concatenate((starts[1:], [len(hs)]))
+        pa_, pb_ = [], []
+        for s, e in zip(starts, ends):  # runs are <= n_sources rows each
+            if e - s < 2:
+                continue
+            iu = np.triu_indices(e - s, k=1)
+            pa_.append(cs[s:e][iu[0]])
+            pb_.append(cs[s:e][iu[1]])
+        if not pa_:
+            return pd.DataFrame({"src_a": [], "src_b": [], "n": []}).astype(
+                {"src_a": str, "src_b": str, "n": np.int64}
+            )
+        a = np.concatenate(pa_)
+        b = np.concatenate(pb_)
+        key = a * len(srcs) + b
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {
+                "src_a": srcs[uk // len(srcs)],
+                "src_b": srcs[uk % len(srcs)],
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    out = (
+        distinct.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["src_a", "src_b"])
+        .aggregate(Sum("n", alias_name="n_shared"))
+        .to_pandas()
+    )
+    return out.sort_values(["src_a", "src_b"], ignore_index=True)
+
+
+def q_bpe_pair_counts(sf_dir: str, k: int = 30):
+    """First iteration of BPE tokenizer training at corpus scale: global
+    counts of adjacent character pairs inside words, weighted by word
+    frequency — the merge-candidate table. Stage 1 reduces the corpus to
+    the distinct-word table (per-batch factorize combiner BEFORE the
+    word-keyed shuffle, same pattern as q_top_terms); stage 2 explodes each
+    word's byte pairs straight off the Arrow data buffer (one np.bincount
+    over 2^16 pair codes per batch — no per-word Python; tokens are
+    [a-z0-9]+ so single-byte codepoints are guaranteed) and a pair-keyed
+    groupby sums the partials. Returns top-``k`` (count DESC, pair ASC)."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+    pat = re.compile(r"[a-z0-9]+")
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        terms = []
+        for t in batch["text"].to_pylist():
+            terms.extend(pat.findall(t.lower()))
+        uniq, cnt = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "w": pa.array(uniq.astype(str), pa.string()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    words = (
+        ds.map_batches(word_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        wb = pc.cast(batch["w"], pa.large_binary()).combine_chunks()
+        n = len(wb)
+        if n == 0:
+            return pa.table(
+                {"pair_code": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        off = np.frombuffer(wb.buffers()[1], dtype=np.int64, count=wb.offset + n + 1)[
+            wb.offset:
+        ]
+        data = np.frombuffer(wb.buffers()[2], dtype=np.uint8, count=int(off[-1]))
+        c = batch["c"].to_numpy().astype(np.int64)
+        lens = np.diff(off)
+        valid = np.ones(len(data), dtype=bool)
+        ends = off[1:] - 1
+        valid[ends[lens > 0]] = False  # last byte of each word starts no pair
+        codes = data[:-1].astype(np.int64) * 256 + data[1:].astype(np.int64)
+        weights = np.repeat(c, np.maximum(lens - 1, 0))
+        agg = np.bincount(codes[valid[:-1]], weights=weights, minlength=65536)
+        nz = np.nonzero(agg)[0]
+        return pa.table(
+            {
+                "pair_code": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(agg[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        words.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair_code")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg["pair"] = [chr(int(c) >> 8) + chr(int(c) & 255) for c in agg["pair_code"]]
+    agg = agg.sort_values(["n", "pair"], ascending=[False, True], ignore_index=True)
+    return agg.head(k)[["pair", "n"]].reset_index(drop=True)

@@ -255,3 +255,132 @@ def test_doc_chunks_tile_each_document(tmp_path):
         assert g["tok_end"].iloc[-1] == nt  # full coverage
     # empty docs emit no chunks; all non-empty docs appear
     assert set(out["doc_id"]) == {i for i, c in n.items() if c > 0}
+
+
+# ------------------------------- quality filters / tokenizer / mixture audit
+
+def test_gopher_quality_flags_matches_bruteforce(tmp_path):
+    from fuzzysearch_ray.functions.text_stats import _STOPWORDS
+    from fuzzysearch_ray.pipelines.queries import q_gopher_quality_flags
+
+    rng = np.random.default_rng(3)
+    vocab = ["the", "of", "and", "zz", "q1", "55", "!!", "longword" * 3]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        for _ in range(80)
+    ] + ["", "the of", "x " * 200]
+    out = (
+        q_gopher_quality_flags(_docs_dir(tmp_path, texts), min_words=5, max_words=100)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    sw = _STOPWORDS["en"]
+    for i, t in enumerate(texts):
+        toks = t.split()
+        nw = len(toks)
+        wchars = sum(len(x) for x in toks)
+        naw = sum(1 for x in toks if any(c.isalpha() and c.isascii() for c in x))
+        nsw = len(set(toks) & sw)
+        row = out.iloc[i]
+        assert row["n_words"] == nw
+        assert row["flag_word_count"] == int(5 <= nw <= 100)
+        assert row["flag_mean_word_len"] == int(nw > 0 and 3 * nw <= wchars <= 10 * nw)
+        assert row["flag_alpha_words"] == int(5 * naw >= 4 * nw)
+        assert row["flag_stopwords"] == int(nsw >= 2)
+        assert row["keep"] == (
+            row["flag_word_count"]
+            * row["flag_mean_word_len"]
+            * row["flag_alpha_words"]
+            * row["flag_stopwords"]
+        )
+
+
+def test_dup_bigram_fraction_matches_counter_bruteforce(tmp_path):
+    from fuzzysearch_ray.pipelines.queries import q_dup_bigram_fraction
+
+    rng = np.random.default_rng(5)
+    vocab = ["a", "b", "c", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 25))))
+        for _ in range(120)
+    ] + ["", "one", "r r r r r r", " lead", "trail "]
+    out = (
+        q_dup_bigram_fraction(_docs_dir(tmp_path, texts))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    for i, t in enumerate(texts):
+        toks = t.split()
+        bigrams = list(zip(toks, toks[1:]))
+        if not bigrams:
+            assert i not in out.index
+            continue
+        row = out.loc[i]
+        assert row["n_bigrams"] == len(bigrams)
+        assert row["n_distinct"] == len(set(bigrams))
+        frac = (len(bigrams) - len(set(bigrams))) / len(bigrams)
+        assert abs(row["dup_frac_r"] - frac) < 5e-5
+
+
+def test_source_overlap_matches_set_bruteforce(tmp_path):
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from fuzzysearch_ray.pipelines.queries import q_source_overlap
+
+    rng = np.random.default_rng(9)
+    prefixes = ["shared boilerplate header %d " % i for i in range(6)]
+    texts, sources = [], []
+    for i in range(150):
+        texts.append(
+            prefixes[int(rng.integers(0, 6))] + " ".join(
+                "t%d" % rng.integers(0, 9) for _ in range(20)
+            )
+        )
+        sources.append("s%d" % rng.integers(0, 4))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(sources),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = q_source_overlap(str(tmp_path), prefix_len=16)
+    by_src = {}
+    for t, s in zip(texts, sources):
+        by_src.setdefault(s, set()).add(t[:16])
+    want = {}
+    for a, b in itertools.combinations(sorted(by_src), 2):
+        n = len(by_src[a] & by_src[b])
+        if n:
+            want[(a, b)] = n
+    got = {(r.src_a, r.src_b): r.n_shared for r in out.itertuples()}
+    assert got == want
+
+
+def test_bpe_pair_counts_matches_counter_bruteforce(tmp_path):
+    import re
+    from collections import Counter
+
+    from fuzzysearch_ray.pipelines.queries import q_bpe_pair_counts
+
+    rng = np.random.default_rng(13)
+    vocab = ["alpha", "beta", "gg", "a", "x9y", "2024", "zz9"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 30)))).upper()
+        if rng.integers(0, 2)
+        else " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        for _ in range(100)
+    ] + ["", "!!! ???"]
+    out = q_bpe_pair_counts(_docs_dir(tmp_path, texts), k=10)
+    wc = Counter()
+    for t in texts:
+        wc.update(re.findall(r"[a-z0-9]+", t.lower()))
+    pc_ = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            pc_[w[i : i + 2]] += c
+    want = sorted(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(out["pair"], out["n"])) == want
