@@ -168,7 +168,7 @@ def run_dedup_checkpointed(
             sig_refs = reps_sig_ds.select_columns(["id", "sig"]).materialize().to_arrow_refs()
             edges = verify_pairs_broadcast(pairs, content_refs, config, sig_refs=sig_refs)
         else:
-            edges = verify_pairs_join(pairs, content_ds, config)
+            edges = verify_pairs_join(pairs, content_ds, config, sigs_ds=reps_sig_ds)
         edges = edges.materialize()
         n_edges = edges.count()
         write_partition_atomic(edges, out_dir, "edges/all")

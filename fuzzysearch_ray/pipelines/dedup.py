@@ -158,7 +158,7 @@ def near_dup_pipeline(
             shingle_refs=sig_refs if config.precompute_shingles else None,
         )
     else:
-        verified = verify_pairs_join(pairs, reps_ds, config)
+        verified = verify_pairs_join(pairs, reps_ds, config, sigs_ds=sigs_ds)
 
     verified = verified.materialize()
     _mark("pairs+verify")

@@ -222,7 +222,7 @@ def incremental_near_dup_pairs(
             pairs, cu.to_arrow_refs(), config, sig_refs=su.to_arrow_refs()
         )
     else:
-        verified = verify_pairs_join(pairs, content_union, config)
+        verified = verify_pairs_join(pairs, content_union, config, sigs_ds=sigs_union)
     verified = verified.materialize()
 
     membership = membership_old.union(membership_new).materialize()

@@ -24,6 +24,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import DedupConfig
 from ..functions.hashing import (
@@ -328,11 +329,28 @@ class VerifyPairs:
             b_all = batch["b"].to_numpy()
             texts_all_a = self._texts(batch, a_all, "content_a")
             texts_all_b = self._texts(batch, b_all, "content_b")
+            # Bulk-fill the shingle cache ONCE per distinct doc in this
+            # batch, clearing only BETWEEN batches: the per-pair cached
+            # path cleared mid-batch when full and recomputed sets pair by
+            # pair — measured ~750 µs/pair in the co-grouped join mode
+            # (whose hash(a,b) partitioning has no doc locality) vs
+            # ~100 µs/doc for exactly-once hashing.
+            ids_cat = np.concatenate([a_all, b_all])
+            texts_cat = texts_all_a + texts_all_b
+            uniq, first = np.unique(ids_cat, return_index=True)
+            cache = self._cache
+            if len(cache) + len(uniq) > 8192:
+                cache.clear()
+            lsh_cap = cfg.max_content_bytes_for_lsh
+            for uid, fi in zip(uniq.tolist(), first.tolist()):
+                if uid not in cache:
+                    cache[uid] = shingle_hashes(
+                        texts_cat[fi][:lsh_cap], cfg.shingle_k
+                    )
             jacs = np.empty(len(a_all), dtype=np.float64)
             for i in range(len(a_all)):
                 jacs[i] = exact_jaccard(
-                    self._shingles_cached(int(a_all[i]), texts_all_a[i]),
-                    self._shingles_cached(int(b_all[i]), texts_all_b[i]),
+                    cache[int(a_all[i])], cache[int(b_all[i])]
                 )
             keep = np.flatnonzero(jacs >= cfg.jaccard_threshold)
             a_ids = a_all[keep]
@@ -359,15 +377,29 @@ class VerifyPairs:
         runs = (dists >= 0) & (
             (min_len - dists) >= (dists + 1) * cfg.min_exact_run
         )
-        undecided = ~runs & (min_len >= cfg.min_exact_run)
-        for i in np.flatnonzero(undecided).tolist():
+        undecided = np.flatnonzero(~runs & (min_len >= cfg.min_exact_run))
+        if len(undecided):
+            # same bulk-fill discipline as the shingle cache above: hash
+            # each undecided doc's windows once, never clear mid-batch
+            rc = self._run_cache
+            und_ids = np.concatenate([a_ids[undecided], b_ids[undecided]])
+            und_first = np.concatenate([undecided, undecided])
+            uq, fi_ = np.unique(und_ids, return_index=True)
+            if len(rc) + len(uq) > 4096:
+                rc.clear()
+            for uid, j in zip(uq.tolist(), fi_.tolist()):
+                if uid not in rc:
+                    src = und_first[j]
+                    t_ = texts_a[src] if j < len(undecided) else texts_b[src]
+                    rc[uid] = run_window_hashes(t_, cfg.min_exact_run)
+        for i in undecided.tolist():
             ta, tb = texts_a[i], texts_b[i]
             runs[i] = shares_long_run_hashed(
                 ta,
                 tb,
                 cfg.min_exact_run,
-                hashes_a=self._run_hashes(int(a_ids[i]), ta),
-                hashes_b=self._run_hashes(int(b_ids[i]), tb),
+                hashes_a=self._run_cache[int(a_ids[i])],
+                hashes_b=self._run_cache[int(b_ids[i])],
             )
         return pa.table(
             {
@@ -453,38 +485,208 @@ def _pair_partition(a: np.ndarray, b: np.ndarray, num_parts: int) -> np.ndarray:
     return (h % np.uint64(num_parts)).astype(np.int64)
 
 
-def _verify_group(group: pa.Table, config: DedupConfig, token: str) -> pa.Table:
-    """Co-grouped verify: one partition's pair rows (tag 0) + the content
-    rows those pairs need (tag 1), delivered by the same shuffle. Builds the
-    local id->content map and runs the worker-global verifier on the
-    assembled (a, b, content_a, content_b) batch."""
-    tags = group["tag"].to_numpy()
-    pair_rows = group.filter(pa.array(tags == 0))
-    content_rows = group.filter(pa.array(tags == 1))
-    if pair_rows.num_rows == 0:
-        return pa.table(
-            {f.name: pa.array([], f.type) for f in PAIR_SCHEMA}
+def _sorted_positions(sorted_ids: np.ndarray, q_ids: np.ndarray, what: str) -> np.ndarray:
+    """searchsorted with the loud completeness check (every pair endpoint's
+    row must have been delivered to this partition)."""
+    pos = np.searchsorted(sorted_ids, q_ids)
+    if sorted_ids.size == 0:
+        if len(q_ids):
+            raise KeyError("no %s rows delivered but pairs need them" % what)
+        return pos
+    hit = sorted_ids[np.minimum(pos, sorted_ids.size - 1)] == q_ids
+    if not hit.all():
+        raise KeyError(
+            "%s rows missing for ids (first 8): %s"
+            % (what, np.asarray(q_ids)[~hit][:8].tolist())
         )
-    lookup = dict(
-        zip(
-            content_rows["id"].to_pylist(),
-            content_rows["content"].to_pylist(),
-        )
+    return pos
+
+
+_EMPTY_PAIRS = None
+
+
+def _empty_pairs_table() -> pa.Table:
+    global _EMPTY_PAIRS
+    if _EMPTY_PAIRS is None:
+        _EMPTY_PAIRS = pa.table({f.name: pa.array([], f.type) for f in PAIR_SCHEMA})
+    return _EMPTY_PAIRS
+
+
+def _gate_assemble_verify(
+    a: np.ndarray,
+    b: np.ndarray,
+    content_rows: pa.Table,
+    sketch_rows,
+    config: DedupConfig,
+    token: str,
+) -> pa.Table:
+    """One co-located partition's verify: est-Jaccard pre-gate on the local
+    uint8 sketch matrix (same semantics as broadcast mode's ShardedSigLookup
+    gate), then (a, b, content_a, content_b) assembly with vectorized Arrow
+    takes — no per-pair Python outside the verifier kernels."""
+    gate = config.est_jaccard_gate
+    if sketch_rows is not None and sketch_rows.num_rows and gate > 0:
+        sk_ids = sketch_rows["id"].to_numpy().astype(np.int64)
+        order = np.argsort(sk_ids)
+        sk_sorted = sk_ids[order]
+        sk = pc.cast(sketch_rows["sig"], pa.large_binary()).combine_chunks()
+        P = config.num_perm
+        off = np.frombuffer(
+            sk.buffers()[1], dtype=np.int64, count=sk.offset + len(sk) + 1
+        )[sk.offset:]
+        if not (np.diff(off) == P).all():
+            raise ValueError("sketch rows are not num_perm bytes wide")
+        data = np.frombuffer(sk.buffers()[2], dtype=np.uint8, count=int(off[-1]))
+        mat = data[off[:-1, None] + np.arange(P)][order]
+        rows_a = mat[_sorted_positions(sk_sorted, a, "sketch")]
+        rows_b = mat[_sorted_positions(sk_sorted, b, "sketch")]
+        est_keep = (rows_a == rows_b).mean(axis=1) >= gate
+        if not est_keep.all():
+            a, b = a[est_keep], b[est_keep]
+    if len(a) == 0:
+        return _empty_pairs_table()
+
+    c_ids = content_rows["id"].to_numpy().astype(np.int64)
+    c_order = np.argsort(c_ids)
+    c_sorted = c_ids[c_order]
+    content = content_rows["content"].combine_chunks().take(
+        pa.array(c_order, pa.int64())
     )
-    a = pair_rows["a"].to_pylist()
-    b = pair_rows["b"].to_pylist()
+    pos_a = _sorted_positions(c_sorted, a, "content")
+    pos_b = _sorted_positions(c_sorted, b, "content")
     batch = pa.table(
         {
-            "a": pair_rows["a"].cast(pa.int64()),
-            "b": pair_rows["b"].cast(pa.int64()),
-            "content_a": pa.array([lookup[x] for x in a], pa.string()),
-            "content_b": pa.array([lookup[x] for x in b], pa.string()),
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "content_a": content.take(pa.array(pos_a, pa.int64())),
+            "content_b": content.take(pa.array(pos_b, pa.int64())),
         }
     )
     return _verify_task(batch, token, config, None, None, None)
 
 
-def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig):
+def _verify_group(group: pa.Table, config: DedupConfig, token: str) -> pa.Table:
+    """Tagged-union co-group wrapper (huge-requests fallback path): pair
+    rows (tag 0), content rows (tag 1), uint8 sketches (tag 2) arrive from
+    one groupby(p) shuffle and are split back out here."""
+    group = group.combine_chunks()  # sort output is heavily chunked
+    tags = group["tag"].to_numpy()
+    pair_rows = group.filter(pa.array(tags == 0))
+    if pair_rows.num_rows == 0:
+        return _empty_pairs_table()
+    content_rows = group.filter(pa.array(tags == 1))
+    sketch_rows = (
+        group.filter(pa.array(tags == 2)) if config.est_jaccard_gate > 0 else None
+    )
+    return _gate_assemble_verify(
+        pair_rows["a"].to_numpy().astype(np.int64),
+        pair_rows["b"].to_numpy().astype(np.int64),
+        content_rows,
+        sketch_rows,
+        config,
+        token,
+    )
+
+
+def _as_arrow_table(t):
+    """Materialized Dataset blocks can be pandas; normalize to Arrow."""
+    if isinstance(t, pa.Table):
+        return t
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def _slice_by_part(tbl: pa.Table, part: np.ndarray, num_parts: int):
+    """Stable-sort ``tbl`` by the int partition vector and return one
+    zero-copy slice per partition (empty slices included)."""
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order, pa.int64()))
+    bounds = np.searchsorted(part[order], np.arange(num_parts + 1))
+    return [
+        sorted_tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        for i in range(num_parts)
+    ]
+
+
+def _split_pairs_for_exchange(tbl, num_parts: int):
+    """Shuffle-map side for pair blocks: (a, b) rows sliced by p."""
+    t = _as_arrow_table(tbl)
+    if t.num_rows == 0:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return [empty] * num_parts
+    a = t["a"].to_numpy().astype(np.int64)
+    b = t["b"].to_numpy().astype(np.int64)
+    p = _pair_partition(a, b, num_parts)
+    out = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    return _slice_by_part(out, p, num_parts)
+
+
+def _split_values_for_exchange(tbl, num_parts: int, req, as_sketch: bool, num_perm: int):
+    """Shuffle-map side for content / signature blocks: each row is
+    replicated to every partition that requested its id (``req`` is the
+    broadcast (sorted ids, partition) assignment pair) and sliced by p.
+    Signature rows are compacted to uint8 sketches (low byte per slot)
+    before they ever hit the wire."""
+    t = _as_arrow_table(tbl)
+    rid, rp = req
+    if as_sketch:
+        sig = t["sig"].combine_chunks()
+        vals = sig.flatten().to_numpy().view(np.uint64)
+        mat = vals.astype(np.uint8).reshape(-1, num_perm)  # low byte
+        value = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(num_perm), len(sig), [None, pa.py_buffer(mat.tobytes())]
+        )
+        base = pa.table(
+            {"id": t["id"].cast(pa.int64()), "sig": value.cast(pa.large_binary())}
+        )
+    else:
+        base = pa.table({"id": t["id"].cast(pa.int64()), "content": t["content"]})
+    empty = base.slice(0, 0)
+    if base.num_rows == 0 or rid.size == 0:
+        return [empty] * num_parts
+    ids_b = base["id"].to_numpy()
+    lo = np.searchsorted(rid, ids_b, side="left")
+    hi = np.searchsorted(rid, ids_b, side="right")
+    counts = hi - lo
+    take = np.flatnonzero(counts > 0)
+    if take.size == 0:
+        return [empty] * num_parts
+    row_idx = np.repeat(take, counts[take])
+    req_idx = np.concatenate([np.arange(lo[i], hi[i]) for i in take.tolist()])
+    fanned = base.take(pa.array(row_idx, pa.int64()))
+    return _slice_by_part(fanned, rp[req_idx], num_parts)
+
+
+def _verify_exchange_partition(config, token, pair_refs, content_refs, sketch_refs):
+    """Shuffle-reduce side: concatenate this partition's pair / content /
+    sketch shards (zero-copy plasma reads) and verify."""
+    import ray
+
+    pair_tbls = [t for t in ray.get(list(pair_refs)) if t.num_rows]
+    if not pair_tbls:
+        return _empty_pairs_table()
+    pairs = pa.concat_tables(pair_tbls).combine_chunks()
+    content_tbls = [t for t in ray.get(list(content_refs)) if t.num_rows]
+    content = (
+        pa.concat_tables(content_tbls).combine_chunks()
+        if content_tbls
+        else pa.table({"id": pa.array([], pa.int64()), "content": pa.array([], pa.string())})
+    )
+    sketch = None
+    if sketch_refs:
+        sk_tbls = [t for t in ray.get(list(sketch_refs)) if t.num_rows]
+        if sk_tbls:
+            sketch = pa.concat_tables(sk_tbls).combine_chunks()
+    return _gate_assemble_verify(
+        pairs["a"].to_numpy().astype(np.int64),
+        pairs["b"].to_numpy().astype(np.int64),
+        content,
+        sketch,
+        config,
+        token,
+    )
+
+
+def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig, sigs_ds=None):
     """Scale path: verify WITHOUT broadcasting content. A naive version of
     this (two hash joins attaching content_a then content_b) re-shuffles the
     pair stream WITH the attached content bytes a second time — measured 4x
@@ -492,25 +694,46 @@ def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig):
     bytes move exactly ONCE:
 
     1. pairs are assigned a pair-partition key p = hash(a, b) (ints only);
-    2. each needed (id -> p) content *assignment* is derived from the pairs
-       — broadcast as two int vectors when small (the common case: pair
+    2. each needed (id -> p) *assignment* is derived from the pairs —
+       broadcast as two int vectors when small (the common case: pair
        endpoints << corpus), else via an integer-keyed join;
     3. reps content flows straight to its pair partitions (one copy per
-       requesting partition), tagged-unioned with the pair rows, and ONE
-       groupby(p) co-groups both — the verifier assembles (a, b, content_a,
-       content_b) locally per partition.
+       requesting partition), and — when ``sigs_ds`` is given — so does a
+       uint8 MinHash sketch per id (num_perm bytes: the low byte of each
+       slot, the same compaction as ShardedSigLookup), enabling the
+       est-Jaccard pre-gate inside the partition; both are tagged-unioned
+       with the pair rows and ONE groupby(p) co-groups everything. The
+       verifier assembles (a, b, content_a, content_b) locally.
 
-    Exchanges: pair ints twice (assignment derivation + final groupby) and
-    content bytes once. Equality with the broadcast mode is pinned by
-    tests/test_dedup_pipeline.py."""
+    Exchanges: pair ints twice (assignment derivation + final groupby),
+    sketches once (num_perm B/doc), content bytes once. Equality with the
+    broadcast mode is pinned by tests/test_dedup_pipeline.py.
+
+    ``pairs_ds`` is materialized up front: it is consumed twice (request
+    derivation + the tagged union), and leaving it lazy re-executes the
+    entire candidate-generation lineage a second time — measured as the
+    whole pipeline running 5x slower at 120k rows."""
     import functools
+    import os
+    import time
     import uuid
 
     import ray
 
+    _trace = os.environ.get("GRAFT_TIMING")
+    _t = time.time()
+
+    def _mark(stage):
+        nonlocal _t
+        if _trace:
+            print("[join-verify-timing] %s %.3fs" % (stage, time.time() - _t), flush=True)
+        _t = time.time()
+
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     P = max(4, min(4 * cpus, 64))
     token = uuid.uuid4().hex
+    pairs_ds = pairs_ds.materialize()
+    _mark("pairs_materialize")
 
     def emit_requests(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy().astype(np.int64)
@@ -530,59 +753,119 @@ def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig):
 
     requests = pairs_ds.map_batches(emit_requests, batch_format="pyarrow").materialize()
     n_requests = requests.count()
+    _mark("requests")
+
+    sketch_src = None
+    if sigs_ds is not None and config.est_jaccard_gate > 0:
+        num_perm = config.num_perm
+
+        def to_sketch(batch: pa.Table) -> pa.Table:
+            sig = batch["sig"].combine_chunks()
+            vals = sig.flatten().to_numpy().view(np.uint64)
+            mat = vals.astype(np.uint8).reshape(-1, num_perm)  # low byte
+            arr = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(num_perm), len(sig), [None, pa.py_buffer(mat.tobytes())]
+            )
+            return pa.table({"id": batch["id"].cast(pa.int64()), "content": arr})
+
+        sketch_src = sigs_ds.select_columns(["id", "sig"]).map_batches(
+            to_sketch, batch_format="pyarrow"
+        )
+
+    def _normalize_arrow(t):
+        if isinstance(t, pa.Table):
+            return t if t.num_rows else None
+        return pa.Table.from_pandas(t, preserve_index=False) if len(t) else None
 
     if n_requests <= 20_000_000:
         # assignment map fits as two int vectors (16 bytes/row): broadcast
-        # it and fan content out locally — no join at all
-        req_tbl = pa.concat_tables(
-            [t for t in ray.get(requests.to_arrow_refs()) if t.num_rows]
-        )
-        ids = req_tbl["id"].to_numpy().astype(np.int64)
-        ps = req_tbl["p"].to_numpy().astype(np.int64)
-        order = np.lexsort((ps, ids))  # id-sorted for searchsorted fan-out
-        ids, ps = ids[order], ps[order]
-        keep = np.r_[True, (ids[1:] != ids[:-1]) | (ps[1:] != ps[:-1])]
-        req_ref = ray.put((ids[keep], ps[keep]))
-
-        def fan_out(batch: pa.Table) -> pa.Table:
-            rid, rp = ray.get(req_ref)
-            ids_b = batch["id"].to_numpy().astype(np.int64)
-            lo = np.searchsorted(rid, ids_b, side="left")
-            hi = np.searchsorted(rid, ids_b, side="right")
-            counts = hi - lo
-            take = np.flatnonzero(counts > 0)
-            if take.size == 0:
-                return pa.table(
-                    {
-                        "id": pa.array([], pa.int64()),
-                        "p": pa.array([], pa.int64()),
-                        "content": pa.array([], pa.string()),
-                    }
-                )
-            row_idx = np.repeat(take, counts[take])
-            req_idx = np.concatenate(
-                [np.arange(lo[i], hi[i]) for i in take.tolist()]
+        # it and fan rows out locally — no join at all
+        req_blocks = [
+            t
+            for t in (
+                _normalize_arrow(b) for b in ray.get(requests.to_arrow_refs())
             )
-            return pa.table(
-                {
-                    "id": batch["id"].take(pa.array(row_idx, pa.int64())).cast(pa.int64()),
-                    "p": pa.array(rp[req_idx], pa.int64()),
-                    "content": batch["content"].take(pa.array(row_idx, pa.int64())),
-                }
+            if t is not None
+        ]
+        if req_blocks:
+            req_tbl = pa.concat_tables(req_blocks)
+            ids = req_tbl["id"].to_numpy().astype(np.int64)
+            ps = req_tbl["p"].to_numpy().astype(np.int64)
+            order = np.lexsort((ps, ids))  # id-sorted for searchsorted fan-out
+            ids, ps = ids[order], ps[order]
+            keep = np.r_[True, (ids[1:] != ids[:-1]) | (ps[1:] != ps[:-1])]
+            req_ref = ray.put((ids[keep], ps[keep]))
+        else:
+            req_ref = ray.put(
+                (np.empty(0, np.int64), np.empty(0, np.int64))
             )
 
-        assigned = content_ds.select_columns(["id", "content"]).map_batches(
-            fan_out, batch_format="pyarrow"
+        # Raw-task all-Arrow hash exchange. The Dataset-native co-group
+        # (tagged union → groupby(p).map_groups) is semantically identical
+        # but its sort-based shuffle converts the string-heavy union to
+        # pandas object blocks — measured 25-50x the CPU of the verify
+        # kernels themselves at 120k rows, while broadcast mode ran the
+        # same pairs in 3 s. This is the one place the engine drops to
+        # ray.remote: a two-sided exchange whose reduce input must stay
+        # zero-copy Arrow. Partitioning assumption: pairs land on
+        # p = hash(a, b); every content/sketch row is replicated to each
+        # requesting partition (one copy per partition, never broadcast).
+        import ray.data as rd
+
+        use_sketch = sketch_src is not None
+        num_perm = config.num_perm
+        split_pairs = ray.remote(num_returns=P)(_split_pairs_for_exchange)
+        split_vals = ray.remote(num_returns=P)(_split_values_for_exchange)
+        verify_part = ray.remote(_verify_exchange_partition)
+
+        pair_shards = [
+            split_pairs.remote(r, P) for r in pairs_ds.to_arrow_refs()
+        ]
+        content_src = content_ds.materialize()
+        content_shards = [
+            split_vals.remote(r, P, req_ref, False, 0)
+            for r in content_src.to_arrow_refs()
+        ]
+        sketch_shards = (
+            [
+                split_vals.remote(r, P, req_ref, True, num_perm)
+                for r in sigs_ds.materialize().to_arrow_refs()
+            ]
+            if use_sketch
+            else []
         )
+        _mark("exchange_map")
+        out_refs = [
+            verify_part.remote(
+                config,
+                token,
+                [shard[i] for shard in pair_shards],
+                [shard[i] for shard in content_shards],
+                [shard[i] for shard in sketch_shards],
+            )
+            for i in range(P)
+        ]
+        out = rd.from_arrow_refs(out_refs)
+        if _trace:
+            out = out.materialize()
+            _mark("exchange_reduce+verify")
+        return out
     else:
         # assignment map too large to broadcast: integer-keyed join ships
-        # each content row to its partitions (content still moves once)
+        # each row to its partitions (content still moves once)
         np_parts = max(2, min(config.num_join_partitions, cpus))
         assigned = requests.join(
             content_ds.select_columns(["id", "content"]),
             join_type="inner",
             num_partitions=np_parts,
             on=("id",),
+        )
+        assigned_sk = (
+            requests.join(
+                sketch_src, join_type="inner", num_partitions=np_parts, on=("id",)
+            )
+            if sketch_src is not None
+            else None
         )
 
     def tag_pairs(batch: pa.Table) -> pa.Table:
@@ -597,24 +880,43 @@ def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig):
                 "b": pa.array(b, pa.int64()),
                 "id": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
                 "content": pa.nulls(n, pa.string()),
+                "sig": pa.nulls(n, pa.large_binary()),
             }
         )
 
-    def tag_content(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "p": batch["p"].cast(pa.int64()),
-                "tag": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
-                "a": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
-                "b": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
-                "id": batch["id"].cast(pa.int64()),
-                "content": batch["content"],
-            }
-        )
+    def make_tag_rows(tag_val: int, as_sig: bool):
+        def tag_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            payload = batch["content"]
+            return pa.table(
+                {
+                    "p": batch["p"].cast(pa.int64()),
+                    "tag": pa.array(np.full(n, tag_val, dtype=np.int8), pa.int8()),
+                    "a": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                    "b": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                    "id": batch["id"].cast(pa.int64()),
+                    "content": pa.nulls(n, pa.string())
+                    if as_sig
+                    else payload.cast(pa.string()),
+                    "sig": payload.cast(pa.large_binary())
+                    if as_sig
+                    else pa.nulls(n, pa.large_binary()),
+                }
+            )
+
+        return tag_rows
 
     tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
-        assigned.map_batches(tag_content, batch_format="pyarrow")
+        assigned.map_batches(make_tag_rows(1, False), batch_format="pyarrow")
     )
+    if assigned_sk is not None:
+        tagged = tagged.union(
+            assigned_sk.map_batches(make_tag_rows(2, True), batch_format="pyarrow")
+        )
+    _mark("plan_tail")
     fn = functools.partial(_verify_group, config=config, token=token)
-    return tagged.groupby("p").map_groups(fn, batch_format="pyarrow")
+    out = tagged.groupby("p").map_groups(fn, batch_format="pyarrow")
+    if _trace:
+        out = out.materialize()
+        _mark("cogroup+verify")
+    return out
