@@ -155,3 +155,86 @@ def test_components_distributed_raises_without_fixpoint(ray_session):
     edges = pd.DataFrame({"a": np.arange(n - 1), "b": np.arange(1, n)})
     with pytest.raises(RuntimeError, match="fixpoint"):
         components_distributed(rd.from_pandas(edges), max_rounds=1)
+
+
+def test_exchange_split_primitives_roundtrip():
+    """The raw-task exchange's split/slice primitives: every pair lands in
+    the partition hash(a,b) says; every requested (id, p) delivery appears
+    exactly once; unrequested rows ship nowhere."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fuzzysearch_ray.stages.verify import (
+        _pair_partition,
+        _slice_by_part,
+        _split_pairs_for_exchange,
+        _split_values_for_exchange,
+    )
+
+    rng = np.random.default_rng(3)
+    P = 8
+    a = rng.integers(0, 500, 300).astype(np.int64)
+    b = a + 1 + rng.integers(0, 50, 300).astype(np.int64)
+    pairs_tbl = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    parts = _split_pairs_for_exchange(pairs_tbl, P)
+    assert len(parts) == P
+    got = []
+    for p_idx, t in enumerate(parts):
+        pa_np = t["a"].to_numpy()
+        pb_np = t["b"].to_numpy()
+        assert (_pair_partition(pa_np, pb_np, P) == p_idx).all()
+        got.extend(zip(pa_np.tolist(), pb_np.tolist()))
+    assert sorted(got) == sorted(zip(a.tolist(), b.tolist()))
+
+    # content fan-out: request (id, p) assignments, sorted by id then p
+    ids = np.arange(0, 600, dtype=np.int64)
+    texts = pa.array(["doc-%d" % i for i in ids], pa.string())
+    content_tbl = pa.table({"id": pa.array(ids), "content": texts})
+    req_ids = np.concatenate([a, b])
+    req_ps = np.concatenate(
+        [_pair_partition(a, b, P), _pair_partition(a, b, P)]
+    )
+    order = np.lexsort((req_ps, req_ids))
+    rid, rp = req_ids[order], req_ps[order]
+    keep = np.r_[True, (rid[1:] != rid[:-1]) | (rp[1:] != rp[:-1])]
+    rid, rp = rid[keep], rp[keep]
+    shards = _split_values_for_exchange(content_tbl, P, (rid, rp), False, 0)
+    delivered = set()
+    for p_idx, t in enumerate(shards):
+        for i, c in zip(t["id"].to_pylist(), t["content"].to_pylist()):
+            assert c == "doc-%d" % i
+            key = (i, p_idx)
+            assert key not in delivered  # exactly-once per (id, partition)
+            delivered.add(key)
+    assert delivered == set(zip(rid.tolist(), rp.tolist()))
+
+    # empty-slice safety
+    empty = _slice_by_part(pairs_tbl.slice(0, 0), np.empty(0, np.int64), P)
+    assert len(empty) == P and all(t.num_rows == 0 for t in empty)
+
+
+def test_exchange_partition_raises_on_missing_content(ray_session):
+    """A partition whose pairs reference an undelivered id must fail loudly
+    (silent misses would verify the wrong content)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray
+
+    from fuzzysearch_ray.config import DedupConfig
+    from fuzzysearch_ray.stages.verify import _verify_exchange_partition
+
+    pairs = pa.table(
+        {"a": pa.array([1], pa.int64()), "b": pa.array([2], pa.int64())}
+    )
+    content = pa.table(
+        {"id": pa.array([1], pa.int64()), "content": pa.array(["x"], pa.string())}
+    )
+    with _pytest.raises(KeyError):
+        _verify_exchange_partition(
+            DedupConfig(),
+            "tok-missing",
+            [ray.put(pairs)],
+            [ray.put(content)],
+            [],
+        )
