@@ -25,18 +25,31 @@ def exact_dedup(ds_with_hash, num_partitions: int = 32):
     ``rep_id == id`` marks the representative row.
     """
 
+    schema_names = ds_with_hash.schema().names if ds_with_hash.schema() else []
+    int_keys = "sha_int" in schema_names and "sha_int2" in schema_names
+
     def add_part(batch: pa.Table) -> pa.Table:
-        if "sha_int" in batch.column_names:
-            # preprocess already banked the digest prefix as int64 —
-            # partitioning is a vectorized unsigned modulo, no hex parsing
+        if int_keys:
+            # preprocess banked the first 16 digest bytes as two int64s:
+            # the exchange stays integer-only (the 64-char hex string used
+            # to ride this shuffle, and Ray's sort converts string blocks
+            # to pandas object arrays — see BASELINE.md negative results).
+            # 128 bits of sha256 keep group collisions at ~2^-128.
             part = (
                 batch["sha_int"].to_numpy().view(np.uint64) % num_partitions
             ).astype(np.int64)
-        else:
-            part = np.array(
-                [int(h[:8], 16) % num_partitions for h in batch["sha256"].to_pylist()],
-                dtype=np.int64,
+            return pa.table(
+                {
+                    "id": batch["id"],
+                    "h1": batch["sha_int"].cast(pa.int64()),
+                    "h2": batch["sha_int2"].cast(pa.int64()),
+                    "part": pa.array(part, pa.int64()),
+                }
             )
+        part = np.array(
+            [int(h[:8], 16) % num_partitions for h in batch["sha256"].to_pylist()],
+            dtype=np.int64,
+        )
         return pa.table(
             {
                 "id": batch["id"],
@@ -46,7 +59,8 @@ def exact_dedup(ds_with_hash, num_partitions: int = 32):
         )
 
     def resolve(block: pd.DataFrame) -> pd.DataFrame:
-        rep = block.groupby("sha256")["id"].transform("min")
+        key = ["h1", "h2"] if int_keys else "sha256"
+        rep = block.groupby(key)["id"].transform("min")
         return pd.DataFrame(
             {
                 "id": block["id"].to_numpy().astype(np.int64),
@@ -54,10 +68,7 @@ def exact_dedup(ds_with_hash, num_partitions: int = 32):
             }
         )
 
-    cols = ["id", "sha256"]
-    schema_names = ds_with_hash.schema().names if ds_with_hash.schema() else []
-    if "sha_int" in schema_names:
-        cols.append("sha_int")
+    cols = ["id", "sha_int", "sha_int2"] if int_keys else ["id", "sha256"]
     return (
         ds_with_hash.select_columns(cols)
         .map_batches(add_part, batch_format="pyarrow")

@@ -32,6 +32,10 @@ def add_content_hash(batch: pa.Table) -> pa.Table:
         sha_int = pa.array(
             [None if h is None else _hex_prefix_i64(h) for h in hexes], pa.int64()
         )
+        sha_int2 = pa.array(
+            [None if h is None else _hex_prefix_i64(h[16:]) for h in hexes],
+            pa.int64(),
+        )
         n_bytes = pc.cast(
             pc.binary_length(pc.cast(contents, pa.large_binary())), pa.int64()
         )
@@ -44,16 +48,20 @@ def add_content_hash(batch: pa.Table) -> pa.Table:
         sha256 = hashlib.sha256
         digests = [sha256(mv[off[i] : off[i + 1]]).digest() for i in range(n)]
         hashes = pa.array([d.hex() for d in digests], pa.string())
-        # first 8 digest bytes as one int64 — the exact-dedup partition key
-        # (downstream shuffles never re-parse the hex string)
-        prefix = np.frombuffer(
-            b"".join(d[:8] for d in digests), dtype=">u8"
-        ).astype(np.uint64).view(np.int64)
-        sha_int = pa.array(prefix, pa.int64())
+        # first 16 digest bytes as two int64s — the exact-dedup partition
+        # AND equality keys (downstream shuffles never touch the hex
+        # string; 128 bits of sha256 make group collisions ~2^-128, the
+        # same class of guarantee as the full digest)
+        both = np.frombuffer(
+            b"".join(d[:16] for d in digests), dtype=">u8"
+        ).astype(np.uint64).view(np.int64).reshape(-1, 2)
+        sha_int = pa.array(both[:, 0].copy(), pa.int64())
+        sha_int2 = pa.array(both[:, 1].copy(), pa.int64())
         n_bytes = pa.array(np.diff(off), pa.int64())
     out = batch
     out = out.append_column("sha256", hashes)
     out = out.append_column("sha_int", sha_int)
+    out = out.append_column("sha_int2", sha_int2)
     out = out.append_column("n_bytes", n_bytes)
     return out
 
