@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_bigram_fraction": Q.q_dup_bigram_fraction,
         "source_overlap": Q.q_source_overlap,
         "bpe_pair_counts": Q.q_bpe_pair_counts,
+        "chunk_dedup_groups": Q.q_chunk_dedup_groups,
+        "unigram_logprob": Q.q_unigram_logprob,
         # training-batch preparation
         "pack_sequences": Q.q_pack_sequences,
         "doc_chunks": Q.q_doc_chunks,
@@ -591,6 +593,32 @@ def oracle_sql() -> dict[str, str]:
             "WHERE length(w) >= 2) "
             "SELECT pair, CAST(SUM(c) AS BIGINT) AS n FROM p GROUP BY pair "
             "ORDER BY n DESC, pair LIMIT 30"
+        ),
+        "chunk_dedup_groups": (
+            # 32-token non-overlapping windows; groups with > 1 occurrence;
+            # rep = lexicographic min (doc_id, chunk_idx) via a packed key
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+') AS ts FROM documents), "
+            "c AS (SELECT doc_id, CAST(i.i AS BIGINT) AS w, "
+            "array_to_string(list_slice(ts, CAST(i.i*32+1 AS INTEGER), "
+            "CAST(i.i*32+32 AS INTEGER)), ' ') AS chunk "
+            "FROM t, LATERAL (SELECT unnest(generate_series(0, "
+            "CAST((len(ts)-1) // 32 AS BIGINT))) AS i) i WHERE len(ts) > 0), "
+            "g AS (SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_members, "
+            "MIN(doc_id * 1048576 + w) AS k FROM c GROUP BY chunk "
+            "HAVING COUNT(*) > 1) "
+            "SELECT CAST(k // 1048576 AS BIGINT) AS rep_doc_id, "
+            "CAST(k % 1048576 AS BIGINT) AS rep_chunk_idx, n_members FROM g"
+        ),
+        "unigram_logprob": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w "
+            "FROM documents), "
+            "freq AS (SELECT w, COUNT(*)::DOUBLE AS c FROM toks GROUP BY w), "
+            "tot AS (SELECT SUM(c) AS t FROM freq) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "ROUND(AVG(-ln(c / (SELECT t FROM tot))), 4) AS logprob_r "
+            "FROM toks JOIN freq USING (w) GROUP BY doc_id"
         ),
         "docs_by_lang": (
             "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "

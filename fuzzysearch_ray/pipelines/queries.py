@@ -1966,3 +1966,160 @@ def q_bpe_pair_counts(sf_dir: str, k: int = 30):
     agg["pair"] = [chr(int(c) >> 8) + chr(int(c) & 255) for c in agg["pair_code"]]
     agg = agg.sort_values(["n", "pair"], ascending=[False, True], ignore_index=True)
     return agg.head(k)[["pair", "n"]].reset_index(drop=True)
+
+
+_PACK = 1 << 20  # chunk_idx < 2^20; doc_id * _PACK + w stays in int64
+
+
+def q_chunk_dedup_groups(sf_dir: str, window: int = 32):
+    """Window-level exact dedup (the paragraph-dedup analog for this
+    corpus): split each doc into non-overlapping ``window``-token chunks,
+    group identical chunks corpus-wide, and report every group with > 1
+    occurrence as (rep_doc_id, rep_chunk_idx, n_members), rep = lexic. min
+    (doc_id, chunk_idx). Chunk content never shuffles: each chunk is
+    reduced to one int64 splitmix chain over per-token siphashes
+    (pd.util.hash_array) — collisions ~2^-64/pair, fine for group COUNT
+    parity at gate scale; a 100 TB run would widen to 128 bits."""
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.hashing import _splitmix64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        toks = pc.split_pattern_regex(
+            batch["text"], "[ \t\n\r\f\v]+"
+        ).combine_chunks()
+        counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        vals = toks.flatten().to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        nonempty = np.array([len(v) > 0 for v in vals], dtype=bool)
+        if not nonempty.all():
+            vals = vals[nonempty]
+            doc_idx = doc_idx[nonempty]
+            counts = np.bincount(doc_idx, minlength=len(ids)).astype(np.int64)
+        if not len(vals):
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "packed": pa.array([], pa.int64()),
+                }
+            )
+        th = pd.util.hash_array(vals.astype(object)).astype(np.uint64)
+        # windows: doc-local token positions
+        starts_per_doc = (counts + window - 1) // window
+        n_chunks = int(starts_per_doc.sum())
+        chunk_doc = np.repeat(np.arange(len(ids)), starts_per_doc)
+        chunk_w = np.concatenate(
+            [np.arange(s) for s in starts_per_doc.tolist()]
+        ) if n_chunks else np.empty(0, np.int64)
+        doc_off = np.concatenate([[0], np.cumsum(counts)])
+        base = doc_off[chunk_doc] + chunk_w * window
+        end = np.minimum(base + window, doc_off[chunk_doc + 1])
+        # splitmix chain over up to `window` token hashes, vectorized over
+        # all chunks (window sequential steps, each a full-width numpy op)
+        h = np.full(n_chunks, np.uint64(0x9E37), dtype=np.uint64)
+        for j in range(window):
+            pos = base + j
+            live = pos < end
+            if not live.any():
+                break
+            hj = np.where(live, th[np.minimum(pos, len(th) - 1)], np.uint64(0))
+            h = np.where(live, _splitmix64(h ^ hj), h)
+        packed = ids[chunk_doc] * _PACK + chunk_w
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "packed": pa.array(packed.astype(np.int64), pa.int64()),
+            }
+        )
+
+    grouped = (
+        ds.map_batches(chunk_hashes, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Count(alias_name="n_members"), Min("packed", alias_name="rep"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["n_members"], 1))
+        rep = t["rep"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "rep_doc_id": pa.array(rep // _PACK, pa.int64()),
+                "rep_chunk_idx": pa.array(rep % _PACK, pa.int64()),
+                "n_members": t["n_members"].cast(pa.int64()),
+            }
+        )
+
+    out = grouped.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return out.sort_values(
+        ["rep_doc_id", "rep_chunk_idx", "n_members"], ignore_index=True
+    )
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Unigram-LM quality score — the integer-free proxy for perplexity
+    filtering: score(doc) = mean over tokens of -ln(corpus unigram prob).
+    Pass 1 is the top_terms-style combiner aggregate (one row per distinct
+    term per batch crosses the wire); the frequency table is ray.put
+    broadcast for pass 2's stateless vectorized scoring (factorize +
+    lookup per batch, np.bincount per doc)."""
+    import ray
+    import re
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pat = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms = []
+        for t in batch["text"].to_pylist():
+            terms.extend(pat.findall(t.lower()))
+        uniq, cnt = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(uniq.astype(str), pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    freq = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()
+    )
+    total = float(freq["n"].sum())
+    logp = dict(zip(freq["term"], np.log(freq["n"].to_numpy() / total)))
+    ref = ray.put(logp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp = ray.get(ref)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        all_toks = []
+        counts = np.zeros(len(ids), np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            ts = pat.findall(t.lower())
+            counts[i] = len(ts)
+            all_toks.extend(ts)
+        if all_toks:
+            didx = np.repeat(np.arange(len(ids)), counts)
+            codes, uniques = pd.factorize(np.asarray(all_toks, dtype=object))
+            lpv = np.array([lp[u] for u in uniques], np.float64)
+            sums = np.bincount(didx, weights=-lpv[codes], minlength=len(ids))
+        else:
+            sums = np.zeros(len(ids), np.float64)
+        mask = counts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[mask], pa.int64()),
+                "n_tokens": pa.array(counts[mask], pa.int64()),
+                "logprob_r": pa.array(
+                    round_half_up(sums[mask] / counts[mask], 4), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -384,3 +384,67 @@ def test_bpe_pair_counts_matches_counter_bruteforce(tmp_path):
             pc_[w[i : i + 2]] += c
     want = sorted(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(out["pair"], out["n"])) == want
+
+
+def test_chunk_dedup_groups_matches_counter_bruteforce(tmp_path):
+    from collections import Counter
+
+    from fuzzysearch_ray.pipelines.queries import q_chunk_dedup_groups
+
+    rng = np.random.default_rng(21)
+    vocab = ["a", "b", "c"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 90))))
+        for _ in range(120)
+    ] + ["", "a b c", ("x " * 64).strip()]  # repeated chunk inside one doc
+    window = 8
+    out = q_chunk_dedup_groups(_docs_dir(tmp_path, texts), window=window)
+    chunks = Counter()
+    first = {}
+    for doc_id, t in enumerate(texts):
+        toks = t.split()
+        for w in range((len(toks) + window - 1) // window):
+            c = " ".join(toks[w * window : (w + 1) * window])
+            chunks[c] += 1
+            first.setdefault(c, (doc_id, w))
+    want = sorted(
+        (first[c][0], first[c][1], n) for c, n in chunks.items() if n > 1
+    )
+    got = sorted(
+        zip(out["rep_doc_id"], out["rep_chunk_idx"], out["n_members"])
+    )
+    assert got == want
+
+
+def test_unigram_logprob_matches_bruteforce(tmp_path):
+    import math
+    import re
+    from collections import Counter
+
+    from fuzzysearch_ray.pipelines.queries import q_unigram_logprob
+
+    rng = np.random.default_rng(23)
+    vocab = ["alpha", "beta", "gg", "x9"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        for _ in range(100)
+    ] + ["", "!!!"]
+    out = (
+        q_unigram_logprob(_docs_dir(tmp_path, texts))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    freq = Counter()
+    pat = re.compile(r"[a-z0-9]+")
+    docs = {i: pat.findall(t.lower()) for i, t in enumerate(texts)}
+    for ts in docs.values():
+        freq.update(ts)
+    total = sum(freq.values())
+    for i, ts in docs.items():
+        if not ts:
+            assert i not in out.index
+            continue
+        want = sum(-math.log(freq[w] / total) for w in ts) / len(ts)
+        row = out.loc[i]
+        assert row["n_tokens"] == len(ts)
+        assert abs(row["logprob_r"] - want) < 5e-5
