@@ -118,6 +118,9 @@ def run_bench() -> dict:
     timed("decontaminate_docs", lambda: Q.q_decontaminate_docs(SF_DIR))
     timed("semantic_dup_pairs", lambda: Q.q_semantic_dup_pairs(SF_DIR))
     timed("long_run_pairs", lambda: Q.q_long_run_pairs(SF_DIR))
+    timed("gopher_quality_flags", lambda: Q.q_gopher_quality_flags(SF_DIR))
+    timed("bpe_pair_counts", lambda: Q.q_bpe_pair_counts(SF_DIR))
+    timed("chunk_dedup_groups", lambda: Q.q_chunk_dedup_groups(SF_DIR))
 
     # headline: flagship dedup over the synthetic source-code corpus
     t0 = time.time()
