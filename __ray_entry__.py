@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": Q.q_events_hopping,
         "user_sessions": Q.q_user_sessions,
         "asof_click_attribution": Q.q_asof_click_attribution,
+        "range_join_orders": Q.q_range_join_orders,
         "fuzzy_join_parts": Q.q_fuzzy_join_parts,
         "stratified_sample": Q.q_stratified_sample,
         "lineitem_pricing": Q.q_lineitem_pricing,
@@ -627,6 +628,18 @@ def oracle_sql() -> dict[str, str]:
         "top_longest_docs": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "range_join_orders": (
+            # non-equi interval join: overlapping 90-day windows every 60
+            # days from 1996-01-01; inner semantics (empty windows absent)
+            "WITH w AS (SELECT CAST(k AS BIGINT) AS window_id, "
+            "DATE '1996-01-01' + CAST(k*60 AS INTEGER) AS lo, "
+            "DATE '1996-01-01' + CAST(k*60+90 AS INTEGER) AS hi "
+            "FROM (SELECT unnest(generate_series(0, 40)) AS k)) "
+            "SELECT w.window_id, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "ROUND(SUM(o.o_totalprice), 2) AS sum_total "
+            "FROM orders o JOIN w ON o.o_orderdate >= w.lo "
+            "AND o.o_orderdate < w.hi GROUP BY w.window_id"
         ),
         "events_hourly": (
             "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, "

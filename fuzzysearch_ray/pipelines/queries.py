@@ -2123,3 +2123,59 @@ def q_unigram_logprob(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_range_join_orders(sf_dir: str, start: str = "1996-01-01", step: int = 60,
+                        width: int = 90, n_windows: int = 41):
+    """Range (interval) join — the non-equi join the Dataset API lacks,
+    expressed Ray-Data-first: per overlapping calendar window
+    [start + k*step, start + k*step + width), count orders and sum their
+    totalprice. The window table is tiny and rides in the task closure
+    (broadcast side); each batch evaluates interval membership vectorized
+    (one boolean mask per window over the date int vector) and emits
+    per-window PARTIALS, so the only exchange is a #windows-row groupby.
+    At 100 TB with many windows the same shape buckets rows by coarse
+    time and replicates only overlapping windows per bucket. Windows with
+    no orders are absent (inner-join semantics)."""
+    import datetime
+
+    from ray.data.aggregate import Sum
+
+    epoch = datetime.date(1970, 1, 1)
+    base = (datetime.date.fromisoformat(start) - epoch).days
+    lo = base + step * np.arange(n_windows, dtype=np.int64)
+    hi = lo + width
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].cast(pa.date32()).to_numpy().astype(
+            "datetime64[D]"
+        ).astype(np.int64)
+        price = batch["o_totalprice"].to_numpy().astype(np.float64)
+        wid, n, s = [], [], []
+        for k in range(n_windows):
+            m = (d >= lo[k]) & (d < hi[k])
+            c = int(m.sum())
+            if c:
+                wid.append(k)
+                n.append(c)
+                s.append(float(price[m].sum()))
+        return pa.table(
+            {
+                "window_id": pa.array(wid, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_id")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    out["sum_total"] = round_half_up(out["s"].to_numpy(), 2)
+    out = out.drop(columns=["s"])
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("window_id", ignore_index=True)

@@ -190,3 +190,44 @@ def test_fuzzy_join_single_and_empty(tmp_path):
     got = q_fuzzy_join_parts(str(tmp_path), k=2)
     assert len(got) == 0
     assert list(got.columns) == ["a", "b", "dist"]
+
+
+def test_range_join_orders_matches_bruteforce(tmp_path):
+    """Interval membership, overlap (a date can land in two windows), and
+    inner semantics against a per-order Python sweep."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fuzzysearch_ray.pipelines.queries import q_range_join_orders
+
+    rng = np.random.default_rng(31)
+    epoch = datetime.date(1970, 1, 1)
+    base = datetime.date(1996, 1, 1)
+    dates = [base + datetime.timedelta(days=int(d)) for d in rng.integers(0, 900, 400)]
+    prices = np.round(rng.uniform(10, 1000, 400), 2)
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(400), pa.int64()),
+            "o_orderdate": pa.array(dates, pa.date32()),
+            "o_totalprice": pa.array(prices, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    out = q_range_join_orders(str(tmp_path))
+    want = {}
+    b = (base - epoch).days
+    for d, p in zip(dates, prices):
+        di = (d - epoch).days
+        for k in range(41):
+            lo = b + 60 * k
+            if lo <= di < lo + 90:
+                n, s = want.get(k, (0, 0.0))
+                want[k] = (n + 1, s + p)
+    got = {int(r.window_id): (int(r.n_orders), float(r.sum_total)) for r in out.itertuples()}
+    assert set(got) == set(want)
+    for k, (n, s) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - s) < 0.01
