@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": Q.q_user_sessions,
         "asof_click_attribution": Q.q_asof_click_attribution,
         "range_join_orders": Q.q_range_join_orders,
+        "hll_distinct_registers": Q.q_hll_distinct_registers,
         "fuzzy_join_parts": Q.q_fuzzy_join_parts,
         "stratified_sample": Q.q_stratified_sample,
         "lineitem_pricing": Q.q_lineitem_pricing,
@@ -628,6 +629,21 @@ def oracle_sql() -> dict[str, str]:
         "top_longest_docs": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "hll_distinct_registers": (
+            # bit-identical md5-based HLL registers (p=8): bucket = top 8
+            # hash bits, rho = leading-zero rank of the low 56; bin() gives
+            # exact integer bit length (no float log)
+            "WITH toks AS (SELECT DISTINCT "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w "
+            "FROM documents), "
+            "h AS (SELECT ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM toks), "
+            "r AS (SELECT CAST(hv >> 56 AS BIGINT) AS bucket, "
+            "CASE WHEN (hv & ((1::UBIGINT << 56) - 1)) = 0 THEN 57 "
+            "ELSE 56 - length(bin((hv & ((1::UBIGINT << 56) - 1))::UBIGINT)) + 1 "
+            "END AS rho FROM h) "
+            "SELECT bucket, CAST(MAX(rho) AS BIGINT) AS max_rho "
+            "FROM r GROUP BY bucket"
         ),
         "range_join_orders": (
             # non-equi interval join: overlapping 90-day windows every 60

@@ -2179,3 +2179,55 @@ def q_range_join_orders(sf_dir: str, start: str = "1996-01-01", step: int = 60,
     out = out.drop(columns=["s"])
     out["n_orders"] = out["n_orders"].astype(np.int64)
     return out.sort_values("window_id", ignore_index=True)
+
+
+def q_hll_distinct_registers(sf_dir: str, p: int = 8):
+    """Distributed HyperLogLog distinct-count sketch over corpus terms —
+    the mergeable cardinality estimator a 100 TB pipeline uses instead of
+    COUNT(DISTINCT). Each batch hashes its DISTINCT terms (md5, same basis
+    as the SQL oracle), computes (bucket = top ``p`` hash bits,
+    rho = leading-zero rank of the rest) and emits its per-bucket register
+    MAX — at most 2^p partial rows per batch regardless of batch size; one
+    2^p-row groupby-max merges the sketch. The OUTPUT is the integer
+    register table (hash-exact against the oracle); the cardinality
+    estimate is the standard harmonic-mean formula over these registers.
+    Non-empty buckets only (inner semantics)."""
+    import hashlib
+    import re
+
+    from ray.data.aggregate import Max
+
+    W = 64 - p
+    mask = (1 << W) - 1
+    ds = _read(sf_dir, "documents", ["text"])
+    pat = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for t in batch["text"].to_pylist():
+            seen.update(pat.findall(t.lower()))
+        regs: dict = {}
+        md5 = hashlib.md5
+        for w in seen:
+            h = int.from_bytes(md5(w.encode()).digest()[:8], "big")
+            b = h >> W
+            rest = h & mask
+            rho = W - rest.bit_length() + 1
+            if regs.get(b, 0) < rho:
+                regs[b] = rho
+        items = sorted(regs.items())
+        return pa.table(
+            {
+                "bucket": pa.array([k for k, _ in items], pa.int64()),
+                "max_rho": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+        .to_pandas()
+    )
+    out["max_rho"] = out["max_rho"].astype(np.int64)
+    return out.sort_values("bucket", ignore_index=True)

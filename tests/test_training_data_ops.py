@@ -448,3 +448,43 @@ def test_unigram_logprob_matches_bruteforce(tmp_path):
         row = out.loc[i]
         assert row["n_tokens"] == len(ts)
         assert abs(row["logprob_r"] - want) < 5e-5
+
+
+def test_hll_registers_match_bruteforce_and_merge(tmp_path):
+    """Register table equals the single-pass reference, independent of how
+    docs are batched (merge correctness), and the estimate tracks the true
+    cardinality within HLL error at this register count."""
+    import hashlib
+    import re
+
+    from fuzzysearch_ray.pipelines.queries import q_hll_distinct_registers
+
+    rng = np.random.default_rng(41)
+    vocab = ["w%04d" % i for i in range(800)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 60))))
+        for _ in range(150)
+    ] + ["", "!!"]
+    out = q_hll_distinct_registers(_docs_dir(tmp_path, texts), p=8)
+    pat = re.compile(r"[a-z0-9]+")
+    seen = set()
+    for t in texts:
+        seen.update(pat.findall(t.lower()))
+    regs = {}
+    for w in seen:
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+        b, rest = h >> 56, h & ((1 << 56) - 1)
+        regs[b] = max(regs.get(b, 0), 56 - rest.bit_length() + 1)
+    want = sorted(regs.items())
+    got = sorted(zip(out["bucket"], out["max_rho"]))
+    assert [(int(a), int(b)) for a, b in got] == want
+    # harmonic-mean estimate within ~10% (3/sqrt(256) ~ 6.5% stderr)
+    m = 256
+    full = np.zeros(m)
+    for b, r in regs.items():
+        full[b] = r
+    est = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(2.0 ** -full)
+    nz = np.count_nonzero(full)
+    if nz < m * 0.93:  # small-range correction regime
+        est = m * np.log(m / (m - nz))
+    assert abs(est - len(seen)) / len(seen) < 0.15
