@@ -596,13 +596,19 @@ def _as_arrow_table(t):
 
 
 def _slice_by_part(tbl: pa.Table, part: np.ndarray, num_parts: int):
-    """Stable-sort ``tbl`` by the int partition vector and return one
-    zero-copy slice per partition (empty slices included)."""
+    """One COMPACT table per partition of the int partition vector.
+
+    Each partition is gathered with its own ``take`` — NOT sliced off one
+    sorted table: pickling a pa.Table slice serializes the slice's ENTIRE
+    parent buffers (measured: a 100-row slice of a 26 MB block pickles at
+    26 MB), so zero-copy slices returned from the exchange's map tasks
+    wrote num_parts× the data into the object store and pushed it into
+    disk spill (595 s vs 52 s at 480k rows). ``take`` output owns exactly
+    its rows."""
     order = np.argsort(part, kind="stable")
-    sorted_tbl = tbl.take(pa.array(order, pa.int64()))
     bounds = np.searchsorted(part[order], np.arange(num_parts + 1))
     return [
-        sorted_tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        tbl.take(pa.array(order[int(bounds[i]): int(bounds[i + 1])], pa.int64()))
         for i in range(num_parts)
     ]
 
