@@ -87,6 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_attribution": Q.q_asof_click_attribution,
         "range_join_orders": Q.q_range_join_orders,
         "hll_distinct_registers": Q.q_hll_distinct_registers,
+        "topk_per_group": Q.q_topk_per_group,
+        "rolling_user_stats": Q.q_rolling_user_stats,
+        "bm25_scores": Q.q_bm25_scores,
+        "novel_docs_bloom": Q.q_novel_docs_bloom,
         "fuzzy_join_parts": Q.q_fuzzy_join_parts,
         "stratified_sample": Q.q_stratified_sample,
         "lineitem_pricing": Q.q_lineitem_pricing,
@@ -660,6 +664,58 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": (
             "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, "
             "COUNT(*) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "topk_per_group": (
+            # integer-only ranking (n_chars desc, doc_id asc) — rank never
+            # ties, so row_number is deterministic on both engines
+            "SELECT lang, source, doc_id, n_chars, "
+            "CAST(row_number() OVER (PARTITION BY lang, source "
+            "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk "
+            "FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY lang, source "
+            "ORDER BY n_chars DESC, doc_id) <= 3"
+        ),
+        "rolling_user_stats": (
+            # per-user 3-event rolling sum in exact integer cents; the
+            # (ts, event_id) order key is total (event_id unique)
+            "SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+            "AS roll_sum_cents, "
+            "CAST(COUNT(*) OVER w AS BIGINT) AS roll_n "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        ),
+        "bm25_scores": (
+            # Okapi BM25 (k1=1.2, b=0.75) against the fixed query-term set;
+            # inner semantics (docs with no query term absent); the float
+            # sum is emitted rounded, never ranked on
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl "
+            "FROM toks GROUP BY 1), "
+            "q(term) AS (VALUES "
+            + ", ".join("('%s')" % t for t in Q.BM25_QUERY_TERMS)
+            + "), "
+            "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM toks JOIN q USING (term) GROUP BY 1, 2), "
+            "df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+            "s AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n, "
+            "(SELECT CAST(SUM(dl) AS DOUBLE) FROM dl) AS total) "
+            "SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_query_terms, "
+            "ROUND(SUM(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1) "
+            "* tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 "
+            "+ 0.75 * dl.dl / (s.total / s.n)))), 4) AS bm25_r "
+            "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), s "
+            "GROUP BY tf.doc_id"
+        ),
+        "novel_docs_bloom": (
+            # exact anti-join semantics: the Bloom filter on the Ray side is
+            # a prefilter only (no false negatives; positives are confirmed
+            # against the true history hash set)
+            "SELECT d.doc_id FROM documents d WHERE d.doc_id % 2 = 1 "
+            "AND NOT EXISTS (SELECT 1 FROM documents r "
+            "WHERE r.doc_id % 2 = 0 AND md5(r.text) = md5(d.text))"
         ),
         "top_terms": (
             "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), "

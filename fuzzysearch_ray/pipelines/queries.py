@@ -2231,3 +2231,312 @@ def q_hll_distinct_registers(sf_dir: str, p: int = 8):
     )
     out["max_rho"] = out["max_rho"].astype(np.int64)
     return out.sort_values("bucket", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# Group-wise top-k / ordered windows / BM25 / bloom anti-join
+# --------------------------------------------------------------------------
+
+def q_topk_per_group(sf_dir: str, k: int = 3):
+    """Top-k documents per (lang, source) by length — the group-wise top-k
+    operator (pick the k best examples per stratum), distributed with a
+    COMBINER: each batch keeps only its local per-group top-k before the
+    shuffle, so the wide exchange carries at most k rows per group per
+    block regardless of corpus size. The final per-group selection runs in
+    an integer-keyed groupby (group key hashed to a part id; strings never
+    drive the sort shuffle — see the sort-shuffle gotcha in BASELINE.md).
+
+    Ranking is integer-only (n_chars desc, doc_id asc), so the SQL oracle's
+    row_number agrees exactly."""
+    P = 32
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    def local_topk(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.sort_values(
+            ["lang", "source", "n_chars", "doc_id"],
+            ascending=[True, True, False, True],
+            ignore_index=True,
+        )
+        return block.groupby(["lang", "source"], as_index=False).head(k)
+
+    def add_part(block: pd.DataFrame) -> pd.DataFrame:
+        key = block["lang"].str.cat(block["source"], sep="\x1f")
+        h = pd.util.hash_array(key.to_numpy(dtype=object)).astype(np.int64)
+        return block.assign(part=h & (P - 1))
+
+    def final_topk(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.sort_values(
+            ["lang", "source", "n_chars", "doc_id"],
+            ascending=[True, True, False, True],
+            ignore_index=True,
+        )
+        out = block.groupby(["lang", "source"], as_index=False).head(k).copy()
+        out["rnk"] = (
+            out.groupby(["lang", "source"]).cumcount().to_numpy().astype(np.int64)
+            + 1
+        )
+        return out[["lang", "source", "doc_id", "n_chars", "rnk"]]
+
+    df = (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "lang": pd.Series(dtype="object"),
+                "source": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "n_chars": pd.Series(dtype="int64"),
+                "rnk": pd.Series(dtype="int64"),
+            }
+        )
+    for c in ("doc_id", "n_chars", "rnk"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["lang", "source", "rnk"], ignore_index=True)
+
+
+def q_rolling_user_stats(sf_dir: str, window: int = 3):
+    """Per-user rolling-window aggregate over the ordered event stream
+    (sum of the last ``window`` values, exact integer cents) — the moving-
+    average operator of a feature pipeline. ONE integer-keyed shuffle
+    (hash-partition by user_id), then every partition computes ALL its
+    users' windows with pandas' C-level grouped rolling — no per-user
+    Python, no per-row loop. Same partitioning invariant as
+    q_user_sessions: one user's events fit in one partition."""
+    P = 32
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pc.cast(pc.bit_wise_and(t["user_id"], P - 1), pa.int64())
+        )
+
+    def roll(block: pd.DataFrame) -> pd.DataFrame:
+        df = block.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        cents = (df["value"] * 100).round().astype("int64")
+        g = cents.groupby(df["user_id"])
+        roll_sum = g.rolling(window, min_periods=1).sum()
+        roll_sum = roll_sum.reset_index(level=0, drop=True).astype("int64")
+        roll_n = g.rolling(window, min_periods=1).count()
+        roll_n = roll_n.reset_index(level=0, drop=True).astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy().astype(np.int64),
+                "event_id": df["event_id"].to_numpy().astype(np.int64),
+                "ts_us": df["ts"].astype("int64").to_numpy(),
+                "roll_sum_cents": roll_sum.to_numpy(),
+                "roll_n": roll_n.to_numpy(),
+            }
+        )
+
+    df = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(roll, batch_format="pandas")
+        .to_pandas()
+    )
+    cols = ["user_id", "event_id", "ts_us", "roll_sum_cents", "roll_n"]
+    if df.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    return df.sort_values(["user_id", "ts_us", "event_id"], ignore_index=True)
+
+
+BM25_QUERY_TERMS = ("hash", "spark", "stream", "vector", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_scores(sf_dir: str):
+    """Okapi BM25 relevance of every document against a fixed query-term
+    set — the retrieval-scoring operator (quality-weighted data selection /
+    search-index bootstrapping). Two passes, no shuffle touches content:
+
+    1. corpus statistics: per-batch PARTIAL document frequencies for the
+       (broadcast-small) query terms plus token totals, reduced to one tiny
+       (term → df, N, total_tokens) map on the driver — a k+1-row reduce,
+       the classic combiner;
+    2. scoring: stateless ``map_batches`` pass computing every term's tf
+       with vectorized Arrow kernels (lower → separator-normalize → count
+       of " term "; no Python row loop), then the BM25 sum in numpy.
+
+    Docs containing none of the query terms are omitted (inner semantics).
+    Scores are emitted rounded (bm25_r); ordering/fetch stays with the
+    caller, so no float ranking crosses the engine/oracle boundary."""
+    terms = list(BM25_QUERY_TERMS)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _norm(text_col: pa.ChunkedArray):
+        low = pc.utf8_lower(text_col)
+        body = pc.replace_substring_regex(
+            low, pattern="[^a-z0-9]+", replacement="  "
+        )
+        padded = pc.binary_join_element_wise(
+            pa.scalar(" "), body, pa.scalar(" "), ""
+        )
+        return low, padded
+
+    def partial_stats(batch: pa.Table) -> pa.Table:
+        low, padded = _norm(batch["text"])
+        keys = []
+        vals = []
+        for t in terms:
+            tf = pc.count_substring(padded, " %s " % t).to_numpy()
+            keys.append("df:" + t)
+            vals.append(int((tf > 0).sum()))
+        keys.append("n_docs")
+        vals.append(batch.num_rows)
+        keys.append("n_tokens")
+        vals.append(int(pc.sum(pc.count_substring_regex(low, "[a-z0-9]+")).as_py()))
+        return pa.table(
+            {"key": pa.array(keys, pa.string()), "val": pa.array(vals, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    stats = (
+        ds.map_batches(partial_stats, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("val", alias_name="v"))
+        .to_pandas()
+    )
+    sm = dict(zip(stats["key"], stats["v"]))
+    n_docs = float(sm["n_docs"])
+    avgdl = float(sm["n_tokens"]) / n_docs
+    idf = {
+        t: np.log((n_docs - sm["df:" + t] + 0.5) / (sm["df:" + t] + 0.5) + 1.0)
+        for t in terms
+        if "df:" + t in sm
+    }
+
+    k1, b = BM25_K1, BM25_B
+
+    def score(batch: pa.Table) -> pa.Table:
+        low, padded = _norm(batch["text"])
+        dl = pc.count_substring_regex(low, "[a-z0-9]+").to_numpy().astype(np.float64)
+        denom_dl = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(batch.num_rows, dtype=np.float64)
+        nq = np.zeros(batch.num_rows, dtype=np.int64)
+        for t in terms:
+            if t not in idf:
+                continue
+            tf = pc.count_substring(padded, " %s " % t).to_numpy().astype(np.float64)
+            hit = tf > 0
+            s += np.where(hit, idf[t] * tf * (k1 + 1.0) / (tf + denom_dl), 0.0)
+            nq += hit
+        keep = nq > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy().astype(np.int64)[keep], pa.int64()
+                ),
+                "n_query_terms": pa.array(nq[keep], pa.int64()),
+                "bm25_r": pa.array(round_half_up(s[keep], 4), pa.float64()),
+            }
+        )
+
+    df = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "n_query_terms": pd.Series(dtype="int64"),
+                "bm25_r": pd.Series(dtype="float64"),
+            }
+        )
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def q_novel_docs_bloom(sf_dir: str):
+    """Anti-join dedup against a historical corpus via a Bloom prefilter —
+    "keep only documents whose exact content hash is NOT in the history".
+    History = even doc_ids, incoming = odd doc_ids (deterministic split of
+    the same table, same convention as the decontamination eval split).
+
+    The 100 TB shape (stages/bloom.py): the history's hash set is
+    summarized as a ~1.2 B/key Bloom filter, broadcast once; each incoming
+    batch probes it vectorized. A Bloom MISS is a definitive novel (no
+    false negatives), so only the ~1% false-positive-rate sliver of the
+    stream does any history lookup at all — here an integer-keyed inner
+    join against the (deduplicated) history hashes, at real scale a
+    hash-partitioned join touching ~1% of the corpus. Results are EXACT;
+    the filter only prunes."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..stages.bloom import build_from_datasets_column
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hash64(batch: pa.Table) -> pa.Table:
+        hs = np.fromiter(
+            (
+                int.from_bytes(bytes.fromhex(md5_hex(t)[:16]), "big") - (1 << 63)
+                for t in batch["text"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"].cast(pa.int64()), "h": pa.array(hs, pa.int64())}
+        )
+
+    def parity_filter(rem: int):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(pc.bit_wise_and(batch["doc_id"], 1), rem)
+            return batch.filter(mask)
+
+        return f
+
+    hashed = ds.map_batches(hash64, batch_format="pyarrow").materialize()
+    history = hashed.map_batches(parity_filter(0), batch_format="pyarrow").materialize()
+    incoming = hashed.map_batches(parity_filter(1), batch_format="pyarrow")
+
+    bloom = build_from_datasets_column(history, "h", bits_per_key=10)
+    bloom_ref = ray.put(bloom)
+
+    def probe(keep_maybe: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            bf = ray.get(bloom_ref)
+            maybe = bf.contains_many(batch["h"].to_numpy().astype(np.uint64))
+            return batch.filter(pa.array(maybe if keep_maybe else ~maybe))
+
+        return f
+
+    certain_novel = incoming.map_batches(
+        probe(False), batch_format="pyarrow"
+    ).select_columns(["doc_id"])
+    candidates = incoming.map_batches(probe(True), batch_format="pyarrow").materialize()
+
+    if candidates.count() == 0:
+        out = certain_novel.to_pandas()
+    else:
+        # keep the _n count column: it is the null-marker for join misses
+        hist_distinct = history.groupby("h").aggregate(Count(alias_name="_n"))
+        joined = candidates.join(
+            hist_distinct,
+            join_type="left_outer",
+            num_partitions=8,
+            on=("h",),
+            right_suffix="_r",
+        )
+
+        def keep_unmatched(batch: pa.Table) -> pa.Table:
+            # left-outer misses carry nulls in the right-side copy; Ray's
+            # join keeps the left "h" non-null, so detect misses via the
+            # count column when present, else via a null key
+            if "_n" in batch.column_names:
+                mask = pc.is_null(batch["_n"])
+            else:
+                mask = pc.is_null(batch["h"])
+            return pa.table({"doc_id": batch.filter(mask)["doc_id"].cast(pa.int64())})
+
+        fp_novel = joined.map_batches(keep_unmatched, batch_format="pyarrow")
+        out = certain_novel.union(fp_novel).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id", ignore_index=True)

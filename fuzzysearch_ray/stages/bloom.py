@@ -1,0 +1,115 @@
+"""Bloom-filter membership prefilter for anti-join-shaped dedup.
+
+The 100 TB pattern this enables: "drop every incoming document whose exact
+content hash already exists in the historical corpus". The exact hash set
+of a 100 TB history is itself huge (16+ B/key plus set overhead); a Bloom
+filter at ~1.2 B/key (10 bits, k=7, ~0.8% FP) is the classic small-side
+summary — broadcast once via ``ray.put``, probed vectorized per batch.
+
+Bloom filters have NO false negatives, so a miss is a definitive "novel";
+only the ~1% of rows the filter claims to know are confirmed against the
+exact set (at real scale: a hash-partitioned join against the history,
+touching ~1% of the stream instead of all of it). Results are therefore
+EXACT — the filter only prunes work — which is what makes the pipeline
+SQL-oracle-checkable (``novel_docs_bloom`` in __ray_entry__).
+
+BASELINE.md's scaling notes promised this swap for the driver-held rep-id
+vector at extreme scale; this module is that primitive, tested standalone
+in tests/test_bloom.py (no-false-negative invariant + FP-rate bound).
+
+Construction is pure numpy: k derived probe positions per key via
+splitmix64 remixing (functions/hashing._splitmix64), bits packed in a
+uint64 array, batch add/query with ``np.bitwise_or.reduceat``-free
+vectorized ops. No Python loop over keys anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.hashing import _splitmix64
+
+# golden-ratio odd constants for deriving the i-th probe stream
+_PHI = np.uint64(0x9E3779B97F4A7C15)
+
+
+class BloomFilter:
+    """Fixed-size Bloom filter over uint64 keys.
+
+    ``m_bits`` is rounded up to a multiple of 64. ``num_hashes`` probe
+    positions per key are derived as splitmix64(key ^ (i+1)*PHI) — an
+    independent-enough family for the standard FP-rate formula to hold
+    (validated empirically in tests/test_bloom.py).
+    """
+
+    def __init__(self, m_bits: int, num_hashes: int = 7):
+        if m_bits <= 0:
+            raise ValueError("m_bits must be positive")
+        self.m = int(m_bits + 63) // 64 * 64
+        self.k = int(num_hashes)
+        self.words = np.zeros(self.m // 64, dtype=np.uint64)
+
+    @classmethod
+    def sized_for(cls, n_keys: int, bits_per_key: int = 10) -> "BloomFilter":
+        """Standard sizing: m = n*bits_per_key, k = round(m/n * ln 2)."""
+        m = max(64, int(n_keys) * int(bits_per_key))
+        k = max(1, int(round(bits_per_key * 0.6931)))
+        return cls(m, k)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        """(len(keys), k) matrix of bit positions."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        salts = (np.arange(1, self.k + 1, dtype=np.uint64) * _PHI)[None, :]
+        return (_splitmix64(keys[:, None] ^ salts) % np.uint64(self.m)).astype(
+            np.int64
+        )
+
+    def add_many(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(
+            self.words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+        )
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership: True = maybe present, False = definitely
+        absent (the no-false-negative direction callers rely on)."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(keys)
+        bits = (self.words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        return bits.all(axis=1)
+
+    @property
+    def fill_fraction(self) -> float:
+        ones = int(np.unpackbits(self.words.view(np.uint8)).sum())
+        return ones / self.m
+
+
+def build_from_datasets_column(ds, column: str, bits_per_key: int = 10,
+                               num_hashes: int | None = None) -> BloomFilter:
+    """Build a BloomFilter over a Dataset's uint64/int64 key column by
+    streaming batches to the driver (keys only — 8 B/row on the wire; the
+    filter itself is the small-side summary being constructed).
+
+    At multi-node scale this becomes a tree reduce: per-block partial
+    filters OR-merged (Bloom filters of equal geometry merge by bitwise
+    or) — ``merge`` below is that combiner.
+    """
+    n = ds.count()
+    bf = BloomFilter.sized_for(max(1, n), bits_per_key)
+    if num_hashes is not None:
+        bf.k = num_hashes
+    for batch in ds.select_columns([column]).iter_batches(batch_format="pyarrow"):
+        bf.add_many(batch[column].to_numpy().astype(np.uint64))
+    return bf
+
+
+def merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:
+    """OR-merge two same-geometry filters (the distributed combiner)."""
+    if a.m != b.m or a.k != b.k:
+        raise ValueError("cannot merge Bloom filters of different geometry")
+    out = BloomFilter(a.m, a.k)
+    np.bitwise_or(a.words, b.words, out=out.words)
+    return out

@@ -1,0 +1,94 @@
+"""Bloom-filter membership prefilter (stages/bloom.py): the no-false-
+negative invariant callers rely on, the FP-rate bound, OR-merge, and the
+end-to-end novel-docs anti-join query's exactness on a synthetic corpus."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fuzzysearch_ray.stages.bloom import BloomFilter, merge
+
+
+def _keys(rng, n):
+    return rng.integers(0, 2**63 - 1, size=n, dtype=np.int64).astype(np.uint64)
+
+
+def test_no_false_negatives():
+    rng = np.random.default_rng(42)
+    keys = _keys(rng, 5000)
+    bf = BloomFilter.sized_for(len(keys), bits_per_key=10)
+    bf.add_many(keys)
+    assert bf.contains_many(keys).all()
+    # and in chunks of odd sizes, same answer
+    for chunk in np.array_split(keys, 7):
+        assert bf.contains_many(chunk).all()
+
+
+def test_false_positive_rate_within_bound():
+    rng = np.random.default_rng(1)
+    keys = _keys(rng, 20_000)
+    bf = BloomFilter.sized_for(len(keys), bits_per_key=10)
+    bf.add_many(keys)
+    probe = _keys(rng, 50_000)
+    # disjoint probes (random 63-bit ints collide with keys w.p. ~1e-14)
+    fp = bf.contains_many(probe).mean()
+    # theoretical ~0.8% at 10 bits/key, k=7; allow 3x slack
+    assert fp < 0.025, fp
+    assert 0.3 < bf.fill_fraction < 0.6
+
+
+def test_empty_and_small():
+    bf = BloomFilter(64, 3)
+    assert bf.contains_many(np.array([], dtype=np.uint64)).shape == (0,)
+    assert not bf.contains_many(np.array([7], dtype=np.uint64)).any()
+    bf.add_many(np.array([7], dtype=np.uint64))
+    assert bf.contains_many(np.array([7], dtype=np.uint64)).all()
+
+
+def test_merge_is_union():
+    rng = np.random.default_rng(3)
+    a_keys, b_keys = _keys(rng, 1000), _keys(rng, 1000)
+    geom = BloomFilter.sized_for(2000, 10)
+    a = BloomFilter(geom.m, geom.k)
+    b = BloomFilter(geom.m, geom.k)
+    a.add_many(a_keys)
+    b.add_many(b_keys)
+    m = merge(a, b)
+    assert m.contains_many(a_keys).all()
+    assert m.contains_many(b_keys).all()
+    with pytest.raises(ValueError):
+        merge(a, BloomFilter(geom.m * 2, geom.k))
+
+
+def test_novel_docs_bloom_exact_vs_pandas(ray_session, tmp_path):
+    """End-to-end: the bloom-prefiltered anti-join returns EXACTLY the
+    brute-force novel set (filter prunes, never changes results)."""
+    from fuzzysearch_ray.pipelines.queries import q_novel_docs_bloom
+
+    rng = np.random.default_rng(11)
+    # force plenty of cross-parity duplicate content so the bloom-positive
+    # confirm path is exercised, plus unique rows for the miss path
+    base = ["dup text %d" % i for i in range(40)]
+    texts, ids = [], []
+    for i in range(400):
+        ids.append(i)
+        if rng.random() < 0.5:
+            texts.append(base[int(rng.integers(0, len(base)))])
+        else:
+            texts.append("unique text %d" % i)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    df["lang"] = "en"
+    df["source"] = "s"
+    df["n_chars"] = df["text"].str.len()
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.to_parquet(sf / "documents.parquet", index=False)
+
+    out = q_novel_docs_bloom(str(sf))
+    hist = set(df.loc[df.doc_id % 2 == 0, "text"])
+    expect = sorted(
+        int(i)
+        for i, t in zip(df.doc_id, df.text)
+        if i % 2 == 1 and t not in hist
+    )
+    assert out["doc_id"].tolist() == expect

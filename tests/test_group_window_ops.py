@@ -1,0 +1,140 @@
+"""Group-wise top-k, per-user rolling windows, and BM25 scoring — each
+checked against an independent pandas/numpy brute force on synthetic
+inputs (the oracle-SQL gate covers the testdata tables; these pin edge
+shapes: ties, short histories, single-token docs, missing terms)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fuzzysearch_ray.pipelines.queries import (
+    BM25_B,
+    BM25_K1,
+    BM25_QUERY_TERMS,
+    q_bm25_scores,
+    q_rolling_user_stats,
+    q_topk_per_group,
+)
+
+
+def _write_docs(tmp_path, texts, langs=None, sources=None):
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs or ["en"] * n, pa.string()),
+            "source": pa.array(sources or ["s0"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return tbl
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topk_per_group_brute_force(tmp_path):
+    rng = np.random.default_rng(5)
+    langs = [f"l{i}" for i in rng.integers(0, 4, 300)]
+    sources = [f"s{i}" for i in rng.integers(0, 3, 300)]
+    # ties in n_chars are common by construction: few distinct lengths
+    texts = ["x" * int(rng.integers(1, 6)) for _ in range(300)]
+    _write_docs(tmp_path, texts, langs, sources)
+
+    got = q_topk_per_group(str(tmp_path), k=3)
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(300),
+            "lang": langs,
+            "source": sources,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    df = df.sort_values(
+        ["lang", "source", "n_chars", "doc_id"],
+        ascending=[True, True, False, True],
+        ignore_index=True,
+    )
+    exp = df.groupby(["lang", "source"], as_index=False).head(3).copy()
+    exp["rnk"] = exp.groupby(["lang", "source"]).cumcount() + 1
+    exp = exp[["lang", "source", "doc_id", "n_chars", "rnk"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"rnk": "int64"}),
+        exp.astype({"doc_id": "int64", "n_chars": "int64", "rnk": "int64"}),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_user_stats_brute_force(tmp_path):
+    rng = np.random.default_rng(9)
+    n, n_users = 800, 12
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + np.sort(rng.integers(0, 86_400_000_000, n))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, n_users, n), pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array(np.round(rng.uniform(0, 50, n), 2), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = q_rolling_user_stats(str(tmp_path), window=3)
+
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    cents = (df["value"] * 100).round().astype("int64")
+    rows = []
+    for uid, grp in cents.groupby(df["user_id"]):
+        vals = grp.to_numpy()
+        for i in range(len(vals)):
+            lo = max(0, i - 2)
+            rows.append((uid, int(vals[lo : i + 1].sum()), i - lo + 1))
+    exp = pd.DataFrame(rows, columns=["user_id", "roll_sum_cents", "roll_n"])
+    assert got["roll_sum_cents"].tolist() == exp["roll_sum_cents"].tolist()
+    assert got["roll_n"].tolist() == exp["roll_n"].tolist()
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_scores_brute_force(tmp_path):
+    rng = np.random.default_rng(13)
+    vocab = list(BM25_QUERY_TERMS) + ["alpha", "beta", "gamma"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 30))))
+        for _ in range(200)
+    ]
+    texts += ["alpha beta gamma", "", "spark"]  # no-hit, empty, single-token
+    _write_docs(tmp_path, texts)
+
+    got = q_bm25_scores(str(tmp_path))
+
+    # brute force
+    toks = [t.split() if t else [] for t in texts]
+    n_docs = float(len(texts))
+    dl = np.array([len(t) for t in toks], dtype=np.float64)
+    avgdl = dl.sum() / n_docs
+    expect = {}
+    for t in BM25_QUERY_TERMS:
+        df_t = sum(1 for d in toks if t in d)
+        if df_t == 0:
+            continue
+        idf = np.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        for i, d in enumerate(toks):
+            tf = d.count(t)
+            if tf:
+                s, nq = expect.get(i, (0.0, 0))
+                s += idf * tf * (BM25_K1 + 1) / (
+                    tf + BM25_K1 * (1 - BM25_B + BM25_B * dl[i] / avgdl)
+                )
+                expect[i] = (s, nq + 1)
+    assert got["doc_id"].tolist() == sorted(expect)
+    for _, row in got.iterrows():
+        s, nq = expect[int(row["doc_id"])]
+        assert row["n_query_terms"] == nq
+        assert abs(row["bm25_r"] - s) < 1e-3
