@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_attribution": Q.q_asof_click_attribution,
         "range_join_orders": Q.q_range_join_orders,
         "hll_distinct_registers": Q.q_hll_distinct_registers,
+        "decontaminate_docs_join": Q.q_decontaminate_docs_join,
         "topk_per_group": Q.q_topk_per_group,
         "rolling_user_stats": Q.q_rolling_user_stats,
         "bm25_scores": Q.q_bm25_scores,
@@ -854,6 +855,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_sql(),
         "semantic_dup_pairs": _semantic_dup_sql(),
         "decontaminate_docs": _decontaminate_sql(),
+        # same ground truth as the broadcast variant: the join-mode engine
+        # path flags the identical set with identical counts (hash-equality
+        # stands in for gram-string equality at 2^-64 collision risk)
+        "decontaminate_docs_join": _decontaminate_sql(),
         "repetition_scores": _REPETITION_SQL,
         "incremental_dedup_pairs": (
             # the b >= cutoff slice of the minhash_lsh_pairs ground truth:

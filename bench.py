@@ -121,6 +121,10 @@ def run_bench() -> dict:
     timed("gopher_quality_flags", lambda: Q.q_gopher_quality_flags(SF_DIR))
     timed("bpe_pair_counts", lambda: Q.q_bpe_pair_counts(SF_DIR))
     timed("chunk_dedup_groups", lambda: Q.q_chunk_dedup_groups(SF_DIR))
+    timed("bm25_scores", lambda: Q.q_bm25_scores(SF_DIR))
+    timed("topk_per_group", lambda: Q.q_topk_per_group(SF_DIR))
+    timed("rolling_user_stats", lambda: Q.q_rolling_user_stats(SF_DIR))
+    timed("novel_docs_bloom", lambda: Q.q_novel_docs_bloom(SF_DIR))
 
     # headline: flagship dedup over the synthetic source-code corpus
     t0 = time.time()

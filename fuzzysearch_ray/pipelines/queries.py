@@ -2540,3 +2540,38 @@ def q_novel_docs_bloom(sf_dir: str):
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id", ignore_index=True)
+
+
+def q_decontaminate_docs_join(
+    sf_dir: str, n: int = 8, eval_mod: int = 10, eval_rem: int = 7
+):
+    """Join-mode decontamination (stages/decontam.contamination_counts_join):
+    same flagged set and counts as q_decontaminate_docs, but the eval gram
+    set is never broadcast — both sides explode to int64 gram hashes and
+    meet in one integer-keyed join. The 100-TB-eval-side path; shares the
+    broadcast variant's SQL oracle."""
+    from ..stages.decontam import contamination_counts_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(keep_eval: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            mask = (ids % eval_mod) == eval_rem
+            if not keep_eval:
+                mask = ~mask
+            return batch.filter(pa.array(mask))
+
+        return fn
+
+    eval_ds = ds.map_batches(split(True), batch_format="pyarrow")
+    train_ds = ds.map_batches(split(False), batch_format="pyarrow")
+    out = contamination_counts_join(train_ds, eval_ds, n=n)
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "n_hits": pd.Series(dtype="int64")}
+        )
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_hits"] = df["n_hits"].astype("int64")
+    return df.sort_values("doc_id", ignore_index=True)

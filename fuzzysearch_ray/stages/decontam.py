@@ -98,3 +98,72 @@ def contamination_counts(docs_ds, eval_ds, n: int = 8, concurrency: int = 4):
         concurrency=concurrency,
         batch_size=4096,
     )
+
+
+def _gram_hash_table(batch: pa.Table, n: int) -> pa.Table:
+    """(doc_id, g) rows: per-document DISTINCT word n-gram hashes (first 8
+    md5 bytes as int64, the md5_gram_hashes convention — DuckDB-computable,
+    2^-64 collision risk per gram pair)."""
+    import hashlib
+
+    import numpy as np
+
+    ids_out = []
+    hs_out = []
+    for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        grams = word_ngrams(t, n)
+        if not grams:
+            continue
+        md5 = hashlib.md5
+        hs = {
+            int.from_bytes(md5(g.encode("utf-8")).digest()[:8], "big") - (1 << 63)
+            for g in grams
+        }
+        ids_out.extend([i] * len(hs))
+        hs_out.extend(hs)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids_out, dtype=np.int64), pa.int64()),
+            "g": pa.array(np.asarray(hs_out, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def contamination_counts_join(docs_ds, eval_ds, n: int = 8, num_partitions: int = 8):
+    """Join-mode decontamination — the path for an eval side TOO LARGE to
+    broadcast (a full benchmark suite, or decontaminating one corpus shard
+    against another). Semantics identical to ``contamination_counts``
+    (equality pinned in tests/test_training_data_ops.py); the exchange is
+    INTEGER-ONLY end to end:
+
+    1. both sides explode to (doc_id, gram_hash) with per-doc-distinct
+       int64 hashes — content never leaves its reading task;
+    2. the eval side deduplicates gram hashes globally (groupby g — the
+       small-cardinality wide pass);
+    3. one int-keyed inner join delivers training grams to eval grams, and
+       a doc_id groupby counts distinct shared grams per training doc
+       (train-side hashes are already per-doc distinct, so a plain Count
+       is the distinct count — no re-dedup after the join).
+    """
+    import functools
+
+    from ray.data.aggregate import Count
+
+    fn = functools.partial(_gram_hash_table, n=n)
+    train_grams = docs_ds.map_batches(fn, batch_format="pyarrow")
+    eval_grams = (
+        eval_ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Count(alias_name="_ne"))
+    )
+    joined = train_grams.join(
+        eval_grams,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("g",),
+        right_suffix="_r",
+    )
+    return (
+        joined.groupby("doc_id")
+        .aggregate(Count(alias_name="n_hits"))
+    )

@@ -100,6 +100,47 @@ def test_contamination_counts_matches_set_bruteforce(ray_session):
     assert collect_eval_grams(eval_ds, n) == frozenset(eval_grams)
 
 
+
+def test_contamination_counts_join_matches_broadcast(ray_session):
+    """Join mode (int-keyed gram-hash exchange, no broadcast) returns the
+    same flagged docs and counts as the broadcast path on a randomized
+    corpus with heavy cross-split gram sharing."""
+    import ray.data as rd
+
+    from fuzzysearch_ray.stages.decontam import contamination_counts_join
+
+    rng = np.random.default_rng(21)
+    vocab = ["w%d" % i for i in range(12)]
+    n = 3
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 15))))
+        for _ in range(160)
+    ]
+    ids = list(range(160))
+    eval_mask = [i % 5 == 2 for i in ids]
+    eval_ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [i for i, m in zip(ids, eval_mask) if m],
+                "text": [t for t, m in zip(texts, eval_mask) if m],
+            }
+        )
+    )
+    train_ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [i for i, m in zip(ids, eval_mask) if not m],
+                "text": [t for t, m in zip(texts, eval_mask) if not m],
+            }
+        )
+    )
+    bc = contamination_counts(train_ds, eval_ds, n=n, concurrency=1).to_pandas()
+    jn = contamination_counts_join(train_ds, eval_ds, n=n).to_pandas()
+    assert dict(zip(jn["doc_id"], jn["n_hits"])) == dict(
+        zip(bc["doc_id"], bc["n_hits"])
+    )
+
+
 # -------------------------------------------------------------- semantic dup
 
 def test_semantic_dup_pairs_matches_numpy_bruteforce(ray_session):
