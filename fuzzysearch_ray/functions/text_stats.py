@@ -166,3 +166,30 @@ def repetition_stats(texts):
         "top_token_n": top_token,
         "top_bigram_n": top_bigram,
     }
+
+
+def explode_tokens(text_col):
+    """Vectorized (doc_index, token) explode of a string column: Arrow
+    lower → split on ``[^a-z0-9]+`` → flatten, with the empty tokens that
+    RE2 split emits at separator-adjacent boundaries filtered out — exact
+    ``re.findall(r"[a-z0-9]+", t.lower())`` semantics per row, no Python
+    loop over rows or tokens.
+
+    Returns ``(doc_idx, tokens)``: an int64 numpy row-index vector and a
+    pyarrow StringArray, aligned. Shared by every catalog operator that
+    counts/joins word tokens (tf-idf, top terms, unigram LM, OOV, HLL).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    low = pc.utf8_lower(text_col)
+    lists = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+    flat = pc.list_flatten(lists)
+    lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    didx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    return didx[keep_np], flat.filter(keep)

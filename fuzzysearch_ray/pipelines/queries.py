@@ -1215,29 +1215,38 @@ def q_tfidf_top_terms(sf_dir: str, top_k: int = 3):
     Ranking is INTEGER-only — (tf desc, df asc, term asc) — so Ray and the
     SQL oracle agree exactly even where float log implementations differ by
     an ulp; the tfidf score itself is emitted rounded, not ranked on."""
-    import re as _re
-
     import ray
     from ray.data.aggregate import Count
 
+    from ..functions.text_stats import explode_tokens
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
-    token_re = _re.compile(r"[a-z0-9]+")
 
     def explode_tf(batch: pa.Table) -> pa.Table:
-        out_id, out_t, out_c = [], [], []
-        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            counts = {}
-            for w in token_re.findall(t.lower()):
-                counts[w] = counts.get(w, 0) + 1
-            out_id.extend([i] * len(counts))
-            out_t.extend(counts.keys())
-            out_c.extend(counts.values())
+        # vectorized explode + per-(doc, term) counts: dictionary-encode the
+        # flat token stream, combine (row, code) into one int key, count
+        # with np.unique — no Python loop over rows or tokens
+        didx, toks = explode_tokens(batch["text"])
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        if len(didx) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        enc = toks.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        vocab = enc.dictionary
+        key = didx * len(vocab) + codes
+        uk, cnt = np.unique(key, return_counts=True)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "term": pa.array(out_t, pa.string()),
-                "tf": pa.array(out_c, pa.int64()),
+                "doc_id": pa.array(ids[uk // len(vocab)], pa.int64()),
+                "term": vocab.take(pa.array(uk % len(vocab), pa.int64())),
+                "tf": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
 
@@ -1601,22 +1610,22 @@ def q_top_terms(sf_dir: str, k: int = 20):
     exchange moves one row per distinct term per batch, not per token);
     the final sort runs on the distinct-term table only. Ranking is
     integer + lexicographic (count DESC, term ASC) — no float anywhere."""
-    import re
-
     from ray.data.aggregate import Sum
 
+    from ..functions.text_stats import explode_tokens
+
     ds = _read(sf_dir, "documents", ["text"])
-    pat = re.compile(r"[a-z0-9]+")
 
     def partial(batch: pa.Table) -> pa.Table:
-        terms = []
-        for t in batch["text"].to_pylist():
-            terms.extend(pat.findall(t.lower()))
-        uniq, cnt = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+        _, toks = explode_tokens(batch["text"])
+        enc = toks.dictionary_encode()
+        cnt = np.bincount(
+            enc.indices.to_numpy(), minlength=len(enc.dictionary)
+        ).astype(np.int64)
         return pa.table(
             {
-                "term": pa.array(uniq.astype(str), pa.string()),
-                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "term": enc.dictionary,
+                "cnt": pa.array(cnt, pa.int64()),
             }
         )
 
@@ -1641,20 +1650,21 @@ def q_oov_counts(sf_dir: str, vocab_k: int = 16):
     31 distinct terms, so the OOV branch produces nonzero counts under the
     oracle gate. Vocabulary ties resolve (count DESC, term ASC) on both
     sides."""
-    import re
+    from ..functions.text_stats import explode_tokens
 
-    vocab = frozenset(q_top_terms(sf_dir, k=vocab_k)["term"])
-    pat = re.compile(r"[a-z0-9]+")
+    vocab = sorted(q_top_terms(sf_dir, k=vocab_k)["term"])
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def count_oov(batch: pa.Table) -> pa.Table:
-        v = vocab
-        n_tok, n_oov = [], []
-        for t in batch["text"].to_pylist():
-            toks = pat.findall(t.lower())
-            n_tok.append(len(toks))
-            n_oov.append(sum(1 for w in toks if w not in v))
+        # vectorized: explode once, vocab membership via pc.is_in, per-doc
+        # token / OOV totals via bincount on the aligned row index
+        didx, toks = explode_tokens(batch["text"])
+        n = batch.num_rows
+        n_tok = np.bincount(didx, minlength=n).astype(np.int64)
+        in_vocab = pc.is_in(toks, value_set=pa.array(vocab, pa.string()))
+        oov = ~in_vocab.to_numpy(zero_copy_only=False)
+        n_oov = np.bincount(didx[oov], minlength=n).astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
@@ -1905,23 +1915,20 @@ def q_bpe_pair_counts(sf_dir: str, k: int = 30):
     over 2^16 pair codes per batch — no per-word Python; tokens are
     [a-z0-9]+ so single-byte codepoints are guaranteed) and a pair-keyed
     groupby sums the partials. Returns top-``k`` (count DESC, pair ASC)."""
-    import re
-
     from ray.data.aggregate import Sum
 
+    from ..functions.text_stats import explode_tokens
+
     ds = _read(sf_dir, "documents", ["text"])
-    pat = re.compile(r"[a-z0-9]+")
 
     def word_partial(batch: pa.Table) -> pa.Table:
-        terms = []
-        for t in batch["text"].to_pylist():
-            terms.extend(pat.findall(t.lower()))
-        uniq, cnt = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+        _, toks = explode_tokens(batch["text"])
+        enc = toks.dictionary_encode()
+        cnt = np.bincount(
+            enc.indices.to_numpy(), minlength=len(enc.dictionary)
+        ).astype(np.int64)
         return pa.table(
-            {
-                "w": pa.array(uniq.astype(str), pa.string()),
-                "c": pa.array(cnt.astype(np.int64), pa.int64()),
-            }
+            {"w": enc.dictionary, "c": pa.array(cnt, pa.int64())}
         )
 
     words = (
@@ -2066,23 +2073,21 @@ def q_unigram_logprob(sf_dir: str):
     broadcast for pass 2's stateless vectorized scoring (factorize +
     lookup per batch, np.bincount per doc)."""
     import ray
-    import re
 
     from ray.data.aggregate import Sum
 
+    from ..functions.text_stats import explode_tokens
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pat = re.compile(r"[a-z0-9]+")
 
     def partial(batch: pa.Table) -> pa.Table:
-        terms = []
-        for t in batch["text"].to_pylist():
-            terms.extend(pat.findall(t.lower()))
-        uniq, cnt = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+        _, toks = explode_tokens(batch["text"])
+        enc = toks.dictionary_encode()
+        cnt = np.bincount(
+            enc.indices.to_numpy(), minlength=len(enc.dictionary)
+        ).astype(np.int64)
         return pa.table(
-            {
-                "term": pa.array(uniq.astype(str), pa.string()),
-                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
-            }
+            {"term": enc.dictionary, "cnt": pa.array(cnt, pa.int64())}
         )
 
     freq = (
@@ -2098,16 +2103,12 @@ def q_unigram_logprob(sf_dir: str):
     def score(batch: pa.Table) -> pa.Table:
         lp = ray.get(ref)
         ids = batch["doc_id"].to_numpy().astype(np.int64)
-        all_toks = []
-        counts = np.zeros(len(ids), np.int64)
-        for i, t in enumerate(batch["text"].to_pylist()):
-            ts = pat.findall(t.lower())
-            counts[i] = len(ts)
-            all_toks.extend(ts)
-        if all_toks:
-            didx = np.repeat(np.arange(len(ids)), counts)
-            codes, uniques = pd.factorize(np.asarray(all_toks, dtype=object))
-            lpv = np.array([lp[u] for u in uniques], np.float64)
+        didx, toks = explode_tokens(batch["text"])
+        counts = np.bincount(didx, minlength=len(ids)).astype(np.int64)
+        if len(didx):
+            enc = toks.dictionary_encode()
+            codes = enc.indices.to_numpy()
+            lpv = np.array([lp[u] for u in enc.dictionary.to_pylist()], np.float64)
             sums = np.bincount(didx, weights=-lpv[codes], minlength=len(ids))
         else:
             sums = np.zeros(len(ids), np.float64)
@@ -2193,19 +2194,18 @@ def q_hll_distinct_registers(sf_dir: str, p: int = 8):
     estimate is the standard harmonic-mean formula over these registers.
     Non-empty buckets only (inner semantics)."""
     import hashlib
-    import re
 
     from ray.data.aggregate import Max
+
+    from ..functions.text_stats import explode_tokens
 
     W = 64 - p
     mask = (1 << W) - 1
     ds = _read(sf_dir, "documents", ["text"])
-    pat = re.compile(r"[a-z0-9]+")
 
     def partial(batch: pa.Table) -> pa.Table:
-        seen = set()
-        for t in batch["text"].to_pylist():
-            seen.update(pat.findall(t.lower()))
+        _, toks = explode_tokens(batch["text"])
+        seen = toks.unique().to_pylist()
         regs: dict = {}
         md5 = hashlib.md5
         for w in seen:

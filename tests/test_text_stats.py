@@ -43,3 +43,27 @@ def test_language_id_deterministic_ties():
     # same text always resolves identically (fixed language order)
     t = "de la"  # stopwords in several languages
     assert language_id(t) == language_id(t)
+
+
+def test_explode_tokens_matches_re_findall():
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from fuzzysearch_ray.functions.text_stats import explode_tokens
+
+    texts = [
+        "Key agg ROW", "a-b..c", "", "   ", "x", "7seven eight8",
+        "trail sep ", " lead", "UPPER lower 123", "a" * 500,
+    ]
+    didx, toks = explode_tokens(pa.array(texts))
+    pat = re.compile(r"[a-z0-9]+")
+    exp_d, exp_t = [], []
+    for i, t in enumerate(texts):
+        for w in pat.findall(t.lower()):
+            exp_d.append(i)
+            exp_t.append(w)
+    assert toks.to_pylist() == exp_t
+    assert didx.tolist() == exp_d
+    assert didx.dtype == np.int64
