@@ -736,7 +736,7 @@ def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig, sigs_ds=None):
         _t = time.time()
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    P = max(4, min(4 * cpus, 64))
+    P = int(os.environ.get("GRAFT_JOIN_PARTS", 0)) or max(4, min(4 * cpus, 64))
     token = uuid.uuid4().hex
     pairs_ds = pairs_ds.materialize()
     _mark("pairs_materialize")
