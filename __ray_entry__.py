@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_orders": Q.q_range_join_orders,
         "hll_distinct_registers": Q.q_hll_distinct_registers,
         "decontaminate_docs_join": Q.q_decontaminate_docs_join,
+        "distinct_users_daily": Q.q_distinct_users_daily,
+        "near_dup_degree": Q.q_near_dup_degree,
         "topk_per_group": Q.q_topk_per_group,
         "rolling_user_stats": Q.q_rolling_user_stats,
         "bm25_scores": Q.q_bm25_scores,
@@ -665,6 +667,22 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": (
             "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, "
             "COUNT(*) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "distinct_users_daily": (
+            # exact grouped distinct — the exact sibling of the HLL sketch
+            "SELECT event_type, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "near_dup_degree": (
+            # symmetrized degree over the near-dup ground-truth pair set
+            # (same recall contract as minhash_lsh_pairs — see the CTE note)
+            "WITH " + _REP_GRAM_PAIRS_CTE + ", "
+            "sym AS (SELECT a AS doc_id FROM pairs "
+            "UNION ALL SELECT b AS doc_id FROM pairs) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree "
+            "FROM sym GROUP BY doc_id"
         ),
         "topk_per_group": (
             # integer-only ranking (n_chars desc, doc_id asc) — rank never

@@ -2575,3 +2575,88 @@ def q_decontaminate_docs_join(
     df["doc_id"] = df["doc_id"].astype("int64")
     df["n_hits"] = df["n_hits"].astype("int64")
     return df.sort_values("doc_id", ignore_index=True)
+
+
+def q_distinct_users_daily(sf_dir: str):
+    """Exact distinct-user counts per (event_type, day) — the exact
+    counterpart of the HLL sketch (q_hll_distinct_registers), for when the
+    group cardinality is small enough to afford exactness. Two-stage
+    distributed distinct: each batch emits its LOCAL distinct
+    (event_type, day, user_id) triples (combiner — the exchange carries
+    distinct triples, not events), a triple-keyed groupby completes global
+    dedup, and a count per (event_type, day) finishes. All shuffle keys
+    are ints except the small event_type dictionary."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(pc.cast(batch["ts"], pa.int64()), 86_400_000_000),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": day,
+                "user_id": batch["user_id"].cast(pa.int64()),
+            }
+        )
+        return t.group_by(["event_type", "day", "user_id"]).aggregate([])
+
+    dedup = (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["event_type", "day", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    out = (
+        dedup.groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "day": pd.Series(dtype="int64"),
+                "n_users": pd.Series(dtype="int64"),
+            }
+        )
+    out["day"] = out["day"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["event_type", "day"], ignore_index=True)
+
+
+def q_near_dup_degree(sf_dir: str):
+    """Near-dup graph degree per document: how many verified near-dup
+    partners each doc has — the connectivity profile that drives cluster
+    skew diagnostics (a doc with degree 10^4 is boilerplate). Derived from
+    the flagship pipeline's verified edge stream by symmetrizing (each
+    edge counts for both endpoints) and one integer-keyed groupby count —
+    edges are (int, int) rows, content never moves."""
+    from ray.data.aggregate import Count
+
+    corpus = read_documents_as_corpus(sf_dir)
+    res = near_dup_pipeline(corpus, DedupConfig())
+    edges = res["edges"].select_columns(["a", "b"])
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate([a, b]), pa.int64())}
+        )
+
+    out = (
+        edges.map_batches(symmetrize, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="degree"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "degree": pd.Series(dtype="int64")}
+        )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["degree"] = out["degree"].astype("int64")
+    return out.sort_values("doc_id", ignore_index=True)
