@@ -736,9 +736,18 @@ def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig, sigs_ds=None):
         _t = time.time()
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    P = int(os.environ.get("GRAFT_JOIN_PARTS", 0)) or max(4, min(4 * cpus, 64))
     token = uuid.uuid4().hex
     pairs_ds = pairs_ds.materialize()
+    # Partition count tracks PAIR VOLUME, not CPUs: the reduce side's
+    # sweet spot is ~2k pairs/task (measured at both 120k rows → P=64 and
+    # 480k rows → P=256; a fixed P=64 at 480k ran the reduce 2.3x slower —
+    # oversized partitions thrash the per-task shingle/content working
+    # set). Floor keeps every core busy; cap bounds the shuffle-map
+    # fan-out (each map task returns P objects).
+    n_pairs = pairs_ds.count()
+    P = int(os.environ.get("GRAFT_JOIN_PARTS", 0)) or max(
+        max(4, cpus), min(1024, -(-n_pairs // 2048))
+    )
     _mark("pairs_materialize")
 
     def emit_requests(batch: pa.Table) -> pa.Table:
