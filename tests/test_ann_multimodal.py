@@ -181,3 +181,58 @@ def test_ivf_centroids_deterministic_and_normalized():
     s1 = seeded_centroids(32, 8, 42)
     assert np.array_equal(s1, seeded_centroids(32, 8, 42))
     assert np.allclose(np.linalg.norm(s1, axis=1), 1.0)
+
+
+def test_resize_nearest_matches_manual_indexing():
+    import numpy as np
+
+    from fuzzysearch_ray.stages.multimodal import resize_nearest
+
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, size=(23, 37, 3), dtype=np.uint8)
+    out = resize_nearest(arr, 7, 11)
+    assert out.shape == (7, 11, 3)
+    for r in range(7):
+        for c in range(11):
+            sr = min(22, int((r + 0.5) * 23 / 7))
+            sc = min(36, int((c + 0.5) * 37 / 11))
+            assert (out[r, c] == arr[sr, sc]).all()
+    # identity resize is exact
+    assert (resize_nearest(arr, 23, 37) == arr).all()
+
+
+def test_fit_dims_properties():
+    from fuzzysearch_ray.stages.multimodal import fit_dims
+
+    assert fit_dims(10, 10, 16) == (10, 10)           # no upscale
+    assert fit_dims(32, 16, 16) == (16, 8)            # exact halving
+    oh, ow = fit_dims(47, 9, 16)
+    assert max(oh, ow) == 16 and min(oh, ow) >= 1     # fits, never zero
+    assert fit_dims(1, 1000, 16) == (1, 16)
+
+
+def test_uniform_frame_indices():
+    import numpy as np
+
+    from fuzzysearch_ray.stages.multimodal import uniform_frame_indices
+
+    assert uniform_frame_indices(1, 4).tolist() == [0]
+    assert uniform_frame_indices(2, 4).tolist() == [0, 1]
+    assert uniform_frame_indices(10, 4).tolist() == [0, 3, 6, 9]
+    assert uniform_frame_indices(0, 4).tolist() == []
+    for n in range(1, 60):
+        idx = uniform_frame_indices(n, 4)
+        assert idx[0] == 0 and idx[-1] == n - 1       # endpoints included
+        assert (np.diff(idx) > 0).all() or len(idx) == 1  # strictly increasing
+        assert len(idx) == min(4, n)
+
+
+def test_synthetic_decode_deterministic():
+    from fuzzysearch_ray.stages.multimodal import synthetic_decoded_image
+
+    a = synthetic_decoded_image(b"payload", 5, 7)
+    b = synthetic_decoded_image(b"payload", 5, 7)
+    c = synthetic_decoded_image(b"other", 5, 7)
+    assert a.shape == (5, 7, 3) and a.dtype.name == "uint8"
+    assert (a == b).all()
+    assert (a != c).any()
