@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs_join": Q.q_decontaminate_docs_join,
         "distinct_users_daily": Q.q_distinct_users_daily,
         "near_dup_degree": Q.q_near_dup_degree,
+        "media_thumbnails": Q.q_media_thumbnails,
+        "media_frame_samples": Q.q_media_frame_samples,
         "topk_per_group": Q.q_topk_per_group,
         "rolling_user_stats": Q.q_rolling_user_stats,
         "bm25_scores": Q.q_bm25_scores,
@@ -667,6 +669,29 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": (
             "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, "
             "COUNT(*) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "media_thumbnails": (
+            # aspect-preserving fit geometry is integer math on both sides;
+            # the thumbnail PIXELS are engine-side only (synthetic decode)
+            "WITH src AS (SELECT doc_id AS media_id, "
+            "n_chars % 40 + 8 AS h, (n_chars * 7) % 40 + 8 AS w "
+            "FROM documents) "
+            "SELECT media_id, "
+            "CAST(CASE WHEN GREATEST(h, w) <= 16 THEN h "
+            "ELSE GREATEST(1, (h * 16) // GREATEST(h, w)) END AS BIGINT) AS out_h, "
+            "CAST(CASE WHEN GREATEST(h, w) <= 16 THEN w "
+            "ELSE GREATEST(1, (w * 16) // GREATEST(h, w)) END AS BIGINT) AS out_w "
+            "FROM src"
+        ),
+        "media_frame_samples": (
+            # endpoint-inclusive uniform frame indices j*(n-1)//(k_eff-1):
+            # integer math, enumerated per media row via generate_series
+            "WITH src AS (SELECT doc_id AS media_id, "
+            "n_chars % 50 + 1 AS n FROM documents), "
+            "kk AS (SELECT media_id, n, LEAST(4, n) AS ke FROM src) "
+            "SELECT media_id, CAST(CASE WHEN ke = 1 THEN 0 "
+            "ELSE (j.j * (n - 1)) // (ke - 1) END AS BIGINT) AS frame_idx "
+            "FROM kk, LATERAL (SELECT unnest(generate_series(0, ke - 1)) AS j) j"
         ),
         "distinct_users_daily": (
             # exact grouped distinct — the exact sibling of the HLL sketch

@@ -2660,3 +2660,91 @@ def q_near_dup_degree(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype("int64")
     out["degree"] = out["degree"].astype("int64")
     return out.sort_values("doc_id", ignore_index=True)
+
+
+def q_media_thumbnails(sf_dir: str, max_side: int = 16):
+    """Multimodal resize stage e2e: synthesize media rows with
+    text-derived source dims (h = n_chars % 40 + 8, w = n_chars*7 % 40 + 8),
+    run the ImageResizer actor pool (synthetic decode → REAL
+    nearest-neighbor thumbnail), return the integer output geometry —
+    aspect-preserving fit dims are pure integer math, so the SQL oracle
+    computes the identical values."""
+    from ..stages.multimodal import ImageResizer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        nc = batch["n_chars"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "media_id": batch["doc_id"].cast(pa.int64()),
+                "payload": pa.array(
+                    [t.encode("utf-8") for t in texts], pa.binary()
+                ),
+                "height": pa.array(nc % 40 + 8, pa.int64()),
+                "width": pa.array(nc * 7 % 40 + 8, pa.int64()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    out = media.map_batches(
+        ImageResizer,
+        fn_constructor_args=(max_side,),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(2, 4),
+        num_cpus=1,
+    )
+    df = out.select_columns(["media_id", "out_h", "out_w"]).to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("media_id", "out_h", "out_w")}
+        )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("media_id", ignore_index=True)
+
+
+def q_media_frame_samples(sf_dir: str, k: int = 4):
+    """Multimodal frame-sampling stage e2e: media rows with text-derived
+    frame counts (n_frames = n_chars % 50 + 1) through the
+    VideoFrameSampler actor pool; uniform endpoint-inclusive frame indices
+    are integer math (j*(n-1)//(k_eff-1)), so the SQL oracle enumerates
+    the identical (media_id, frame_idx) set. Per-frame features ride along
+    on the engine side but stay out of the oracle contract (they stand in
+    for a model forward pass)."""
+    from ..stages.multimodal import VideoFrameSampler
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        nc = batch["n_chars"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "media_id": batch["doc_id"].cast(pa.int64()),
+                "payload": pa.array(
+                    [t.encode("utf-8") for t in texts], pa.binary()
+                ),
+                "n_frames": pa.array(nc % 50 + 1, pa.int64()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    out = media.map_batches(
+        VideoFrameSampler,
+        fn_constructor_args=(k,),
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(2, 4),
+        num_cpus=1,
+    )
+    df = out.select_columns(["media_id", "frame_idx"]).to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("media_id", "frame_idx")}
+        )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["media_id", "frame_idx"], ignore_index=True)

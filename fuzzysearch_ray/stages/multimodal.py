@@ -112,3 +112,125 @@ def extract_media_features(ds, dim: int = 16, concurrency=(2, 4), batch_size: in
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def synthetic_decoded_image(payload: bytes, height: int, width: int) -> np.ndarray:
+    """Deterministic (H, W, 3) uint8 'decoded image' derived from payload
+    bytes — the fake-decode path standing in for decode_image in this
+    environment. Real pixels (splitmix64 stream), so downstream resize /
+    feature stages exercise genuine array math."""
+    n = height * width * 3
+    seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    idx = np.arange(n, dtype=np.uint64) + seed
+    return (_splitmix64(idx) & np.uint64(0xFF)).astype(np.uint8).reshape(
+        height, width, 3
+    )
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W, C) array — pure index
+    arithmetic (src = floor((dst + 0.5) * in/out), the standard pixel-center
+    mapping), no imaging library. REAL at any scale: vectorized fancy
+    indexing, no Python pixel loop."""
+    in_h, in_w = arr.shape[0], arr.shape[1]
+    rows = ((np.arange(out_h) + 0.5) * (in_h / out_h)).astype(np.int64)
+    cols = ((np.arange(out_w) + 0.5) * (in_w / out_w)).astype(np.int64)
+    np.clip(rows, 0, in_h - 1, out=rows)
+    np.clip(cols, 0, in_w - 1, out=cols)
+    return arr[rows[:, None], cols[None, :]]
+
+
+def fit_dims(h: int, w: int, max_side: int) -> tuple:
+    """Aspect-preserving fit: integer math only (SQL-checkable)."""
+    m = max(h, w)
+    if m <= max_side:
+        return h, w
+    return max(1, (h * max_side) // m), max(1, (w * max_side) // m)
+
+
+class ImageResizer:
+    """Actor-pool resize stage: decode (real when a decoder is supplied,
+    synthetic otherwise) → aspect-preserving nearest-neighbor thumbnail.
+    Decoder/config state binds once per actor; batches stay small because
+    rows carry pixel payloads."""
+
+    def __init__(self, max_side: int = 16, decode_fn=None):
+        self.max_side = max_side
+        self.decode_fn = decode_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, out_h, out_w, thumbs = [], [], [], []
+        for mid, payload, h, w in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["height"].to_pylist(),
+            batch["width"].to_pylist(),
+        ):
+            arr = (
+                self.decode_fn(payload)
+                if self.decode_fn is not None
+                else synthetic_decoded_image(payload, h, w)
+            )
+            oh, ow = fit_dims(arr.shape[0], arr.shape[1], self.max_side)
+            small = resize_nearest(arr, oh, ow)
+            ids.append(mid)
+            out_h.append(oh)
+            out_w.append(ow)
+            thumbs.append(small.tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "out_h": pa.array(out_h, pa.int64()),
+                "out_w": pa.array(out_w, pa.int64()),
+                "thumb": pa.array(thumbs, pa.binary()),
+            }
+        )
+
+
+def uniform_frame_indices(n_frames: int, k: int) -> np.ndarray:
+    """Deterministic uniform frame sampling: k_eff = min(k, n) indices,
+    endpoints included — idx_j = j*(n-1)//(k_eff-1) (integer math only, so
+    the SQL oracle computes the identical set)."""
+    n = int(n_frames)
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    k_eff = min(int(k), n)
+    if k_eff == 1:
+        return np.zeros(1, dtype=np.int64)
+    j = np.arange(k_eff, dtype=np.int64)
+    return j * (n - 1) // (k_eff - 1)
+
+
+class VideoFrameSampler:
+    """Actor-pool frame-sample stage: per media row, emit one output row
+    per sampled frame index. Frame DECODE is behind the same import guard
+    as decode_image (no video library here); index selection and the
+    per-frame deterministic features are real."""
+
+    def __init__(self, k: int = 4, feature_dim: int = 8):
+        self.k = k
+        self.dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, feats = [], [], []
+        for mid, payload, n_frames in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["n_frames"].to_pylist(),
+        ):
+            sel = uniform_frame_indices(n_frames, self.k)
+            for j in sel.tolist():
+                ids.append(mid)
+                fidx.append(j)
+                feats.append(
+                    deterministic_payload_features(
+                        payload + j.to_bytes(4, "big"), self.dim
+                    ).tolist()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "features": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
