@@ -101,30 +101,62 @@ def contamination_counts(docs_ds, eval_ds, n: int = 8, concurrency: int = 4):
 
 
 def _gram_hash_table(batch: pa.Table, n: int) -> pa.Table:
-    """(doc_id, g) rows: per-document DISTINCT word n-gram hashes (first 8
-    md5 bytes as int64, the md5_gram_hashes convention — DuckDB-computable,
-    2^-64 collision risk per gram pair)."""
+    """(doc_id, g) rows: per-document DISTINCT word n-gram hashes,
+    fully vectorized — Arrow ``split_pattern(" ")`` (exact ``str.split(" ")``
+    semantics incl. empty tokens), one md5 per DISTINCT token (dictionary
+    encode), then an n-step FNV-style polynomial combine over the flat
+    token-hash stream with doc-boundary masking, and np.unique for per-doc
+    dedup. No Python loop over rows or grams; the only per-item Python is
+    one md5 per distinct TOKEN (bounded by vocabulary, not corpus).
+    Collision contract: injective w.h.p. (~2^-64 per gram pair), same class
+    as functions/hashing.md5_gram_hashes; equality of gram-hash sets stands
+    in for equality of gram strings (pinned against the broadcast path in
+    tests/test_training_data_ops.py)."""
     import hashlib
 
     import numpy as np
 
-    ids_out = []
-    hs_out = []
-    for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        grams = word_ngrams(t, n)
-        if not grams:
-            continue
-        md5 = hashlib.md5
-        hs = {
-            int.from_bytes(md5(g.encode("utf-8")).digest()[:8], "big") - (1 << 63)
-            for g in grams
-        }
-        ids_out.extend([i] * len(hs))
-        hs_out.extend(hs)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "g": pa.array([], pa.int64())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    lists = pa.compute.split_pattern(
+        batch["text"].combine_chunks(), pattern=" "
+    )
+    flat = pa.compute.list_flatten(lists)
+    lens = pa.compute.list_value_length(lists).to_numpy().astype(np.int64)
+    didx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    N = len(didx)
+    if N < n:
+        return empty
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    md5 = hashlib.md5
+    vh = np.fromiter(
+        (
+            int.from_bytes(md5(w.encode("utf-8")).digest()[:8], "big")
+            for w in enc.dictionary.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(enc.dictionary),
+    )
+    h = vh[codes]
+    B = np.uint64(0x100000001B3)  # FNV prime (odd → full-period mod 2^64)
+    gram = np.zeros(N - n + 1, dtype=np.uint64)
+    for t in range(n):  # n vectorized passes, not a per-gram loop
+        gram = gram * B + h[t : N - n + 1 + t]
+    valid = didx[: N - n + 1] == didx[n - 1 :]  # window stays in one doc
+    gd = didx[: N - n + 1][valid]
+    gh = gram[valid].view(np.int64)
+    if gd.size == 0:
+        return empty
+    uniq = np.unique(np.stack([gd, gh], axis=1), axis=0)
+    ids = batch["doc_id"].to_numpy().astype(np.int64)
     return pa.table(
         {
-            "doc_id": pa.array(np.asarray(ids_out, dtype=np.int64), pa.int64()),
-            "g": pa.array(np.asarray(hs_out, dtype=np.int64), pa.int64()),
+            "doc_id": pa.array(ids[uniq[:, 0]], pa.int64()),
+            "g": pa.array(uniq[:, 1], pa.int64()),
         }
     )
 
