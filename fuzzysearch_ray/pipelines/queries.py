@@ -2511,9 +2511,15 @@ def q_novel_docs_bloom(sf_dir: str):
     ).select_columns(["doc_id"])
     candidates = incoming.map_batches(probe(True), batch_format="pyarrow").materialize()
 
-    if candidates.count() == 0:
+    n_cand = candidates.count()
+    if n_cand == 0:
         out = certain_novel.to_pandas()
     else:
+        # blocks whose probe filtered everything out come back SCHEMA-LESS
+        # (Ray drops the schema of 0-row map outputs), and Dataset.join's
+        # key resolution fails on them ("no match for FieldRef h").
+        # A count-derived repartition guarantees every block is non-empty.
+        candidates = candidates.repartition(max(1, min(16, n_cand // 512 + 1)))
         # keep the _n count column: it is the null-marker for join misses
         hist_distinct = history.groupby("h").aggregate(Count(alias_name="_n"))
         joined = candidates.join(
