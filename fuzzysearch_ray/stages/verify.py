@@ -723,6 +723,7 @@ def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig, sigs_ds=None):
     import os
     import time
     import uuid
+    import warnings
 
     import ray
 
@@ -745,9 +746,12 @@ def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig, sigs_ds=None):
     # set). Floor keeps every core busy; cap bounds the shuffle-map
     # fan-out (each map task returns P objects).
     n_pairs = pairs_ds.count()
-    P = int(os.environ.get("GRAFT_JOIN_PARTS", 0)) or max(
-        max(4, cpus), min(1024, -(-n_pairs // 2048))
-    )
+    try:
+        P = int(os.environ.get("GRAFT_JOIN_PARTS", "") or 0)
+    except ValueError:
+        warnings.warn("GRAFT_JOIN_PARTS is not an integer; using computed default")
+        P = 0
+    P = P or max(max(4, cpus), min(1024, -(-n_pairs // 2048)))
     _mark("pairs_materialize")
 
     def emit_requests(batch: pa.Table) -> pa.Table:
