@@ -306,6 +306,33 @@ def exact_jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+def batched_exact_jaccard(
+    tags: np.ndarray, vals: np.ndarray, sz_a: np.ndarray, sz_b: np.ndarray
+) -> np.ndarray:
+    """Exact Jaccard for MANY set pairs in one vectorized pass.
+
+    ``vals`` is the concatenation of every pair's a-side and b-side set
+    elements (each side internally unique, e.g. np.unique'd shingle
+    hashes); ``tags[i]`` is the pair index of ``vals[i]``. Because each
+    SIDE is duplicate-free, a (tag, value) appearing twice means the value
+    is in both sides — one intersection hit. One lexsort + adjacent-equal
+    scan + bincount replaces the per-pair searchsorted loop (the last
+    per-pair Python on the verify flagship path).
+    """
+    n = len(sz_a)
+    inter = np.zeros(n, dtype=np.int64)
+    if vals.size:
+        order = np.lexsort((vals, tags))
+        t = tags[order]
+        v = vals[order]
+        dup = (t[1:] == t[:-1]) & (v[1:] == v[:-1])
+        inter = np.bincount(t[1:][dup], minlength=n).astype(np.int64)
+    union = sz_a.astype(np.int64) + sz_b.astype(np.int64) - inter
+    out = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    out[(sz_a == 0) & (sz_b == 0)] = 1.0
+    return out
+
+
 def rolling_fingerprint(text: str, window: int = 64, keep: int = 8) -> np.ndarray:
     """Winnowing-style document fingerprint: the ``keep`` smallest distinct
     hashes of ``window``-byte shingles (a compact containment sketch)."""

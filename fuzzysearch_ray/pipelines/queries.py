@@ -496,6 +496,33 @@ def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+# Worker-global (doc_id -> gram-set size) index for the gram-pair
+# finalizers: built once per worker from the size table's materialized
+# block refs (zero-copy object-store views), never collected on the driver.
+_WORKER_SIZES: dict = {}
+
+
+def _worker_sizes_index(token: str, refs):
+    kv = _WORKER_SIZES.get(token)
+    if kv is None:
+        import ray
+
+        _WORKER_SIZES.clear()
+        tables = [t for t in ray.get(list(refs)) if t.num_rows]
+        if tables:
+            k = np.concatenate(
+                [t["doc_id"].to_numpy() for t in tables]
+            ).astype(np.int64)
+            v = np.concatenate([t["n"].to_numpy() for t in tables]).astype(np.int64)
+        else:
+            k = np.empty(0, np.int64)
+            v = np.empty(0, np.int64)
+        order = np.argsort(k)
+        kv = (k[order], v[order])
+        _WORKER_SIZES[token] = kv
+    return kv
+
+
 def _gram_pair_index(sf_dir: str, max_doc_id: int):
     """Shared 3-gram inverted-index pair machinery: explode distinct gram
     HASHES (vectorized — char_gram_hashes runs the doubling polynomial over
@@ -539,9 +566,11 @@ def _gram_pair_index(sf_dir: str, max_doc_id: int):
     grams_ds = ds.map_batches(explode_grams, batch_format="pyarrow").materialize()
 
     # per-doc gram-set sizes: one row per doc straight off the doc table
-    # (a doc's rows never split across batches, so no aggregation — driver
-    # collection here IS the broadcast-side build, a (doc_id, n) int pair
-    # per doc, the same thing ray.put ships)
+    # (a doc's rows never split across batches, so no aggregation). The
+    # size table never visits the driver: its materialized block refs are
+    # handed to the finalizers, which build one sorted (doc_id -> n) index
+    # per WORKER from zero-copy object-store views (_worker_sizes_index) —
+    # the same sharded-broadcast discipline as the verify stage.
     def doc_sizes(batch: pa.Table) -> pa.Table:
         n = np.array(
             [char_gram_hashes(t, 3).size for t in batch["text"].to_pylist()],
@@ -551,11 +580,11 @@ def _gram_pair_index(sf_dir: str, max_doc_id: int):
             {"doc_id": batch["doc_id"].cast(pa.int64()), "n": pa.array(n, pa.int64())}
         )
 
-    sizes_df = ds.map_batches(doc_sizes, batch_format="pyarrow").to_pandas()
-    size_keys = sizes_df["doc_id"].to_numpy().astype(np.int64)
-    size_vals = sizes_df["n"].to_numpy().astype(np.int64)
-    order = np.argsort(size_keys)
-    sizes_ref = ray.put((size_keys[order], size_vals[order]))
+    sizes_ref = (
+        ds.map_batches(doc_sizes, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
 
     # partitioned-bucket shuffle (same pattern as stages/lsh.py): grams hash
     # into coarse partitions — ONE shuffle, then each partition emits all its
@@ -605,7 +634,9 @@ def _gram_pair_index(sf_dir: str, max_doc_id: int):
         .groupby(["a", "b"])
         .aggregate(Sum("cnt", alias_name="i"))
     )
-    return inter, sizes_ref
+    import uuid
+
+    return inter, sizes_ref, uuid.uuid4().hex
 
 
 def q_ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 60, threshold: float = 0.5):
@@ -621,10 +652,10 @@ def q_ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 60, threshold: float = 
     g, and genuinely hot grams are exactly what Jaccard>=0.5 pairs share."""
     import ray
 
-    inter, sizes_ref = _gram_pair_index(sf_dir, max_doc_id)
+    inter, sizes_ref, sizes_token = _gram_pair_index(sf_dir, max_doc_id)
 
     def jaccard(batch: pa.Table) -> pa.Table:
-        k, v = ray.get(sizes_ref)
+        k, v = _worker_sizes_index(sizes_token, sizes_ref)
         a = batch["a"].to_numpy().astype(np.int64)
         b = batch["b"].to_numpy().astype(np.int64)
         inter_n = batch["i"].to_numpy().astype(np.int64)
@@ -651,10 +682,10 @@ def q_containment_pairs(sf_dir: str, max_doc_id: int = 60, threshold: float = 0.
     ``threshold``, with both directional ratios."""
     import ray
 
-    inter, sizes_ref = _gram_pair_index(sf_dir, max_doc_id)
+    inter, sizes_ref, sizes_token = _gram_pair_index(sf_dir, max_doc_id)
 
     def containment(batch: pa.Table) -> pa.Table:
-        k, v = ray.get(sizes_ref)
+        k, v = _worker_sizes_index(sizes_token, sizes_ref)
         a = batch["a"].to_numpy().astype(np.int64)
         b = batch["b"].to_numpy().astype(np.int64)
         inter_n = batch["i"].to_numpy().astype(np.int64)

@@ -10,11 +10,13 @@ via ``ray.put``, and every training document is checked in a stateless
 once. At cluster scale the broadcast set is fetched per node (plasma),
 deserialized once per actor in ``__init__``.
 
-Grams are compared as exact strings (not hashes) so the DuckDB oracle in
-``__ray_entry__`` is definitionally identical; an engine running against a
-large eval suite would hash grams to uint64 first (see
-functions/hashing.md5_gram_hashes for the established trick) at a 2^-64
-collision risk per pair.
+Both modes compare grams as 64-bit hashes computed by the same vectorized
+kernel (``_gram_hash_table``: Arrow split + one md5 per DISTINCT token +
+polynomial window combine) — equality of hash sets stands in for equality
+of gram strings at a ~2^-64 collision risk per gram pair, the same class
+as functions/hashing.md5_gram_hashes. The DuckDB oracle intersects literal
+gram strings; ``word_ngrams``/``collect_eval_grams`` keep the exact-string
+reference semantics for tests.
 """
 
 from __future__ import annotations
@@ -54,30 +56,63 @@ def collect_eval_grams(eval_ds, n: int) -> frozenset:
     return frozenset(out)
 
 
+def collect_eval_gram_hashes(eval_ds, n: int):
+    """Sorted distinct word-n-gram HASHES over the eval Dataset (the
+    broadcast payload of the vectorized broadcast path): each eval batch
+    runs the same ``_gram_hash_table`` kernel the join mode uses, and the
+    driver unions the int64 hash columns — a few bytes per distinct gram,
+    small by the eval-side contract."""
+    import numpy as np
+
+    parts = [
+        batch["g"].to_numpy()
+        for batch in eval_ds.map_batches(
+            lambda b: _gram_hash_table(b, n), batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+        if batch.num_rows
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
 class ContaminationChecker:
     """Actor-pool stage: count distinct eval-set n-grams per document.
 
-    The broadcast gram set is fetched and deserialized ONCE per actor in
-    ``__init__`` (the repo-wide stateful-stage pattern); ``__call__`` does
-    per-row set intersection (C-level) against it.
+    The broadcast SORTED gram-hash array is fetched ONCE per actor in
+    ``__init__`` (zero-copy numpy view from the object store); ``__call__``
+    runs the vectorized ``_gram_hash_table`` kernel over the batch and one
+    ``searchsorted`` membership probe — no per-row Python set construction
+    on the training (100 TB) side. Hash-collision contract: same 2^-64
+    class as the join mode (the two paths are pinned equal in
+    tests/test_training_data_ops.py).
     """
 
     def __init__(self, grams_ref, n: int):
         import ray
 
-        self.grams: frozenset = ray.get(grams_ref)
+        self.grams = ray.get(grams_ref)  # sorted int64 gram hashes
         self.n = n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"]
-        hits = [
-            len(word_ngrams(t, self.n) & self.grams)
-            for t in batch["text"].to_pylist()
-        ]
-        tbl = pa.table(
-            {"doc_id": ids.cast(pa.int64()), "n_hits": pa.array(hits, pa.int64())}
+        import numpy as np
+
+        gt = _gram_hash_table(batch, self.n)
+        g = gt["g"].to_numpy()
+        d = gt["doc_id"].to_numpy()
+        ev = self.grams
+        if ev.size and g.size:
+            pos = np.searchsorted(ev, g)
+            hit = ev[np.minimum(pos, ev.size - 1)] == g
+        else:
+            hit = np.zeros(g.size, dtype=bool)
+        ids, counts = np.unique(d[hit], return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "n_hits": pa.array(counts.astype(np.int64), pa.int64()),
+            }
         )
-        return tbl.filter(pa.compute.greater(tbl["n_hits"], 0))
 
 
 def contamination_counts(docs_ds, eval_ds, n: int = 8, concurrency: int = 4):
@@ -85,12 +120,12 @@ def contamination_counts(docs_ds, eval_ds, n: int = 8, concurrency: int = 4):
     n-gram with the eval set; n_hits = number of DISTINCT shared grams.
 
     ``docs_ds`` streams; ``eval_ds`` is materialized into a broadcast
-    frozenset. Callers decide the eval/train split (and must exclude eval
-    rows from ``docs_ds`` themselves if the two overlap).
+    sorted hash array. Callers decide the eval/train split (and must
+    exclude eval rows from ``docs_ds`` themselves if the two overlap).
     """
     import ray
 
-    grams_ref = ray.put(collect_eval_grams(eval_ds, n))
+    grams_ref = ray.put(collect_eval_gram_hashes(eval_ds, n))
     return docs_ds.map_batches(
         ContaminationChecker,
         fn_constructor_args=(grams_ref, n),

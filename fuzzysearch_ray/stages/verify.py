@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 
 from ..config import DedupConfig
 from ..functions.hashing import (
-    exact_jaccard,
+    batched_exact_jaccard,
     run_window_hashes,
     shares_long_run_hashed,
     shingle_hashes,
@@ -161,6 +161,39 @@ class ShardedShingleLookup(ShardedIdLookup):
             idx = off[sel]
             out[sel] = o[idx + 1] - o[idx]
         return out
+
+    def gather_segments(self, positions: np.ndarray):
+        """Concatenated shingle values + per-row lengths for MANY rows in
+        one block-wise fancy-indexed gather (no per-row slicing loop) —
+        feeds functions.hashing.batched_exact_jaccard. Returns
+        ``(values, lens)`` with ``values`` laid out in ``positions``
+        order."""
+        blk = self.blk[positions]
+        off = self.off[positions]
+        lens = np.empty(len(positions), dtype=np.int64)
+        for b in np.unique(blk):
+            sel = blk == b
+            o = self.offsets[b]
+            i = off[sel]
+            lens[sel] = o[i + 1] - o[i]
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        out = np.empty(int(bounds[-1]), dtype=np.uint64)
+        for b in np.unique(blk):
+            sel = np.flatnonzero(blk == b)
+            ls = lens[sel]
+            tot = int(ls.sum())
+            if tot == 0:
+                continue
+            o = self.offsets[b]
+            starts = o[off[sel]].astype(np.int64)
+            # concatenated-aranges trick: element offset within its segment
+            elem = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(ls) - ls, ls
+            )
+            out[np.repeat(bounds[sel], ls) + elem] = self.values[b][
+                np.repeat(starts, ls) + elem
+            ]
+        return out, lens
 
 
 class ShardedSigLookup(ShardedIdLookup):
@@ -303,7 +336,6 @@ class VerifyPairs:
             n = len(a_all)
             pos_a = self._shingles.positions(a_all)
             pos_b = self._shingles.positions(b_all)
-            get_row = self._shingles.get_row
             # size-ratio prefilter (vectorized, exact): inter <= min size and
             # union >= max size, so jaccard <= min/max — pairs whose set
             # sizes alone cannot reach the threshold never touch the data
@@ -313,8 +345,17 @@ class VerifyPairs:
             plausible = np.minimum(sz_a, sz_b) >= cfg.jaccard_threshold * np.maximum(
                 sz_a, sz_b
             )
-            for i in np.flatnonzero(plausible).tolist():
-                jacs[i] = exact_jaccard(get_row(pos_a[i]), get_row(pos_b[i]))
+            pl = np.flatnonzero(plausible)
+            if pl.size:
+                # one vectorized pass for ALL plausible pairs: block-wise
+                # segment gather + tagged lexsort intersection count
+                va, la = self._shingles.gather_segments(pos_a[pl])
+                vb, lb = self._shingles.gather_segments(pos_b[pl])
+                idx = np.arange(pl.size, dtype=np.int64)
+                tags = np.concatenate([np.repeat(idx, la), np.repeat(idx, lb)])
+                jacs[pl] = batched_exact_jaccard(
+                    tags, np.concatenate([va, vb]), la, lb
+                )
             keep = np.flatnonzero(jacs >= cfg.jaccard_threshold)
             a_ids = a_all[keep]
             b_ids = b_all[keep]
@@ -347,11 +388,21 @@ class VerifyPairs:
                     cache[uid] = shingle_hashes(
                         texts_cat[fi][:lsh_cap], cfg.shingle_k
                     )
-            jacs = np.empty(len(a_all), dtype=np.float64)
-            for i in range(len(a_all)):
-                jacs[i] = exact_jaccard(
-                    cache[int(a_all[i])], cache[int(b_all[i])]
-                )
+            # one vectorized intersection pass for the whole batch: the
+            # per-pair work is only two dict fetches; sizes, tags and the
+            # lexsort dup-count are all numpy
+            rows_a = [cache[int(x)] for x in a_all]
+            rows_b = [cache[int(x)] for x in b_all]
+            la = np.fromiter((r.size for r in rows_a), np.int64, len(rows_a))
+            lb = np.fromiter((r.size for r in rows_b), np.int64, len(rows_b))
+            idx = np.arange(len(a_all), dtype=np.int64)
+            tags = np.concatenate([np.repeat(idx, la), np.repeat(idx, lb)])
+            vals = (
+                np.concatenate(rows_a + rows_b)
+                if rows_a or rows_b
+                else np.empty(0, np.uint64)
+            )
+            jacs = batched_exact_jaccard(tags, vals, la, lb)
             keep = np.flatnonzero(jacs >= cfg.jaccard_threshold)
             a_ids = a_all[keep]
             b_ids = b_all[keep]

@@ -232,3 +232,32 @@ def test_char_gram_hashes_matches_gram_sets():
     grams = {ascii_t[i : i + 3] for i in range(len(ascii_t) - 2)}
     slow = char_gram_hashes("ü" + ascii_t, 3)  # superset via non-ascii route
     assert set(fast.tolist()) <= set(slow.tolist())
+
+
+def test_batched_exact_jaccard_matches_scalar():
+    """batched_exact_jaccard ≡ exact_jaccard over random unique-sorted set
+    pairs, including empty/empty (=1.0) and empty/non-empty (=0.0)."""
+    import numpy as np
+
+    from fuzzysearch_ray.functions.hashing import batched_exact_jaccard, exact_jaccard
+
+    rng = np.random.default_rng(7)
+    rows_a, rows_b = [], []
+    for _ in range(200):
+        na, nb = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+        pool = rng.integers(0, 60, size=na + nb).astype(np.uint64)
+        rows_a.append(np.unique(pool[:na]))
+        rows_b.append(np.unique(pool[na:]))
+    rows_a.append(np.empty(0, np.uint64))
+    rows_b.append(np.empty(0, np.uint64))  # empty/empty
+    rows_a.append(np.array([3], np.uint64))
+    rows_b.append(np.empty(0, np.uint64))  # non-empty/empty
+    la = np.array([r.size for r in rows_a], dtype=np.int64)
+    lb = np.array([r.size for r in rows_b], dtype=np.int64)
+    idx = np.arange(len(rows_a), dtype=np.int64)
+    tags = np.concatenate([np.repeat(idx, la), np.repeat(idx, lb)])
+    vals = np.concatenate(rows_a + rows_b)
+    got = batched_exact_jaccard(tags, vals, la, lb)
+    exp = np.array([exact_jaccard(a, b) for a, b in zip(rows_a, rows_b)])
+    assert np.allclose(got, exp)
+    assert got[-2] == 1.0 and got[-1] == 0.0
