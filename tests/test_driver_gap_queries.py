@@ -1,0 +1,156 @@
+"""Brute-force unit tests for the queries that previously had only the
+SQL-oracle gate: media_thumbnails, media_frame_samples,
+distinct_users_daily, near_dup_degree. Each is checked against an
+independent pandas/numpy reimplementation on synthetic inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fuzzysearch_ray.pipelines.queries import (
+    q_distinct_users_daily,
+    q_media_frame_samples,
+    q_media_thumbnails,
+    q_near_dup_degree,
+)
+
+
+def _write_docs(tmp_path, texts, langs=None, sources=None):
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs or ["en"] * n, pa.string()),
+            "source": pa.array(sources or ["s0"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return tbl
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_thumbnails_geometry_brute_force(tmp_path):
+    rng = np.random.default_rng(21)
+    texts = ["y" * int(rng.integers(1, 300)) for _ in range(120)]
+    texts += ["", "z"]  # tiny dims: h=8, w=8 (n_chars 0/1)
+    _write_docs(tmp_path, texts)
+    max_side = 16
+
+    got = q_media_thumbnails(str(tmp_path), max_side=max_side)
+
+    # independent integer-geometry reimplementation of the query contract:
+    # source dims from n_chars, aspect-preserving fit capped at max_side
+    rows = []
+    for i, t in enumerate(texts):
+        h, w = len(t) % 40 + 8, len(t) * 7 % 40 + 8
+        m = max(h, w)
+        if m > max_side:
+            h, w = max(1, h * max_side // m), max(1, w * max_side // m)
+        rows.append((i, h, w))
+    exp = pd.DataFrame(rows, columns=["media_id", "out_h", "out_w"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_frame_samples_brute_force(tmp_path):
+    rng = np.random.default_rng(22)
+    texts = ["q" * int(rng.integers(0, 200)) for _ in range(150)]
+    _write_docs(tmp_path, texts)
+    k = 4
+
+    got = q_media_frame_samples(str(tmp_path), k=k)
+
+    rows = []
+    for i, t in enumerate(texts):
+        n = len(t) % 50 + 1
+        k_eff = min(k, n)
+        if k_eff == 1:
+            idxs = [0]
+        else:
+            idxs = [j * (n - 1) // (k_eff - 1) for j in range(k_eff)]
+        rows.extend((i, j) for j in idxs)
+    exp = pd.DataFrame(rows, columns=["media_id", "frame_idx"]).sort_values(
+        ["media_id", "frame_idx"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distinct_users_daily_brute_force(tmp_path):
+    rng = np.random.default_rng(23)
+    n = 4000
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + rng.integers(0, 86_400_000_000 * 4, n)
+    users = rng.integers(0, 25, n)
+    types = rng.choice(["click", "view", "error"], n)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(np.zeros(n), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = q_distinct_users_daily(str(tmp_path))
+
+    exp = (
+        pd.DataFrame(
+            {"event_type": types, "day": ts // 86_400_000_000, "user_id": users}
+        )
+        .groupby(["event_type", "day"])["user_id"]
+        .nunique()
+        .rename("n_users")
+        .reset_index()
+        .sort_values(["event_type", "day"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_degree_brute_force(tmp_path):
+    """Known near-dup families (variants differ in ONE word of ~120) →
+    expected degrees from an exhaustive all-pairs exact-Jaccard sweep
+    (independent pair discovery; shares only the hashing kernels, like
+    pipelines/oracle.py)."""
+    from fuzzysearch_ray.config import DedupConfig
+    from fuzzysearch_ray.functions.hashing import exact_jaccard, shingle_hashes
+
+    rng = np.random.default_rng(24)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    texts = []
+    for fam in range(5):
+        base_words = list(rng.choice(vocab, size=120))
+        for v in range(3):  # 3 near-identical variants per family
+            words = list(base_words)
+            words[-1] = f"fam{fam}var{v}"
+            texts.append(" ".join(words))
+    for _ in range(15):  # unrelated singletons
+        texts.append(" ".join(rng.choice(vocab, size=60)))
+    _write_docs(tmp_path, texts)
+
+    got = q_near_dup_degree(str(tmp_path))
+
+    cfg = DedupConfig()
+    sh = [
+        shingle_hashes(t[: cfg.max_content_bytes_for_lsh], cfg.shingle_k)
+        for t in texts
+    ]
+    deg = np.zeros(len(texts), dtype=np.int64)
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if exact_jaccard(sh[i], sh[j]) >= cfg.jaccard_threshold:
+                deg[i] += 1
+                deg[j] += 1
+    exp = pd.DataFrame(
+        {"doc_id": np.flatnonzero(deg), "degree": deg[deg > 0]}
+    ).reset_index(drop=True)
+    assert (deg > 0).sum() == 15  # every family member found partners
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
