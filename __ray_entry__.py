@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_contains": Q.q_docs_contains,
         "media_features": Q.q_media_features,
         # --- round-4 additions ---
+        "media_bmp_pixel_stats": Q.q_media_bmp_pixel_stats,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -689,6 +690,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN GREATEST(h, w) <= 16 THEN w "
             "ELSE GREATEST(1, (w * 16) // GREATEST(h, w)) END AS BIGINT) AS out_w "
             "FROM src"
+        ),
+        "media_bmp_pixel_stats": (
+            # closed-form checksum of the REAL decoded BMP pixel content:
+            # pixel[y,x,c] = (doc_id + 3y + 7x + 11c) % 256 — the engine
+            # sums what decode_bmp actually parsed out of the file bytes
+            "SELECT d.doc_id AS media_id, "
+            "CAST(d.n_chars % 13 + 2 AS BIGINT) AS h, "
+            "CAST(d.n_chars * 3 % 17 + 2 AS BIGINT) AS w, "
+            "CAST(SUM((d.doc_id + 3*y.y + 7*x.x + 11*c.c) % 256) AS BIGINT) "
+            "AS pixel_sum "
+            "FROM documents d "
+            "CROSS JOIN LATERAL (SELECT unnest(range(0, d.n_chars % 13 + 2)) AS y) y "
+            "CROSS JOIN LATERAL (SELECT unnest(range(0, d.n_chars * 3 % 17 + 2)) AS x) x "
+            "CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c "
+            "GROUP BY 1, 2, 3"
         ),
         "media_frame_samples": (
             # endpoint-inclusive uniform frame indices j*(n-1)//(k_eff-1):

@@ -2826,3 +2826,51 @@ def q_media_frame_samples(sf_dir: str, k: int = 4):
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values(["media_id", "frame_idx"], ignore_index=True)
+
+
+def q_media_bmp_pixel_stats(sf_dir: str):
+    """REAL image decode end-to-end: synthesize a genuine 24-bit BMP file
+    per document (gradient pixels (doc_id + 3y + 7x + 11c) % 256, geometry
+    from n_chars), push the encoded bytes through the BmpPixelStats actor
+    pool (dependency-free decode_bmp — header parse, bottom-up row order,
+    4-byte row padding, BGR→RGB), and emit an integer checksum of the
+    DECODED pixels. The SQL oracle recomputes the checksum in closed form,
+    so any decoder bug (row order, padding, channel/axis flip — the
+    coefficients 3/7/11 make the sum asymmetric) fails the gate."""
+    from ..stages.multimodal import BmpPixelStats, encode_bmp
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def to_bmp(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_numpy().astype(np.int64)
+        nc = batch["n_chars"].to_numpy().astype(np.int64)
+        hs, ws = nc % 13 + 2, nc * 3 % 17 + 2
+        payloads = []
+        for did, h, w in zip(dids.tolist(), hs.tolist(), ws.tolist()):
+            y = 3 * np.arange(h, dtype=np.int64)[:, None, None]
+            x = 7 * np.arange(w, dtype=np.int64)[None, :, None]
+            c = 11 * np.arange(3, dtype=np.int64)[None, None, :]
+            payloads.append(encode_bmp(((did + y + x + c) % 256).astype(np.uint8)))
+        return pa.table(
+            {
+                "media_id": pa.array(dids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_bmp, batch_format="pyarrow")
+    out = media.map_batches(
+        BmpPixelStats,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(2, 4),
+        num_cpus=1,
+    )
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("media_id", "h", "w", "pixel_sum")}
+        )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("media_id", ignore_index=True)

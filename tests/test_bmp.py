@@ -1,0 +1,146 @@
+"""Real dependency-free BMP decode path (stages/multimodal.py).
+
+The decode step for uncompressed 24-bit BMP is REAL in this environment —
+these tests pin the file-format corners (row padding, bottom-up vs
+top-down row order, BGR storage) and drive a real BMP through the
+ImageResizer actor pool end-to-end."""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fuzzysearch_ray.stages.multimodal import (
+    BmpPixelStats,
+    decode_bmp,
+    decode_image,
+    encode_bmp,
+    fit_dims,
+    resize_nearest,
+)
+
+
+def _gradient(h, w, seed=0):
+    y = 3 * np.arange(h, dtype=np.int64)[:, None, None]
+    x = 7 * np.arange(w, dtype=np.int64)[None, :, None]
+    c = 11 * np.arange(3, dtype=np.int64)[None, None, :]
+    return ((seed + y + x + c) % 256).astype(np.uint8)
+
+
+@pytest.mark.parametrize("w", [1, 2, 3, 4, 5, 17, 64])  # all w%4 padding cases
+@pytest.mark.parametrize("h", [1, 2, 13])
+def test_roundtrip_all_padding_widths(h, w):
+    arr = _gradient(h, w, seed=h * 31 + w)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+
+def test_decode_image_dispatches_bmp():
+    arr = _gradient(5, 6)
+    np.testing.assert_array_equal(decode_image(encode_bmp(arr)), arr)
+
+
+def test_encoded_bytes_are_genuine_bmp_layout():
+    """Not just a round-trip of our own bugs: check stored bytes against the
+    published format — BGR order, bottom-up rows, 4-byte-padded rows."""
+    arr = _gradient(2, 3)  # row_size = 12 (3*3=9 → padded to 12)
+    payload = encode_bmp(arr)
+    assert payload[:2] == b"BM"
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    assert data_off == 54
+    row_size = 12
+    # last stored row is the TOP image row; first stored pixel is BGR of arr[ -1 if bottom-up ]
+    bottom_row = payload[data_off : data_off + row_size]
+    top_row = payload[data_off + row_size : data_off + 2 * row_size]
+    np.testing.assert_array_equal(
+        np.frombuffer(bottom_row, np.uint8)[:9].reshape(3, 3), arr[1, :, ::-1]
+    )
+    np.testing.assert_array_equal(
+        np.frombuffer(top_row, np.uint8)[:9].reshape(3, 3), arr[0, :, ::-1]
+    )
+    assert bottom_row[9:12] == b"\x00\x00\x00"  # padding bytes
+
+
+def test_topdown_bmp_decodes():
+    """Negative biHeight = top-down row order — decoder must NOT flip."""
+    arr = _gradient(4, 5, seed=9)
+    payload = bytearray(encode_bmp(arr))
+    # rewrite height to negative and reorder rows to top-down
+    h, w = 4, 5
+    row_size = (w * 3 + 3) & ~3
+    struct.pack_into("<i", payload, 22, -h)
+    data = np.frombuffer(bytes(payload[54:]), np.uint8).reshape(h, row_size)
+    payload[54:] = data[::-1].tobytes()
+    np.testing.assert_array_equal(decode_bmp(bytes(payload)), arr)
+
+
+def test_decode_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_bmp(b"\x89PNG not a bmp")
+    arr = _gradient(2, 2)
+    payload = bytearray(encode_bmp(arr))
+    struct.pack_into("<H", payload, 28, 8)  # claim 8bpp
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(payload))
+    payload = bytearray(encode_bmp(arr))
+    struct.pack_into("<I", payload, 30, 1)  # claim RLE compression
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(payload))
+
+
+def test_bmp_pixel_stats_brute_force():
+    arrs = [_gradient(3, 7, seed=5), _gradient(13, 4, seed=42)]
+    batch = pa.table(
+        {
+            "media_id": pa.array([10, 11], pa.int64()),
+            "payload": pa.array([encode_bmp(a) for a in arrs], pa.binary()),
+        }
+    )
+    out = BmpPixelStats()(batch)
+    assert out["h"].to_pylist() == [3, 13]
+    assert out["w"].to_pylist() == [7, 4]
+    assert out["pixel_sum"].to_pylist() == [
+        int(a.sum(dtype=np.int64)) for a in arrs
+    ]
+
+
+def test_real_bmp_through_image_resizer_e2e(ray_session):
+    """A REAL encoded BMP file decoded by the real decoder inside the
+    ImageResizer actor pool — thumbnail pixels must equal the reference
+    nearest-neighbor resize of the original array."""
+    import ray.data as rd
+
+    from fuzzysearch_ray.stages.multimodal import ImageResizer
+
+    arrs = {i: _gradient(20 + i, 33 - i, seed=i) for i in range(4)}
+    tbl = pa.table(
+        {
+            "media_id": pa.array(list(arrs), pa.int64()),
+            "payload": pa.array(
+                [encode_bmp(a) for a in arrs.values()], pa.binary()
+            ),
+            # metadata columns present but the REAL decode wins
+            "height": pa.array([a.shape[0] for a in arrs.values()], pa.int64()),
+            "width": pa.array([a.shape[1] for a in arrs.values()], pa.int64()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            ImageResizer,
+            fn_constructor_args=(8, decode_bmp),
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=2,
+            num_cpus=1,
+        )
+        .to_pandas()
+        .sort_values("media_id", ignore_index=True)
+    )
+    for i, row in out.iterrows():
+        src = arrs[int(row["media_id"])]
+        oh, ow = fit_dims(src.shape[0], src.shape[1], 8)
+        assert (row["out_h"], row["out_w"]) == (oh, ow)
+        expect = resize_nearest(src, oh, ow)
+        got = np.frombuffer(row["thumb"], np.uint8).reshape(oh, ow, 3)
+        np.testing.assert_array_equal(got, expect)
