@@ -189,14 +189,19 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
-def _build_and_load() -> Optional[ctypes.CDLL]:
-    tag = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
+def compile_so(c_source: str) -> ctypes.CDLL:
+    """Compile a C source string to a cached shared object and load it.
+
+    The cache key is the source hash, so every module that embeds a kernel
+    source gets its own .so built at most once per host; concurrent builders
+    race safely through the atomic rename."""
+    tag = hashlib.sha256(c_source.encode()).hexdigest()[:16]
     so_path = os.path.join(tempfile.gettempdir(), "fsray_native_%s.so" % tag)
     if not os.path.exists(so_path):
         cc = os.environ.get("CC", "cc")
         fd, tmp_c = tempfile.mkstemp(suffix=".c", prefix="fsray_")
         with os.fdopen(fd, "w") as f:
-            f.write(_C_SOURCE)
+            f.write(c_source)
         tmp_so = so_path + ".%d.tmp" % os.getpid()
         try:
             subprocess.run(
@@ -212,7 +217,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
                     os.unlink(p)
                 except OSError:
                     pass
-    lib = ctypes.CDLL(so_path)
+    return ctypes.CDLL(so_path)
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    lib = compile_so(_C_SOURCE)
     p64 = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
     pu8 = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
     lib.fsray_batch_lev.argtypes = [pu8, p64, p64, p64, p64, p64, ctypes.c_int64, p64]

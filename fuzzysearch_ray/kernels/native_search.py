@@ -1,0 +1,351 @@
+"""Optional native (C) batched siblings of the per-row SEARCH kernels.
+
+Round-3 closed the pair-VERIFY speed-class gap with kernels/native.py (one
+ctypes call per batch of candidate pairs); this module does the same for the
+two ngram-pigeonhole SEARCH families that dominate the ``fuzzy_search_*``
+actor pools:
+
+- Levenshtein ngram search — strict semantic mirror of
+  ``kernels/levenshtein.find_near_matches_levenshtein_ngrams`` (itself a
+  re-derivation of the reference's levenshtein_ngram.py:159-198 pigeonhole +
+  22-143 prefix-anchored DP expansion, the algorithms the reference ships as
+  Cython in _levenshtein_ngrams.pyx): exact piece hits are expanded right
+  then left with the same full-column / banded DP selector, the same
+  tie-breaking (minimal distance, then longest consumed window) and the same
+  early-bail rules, emitting the identical raw (start, end, dist) multiset in
+  the identical piece-major order.
+- Substitutions ngram search — mirror of
+  ``kernels/substitutions.find_near_matches_substitutions_ngrams``
+  (reference substitutions_only.py:148-215): piece hits anchor a capped
+  whole-window Hamming count (the piece region contributes zero mismatches,
+  so the full-window count equals the reference's before+after split);
+  duplicates across pieces are deduplicated by start on the Python side,
+  which is equivalent because every anchored emission of a start carries the
+  same exact distance.
+
+One C call scans a whole ``map_batches`` batch of haystacks (packed Arrow
+UTF-8 data buffer + per-row offset/length views — zero copy from the object
+store), with the GIL released. ASCII-only by construction (byte offsets ==
+character offsets); callers route non-ASCII rows — and every row when no C
+compiler exists — through the pure-Python kernels, which remain the always-on
+reference implementation pinned by the golden/property tests.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .native import compile_so
+
+#: kind codes shared with the C entry point
+KIND_LEVENSHTEIN = 0
+KIND_SUBSTITUTIONS = 1
+
+_C_SOURCE = r"""
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+typedef struct {
+    int64_t *row, *start, *end, *dist;
+    int64_t cap, n;
+} fs_out;
+
+static void fs_emit(fs_out *o, int64_t r, int64_t s, int64_t e, int64_t d) {
+    if (o->n < o->cap) {
+        o->row[o->n] = r;
+        o->start[o->n] = s;
+        o->end[o->n] = e;
+        o->dist[o->n] = d;
+    }
+    o->n++;
+}
+
+/* expand_prefix mirror (full-column DP, kernels/levenshtein.py:24-68):
+   best prefix-anchored distance of ndl vs a prefix of win; minimal distance,
+   longest consumed among equals; early bail when no cell can improve.
+   Returns distance or -1; *consumed set on success. */
+static int64_t expand_full(const uint8_t *ndl, int64_t m, const uint8_t *win,
+                           int64_t n, int64_t max_dist, int64_t *consumed,
+                           int64_t *row) {
+    if (m == 0) { *consumed = 0; return 0; }
+    for (int64_t j = 0; j < m; j++) row[j] = j + 1;
+    int64_t best = m, best_len = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t ch = win[i];
+        int64_t diag = i, left = i + 1, rowmin = (int64_t)1 << 60;
+        for (int64_t j = 0; j < m; j++) {
+            int64_t up = row[j];
+            int64_t cost = diag + (ch != ndl[j]);
+            if (up + 1 < cost) cost = up + 1;
+            if (left + 1 < cost) cost = left + 1;
+            row[j] = cost;
+            left = cost;
+            diag = up;
+            if (cost < rowmin) rowmin = cost;
+        }
+        if (left <= best) { best = left; best_len = i + 1; }
+        else if (rowmin >= best) break;
+    }
+    if (best > max_dist) return -1;
+    *consumed = best_len;
+    return best;
+}
+
+/* expand_prefix_banded mirror (kernels/levenshtein.py:71-133): O(k*n) band,
+   identical band boundaries, INF clamping, improvement and bail rules. */
+static int64_t expand_banded(const uint8_t *ndl, int64_t m, const uint8_t *win,
+                             int64_t n, int64_t k, int64_t *consumed,
+                             int64_t *band, int64_t *cur) {
+    if (m == 0) { *consumed = 0; return 0; }
+    if (k <= 0) {
+        if (n >= m && memcmp(win, ndl, (size_t)m) == 0) { *consumed = m; return 0; }
+        return -1;
+    }
+    int64_t INF = k + 1;
+    int64_t lo = 0;
+    int64_t hi = (m - 1 < k - 1) ? m - 1 : k - 1;
+    for (int64_t j = lo; j <= hi; j++) band[j - lo] = j + 1;
+    int64_t best = (m <= k) ? m : INF, best_len = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t ch = win[i];
+        int64_t new_lo = (i - k > 0) ? i - k : 0;
+        int64_t new_hi = (m - 1 < i + k) ? m - 1 : i + k;
+        if (new_lo > m - 1) break;
+        int64_t curmin = (int64_t)1 << 60;
+        for (int64_t j = new_lo; j <= new_hi; j++) {
+            int64_t up = (j >= lo && j <= hi) ? band[j - lo] : INF;
+            int64_t diag;
+            if (j - 1 < 0) diag = (i <= k) ? i : INF;
+            else if (j - 1 >= lo && j - 1 <= hi) diag = band[j - 1 - lo];
+            else diag = INF;
+            int64_t left;
+            if (j - 1 < new_lo) left = (i + 1 <= k) ? i + 1 : INF;
+            else left = cur[j - 1 - new_lo];
+            int64_t cost = diag + (ch != ndl[j]);
+            if (up + 1 < cost) cost = up + 1;
+            if (left + 1 < cost) cost = left + 1;
+            if (cost > k) cost = INF;
+            cur[j - new_lo] = cost;
+            if (cost < curmin) curmin = cost;
+        }
+        lo = new_lo; hi = new_hi;
+        { int64_t *t = band; band = cur; cur = t; }
+        int improved = 0;
+        if (hi == m - 1 && band[hi - lo] <= best) {
+            best = band[hi - lo];
+            best_len = i + 1;
+            improved = 1;
+        }
+        if (!improved && curmin >= best) break;
+    }
+    if (best > k) return -1;
+    *consumed = best_len;
+    return best;
+}
+
+/* _expand selector mirror (kernels/levenshtein.py:136-144) */
+static int64_t expand_sel(const uint8_t *ndl, int64_t m, const uint8_t *win,
+                          int64_t n, int64_t max_dist, int64_t *consumed,
+                          int64_t *dp_row, int64_t *band_a, int64_t *band_b) {
+    int64_t thresh = (max_dist * 2 > 10) ? max_dist * 2 : 10;
+    if (m > thresh)
+        return expand_banded(ndl, m, win, n, max_dist, consumed, band_a, band_b);
+    return expand_full(ndl, m, win, n, max_dist, consumed, dp_row);
+}
+
+/* levenshtein ngram pigeonhole driver for one haystack
+   (kernels/levenshtein.py:147-184), piece-major emission order */
+static void search_lev_doc(const uint8_t *ndl, int64_t m, int64_t k,
+                           const uint8_t *hay, int64_t n, int64_t row_idx,
+                           fs_out *out, int64_t *dp_row, int64_t *band_a,
+                           int64_t *band_b, uint8_t *revbuf, uint8_t *prevbuf) {
+    int64_t piece_len = m / (k + 1);
+    for (int64_t ps = 0; ps + piece_len <= m; ps += piece_len) {
+        int64_t pe = ps + piece_len;
+        for (int64_t j = 0; j < ps; j++) prevbuf[j] = ndl[ps - 1 - j];
+        const uint8_t *suffix = ndl + pe;
+        int64_t suf_len = m - pe;
+        int64_t lo = (ps - k > 0) ? ps - k : 0;
+        int64_t hi = n - m + pe + k;
+        if (hi > n) hi = n;
+        if (hi - lo < piece_len) continue;
+        const uint8_t *p = hay + lo;
+        const uint8_t *endp = hay + hi - piece_len;
+        uint8_t c0 = ndl[ps];
+        while (p <= endp) {
+            p = (const uint8_t *)memchr(p, c0, (size_t)(endp - p + 1));
+            if (!p) break;
+            if (piece_len == 1 ||
+                memcmp(p + 1, ndl + ps + 1, (size_t)(piece_len - 1)) == 0) {
+                int64_t hit = p - hay;
+                int64_t rw_start = hit + piece_len;
+                int64_t rw_end = hit - ps + m + k;
+                if (rw_end > n) rw_end = n;
+                int64_t rw_len = rw_end - rw_start;
+                if (rw_len < 0) rw_len = 0;
+                int64_t len_r;
+                int64_t dist_r = expand_sel(suffix, suf_len, hay + rw_start,
+                                            rw_len, k, &len_r, dp_row, band_a,
+                                            band_b);
+                if (dist_r >= 0) {
+                    int64_t budget_l = k - dist_r;
+                    int64_t lw_start = hit - ps - budget_l;
+                    if (lw_start < 0) lw_start = 0;
+                    int64_t lw_len = hit - lw_start;
+                    for (int64_t j = 0; j < lw_len; j++)
+                        revbuf[j] = hay[hit - 1 - j];
+                    int64_t len_l;
+                    int64_t dist_l = expand_sel(prevbuf, ps, revbuf, lw_len,
+                                                budget_l, &len_l, dp_row,
+                                                band_a, band_b);
+                    if (dist_l >= 0)
+                        fs_emit(out, row_idx, hit - len_l,
+                                hit + piece_len + len_r, dist_l + dist_r);
+                }
+            }
+            p++;
+        }
+    }
+}
+
+/* substitutions ngram driver (kernels/substitutions.py:80-120): anchored
+   capped whole-window Hamming; duplicate starts across pieces emitted raw
+   (Python side dedups by start — same distance every time) */
+static void search_subs_doc(const uint8_t *ndl, int64_t m, int64_t k,
+                            const uint8_t *hay, int64_t n, int64_t row_idx,
+                            fs_out *out) {
+    int64_t piece_len = m / (k + 1);
+    for (int64_t ps = 0; ps + piece_len <= m; ps += piece_len) {
+        int64_t pe = ps + piece_len;
+        int64_t lo = ps;
+        if (lo > n) lo = n;
+        int64_t hi = n - (m - pe);
+        if (hi < lo) hi = lo;
+        if (hi > n) hi = n;
+        if (hi - lo < piece_len) continue;
+        const uint8_t *p = hay + lo;
+        const uint8_t *endp = hay + hi - piece_len;
+        uint8_t c0 = ndl[ps];
+        while (p <= endp) {
+            p = (const uint8_t *)memchr(p, c0, (size_t)(endp - p + 1));
+            if (!p) break;
+            if (piece_len == 1 ||
+                memcmp(p + 1, ndl + ps + 1, (size_t)(piece_len - 1)) == 0) {
+                int64_t start = (p - hay) - ps;
+                const uint8_t *w = hay + start;
+                int64_t d = 0, cap = k + 1;
+                for (int64_t j = 0; j < m && d < cap; j++) d += (w[j] != ndl[j]);
+                if (d <= k) fs_emit(out, row_idx, start, start + m, d);
+            }
+            p++;
+        }
+    }
+}
+
+/* batch entry: one call over a packed batch of haystacks. Returns the total
+   number of matches (which may exceed cap_out — caller re-calls with the
+   returned capacity), or -1 on allocation failure. */
+int64_t fsray_search_batch(int64_t kind, const uint8_t *ndl, int64_t m,
+                           int64_t k, const uint8_t *buf,
+                           const int64_t *doc_off, const int64_t *doc_len,
+                           int64_t ndocs, int64_t *out_row, int64_t *out_start,
+                           int64_t *out_end, int64_t *out_dist,
+                           int64_t cap_out) {
+    fs_out out = {out_row, out_start, out_end, out_dist, cap_out, 0};
+    int64_t *dp_row = (int64_t *)malloc((size_t)(m + 2) * sizeof(int64_t));
+    int64_t *band_a = (int64_t *)malloc((size_t)(2 * k + 8) * sizeof(int64_t));
+    int64_t *band_b = (int64_t *)malloc((size_t)(2 * k + 8) * sizeof(int64_t));
+    uint8_t *revbuf = (uint8_t *)malloc((size_t)(m + k + 2));
+    uint8_t *prevbuf = (uint8_t *)malloc((size_t)(m + 2));
+    if (!dp_row || !band_a || !band_b || !revbuf || !prevbuf) {
+        free(dp_row); free(band_a); free(band_b); free(revbuf); free(prevbuf);
+        return -1;
+    }
+    for (int64_t r = 0; r < ndocs; r++) {
+        const uint8_t *hay = buf + doc_off[r];
+        int64_t n = doc_len[r];
+        if (kind == 0)
+            search_lev_doc(ndl, m, k, hay, n, r, &out, dp_row, band_a, band_b,
+                           revbuf, prevbuf);
+        else
+            search_subs_doc(ndl, m, k, hay, n, r, &out);
+    }
+    free(dp_row); free(band_a); free(band_b); free(revbuf); free(prevbuf);
+    return out.n;
+}
+"""
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def get_search_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native search library; None when no compiler is available
+    (the engine then runs the pure-Python search kernels). Honors the same
+    FSRAY_NO_NATIVE escape hatch as the verify kernel."""
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        import os
+
+        if os.environ.get("FSRAY_NO_NATIVE"):
+            _LIB = None
+        else:
+            try:
+                lib = compile_so(_C_SOURCE)
+                p64 = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+                pu8 = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+                lib.fsray_search_batch.argtypes = [
+                    ctypes.c_int64,  # kind
+                    pu8,             # needle
+                    ctypes.c_int64,  # m
+                    ctypes.c_int64,  # k
+                    pu8,             # packed haystack buffer
+                    p64,             # doc offsets (absolute into buffer)
+                    p64,             # doc lengths
+                    ctypes.c_int64,  # ndocs
+                    p64, p64, p64, p64,  # out row/start/end/dist
+                    ctypes.c_int64,  # out capacity
+                ]
+                lib.fsray_search_batch.restype = ctypes.c_int64
+                _LIB = lib
+            except Exception:
+                _LIB = None
+    return _LIB
+
+
+def native_search_batch(
+    kind: int,
+    needle: bytes,
+    k: int,
+    buf: np.ndarray,
+    doc_off: np.ndarray,
+    doc_len: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """One C call over a packed haystack batch → (row, start, end, dist)
+    arrays of raw (pre-consolidation) matches in piece-major per-row order.
+
+    ``buf`` is the shared uint8 data buffer; ``doc_off``/``doc_len`` are
+    absolute per-document views into it (int64, C-contiguous)."""
+    lib = get_search_lib()
+    assert lib is not None
+    ndl = np.frombuffer(needle, dtype=np.uint8)
+    cap = max(4 * len(doc_off), 1024)
+    while True:
+        out_row = np.empty(cap, dtype=np.int64)
+        out_start = np.empty(cap, dtype=np.int64)
+        out_end = np.empty(cap, dtype=np.int64)
+        out_dist = np.empty(cap, dtype=np.int64)
+        n = lib.fsray_search_batch(
+            kind, ndl, len(ndl), k, buf, doc_off, doc_len, len(doc_off),
+            out_row, out_start, out_end, out_dist, cap,
+        )
+        if n < 0:
+            raise MemoryError("native search batch allocation failed")
+        if n <= cap:
+            return out_row[:n], out_start[:n], out_end[:n], out_dist[:n]
+        cap = int(n)

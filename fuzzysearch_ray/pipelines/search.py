@@ -12,12 +12,21 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import DedupConfig
 from ..kernels import (
     SearchParams,
     choose_search_family,
     search_with_family,
+)
+from ..kernels.dispatch import LEVENSHTEIN, SUBSTITUTIONS
+from ..kernels.match import Match, consolidate_overlapping_matches
+from ..kernels.native_search import (
+    KIND_LEVENSHTEIN,
+    KIND_SUBSTITUTIONS,
+    get_search_lib,
+    native_search_batch,
 )
 
 MATCH_SCHEMA = pa.schema(
@@ -29,6 +38,84 @@ MATCH_SCHEMA = pa.schema(
         ("matched", pa.string()),
     ]
 )
+
+
+def _native_kind_for(family: str, needle, params: SearchParams):
+    """(kind, cap) for the native batched ngram fast path, or None when the
+    pure-Python kernels must run (non-ASCII needle, lp/exact dispatch branch,
+    or a custom registered family)."""
+    if not isinstance(needle, str) or not needle or not needle.isascii():
+        return None
+    if family == LEVENSHTEIN:
+        k = params.max_l_dist
+        if k is not None and k >= 1 and len(needle) // (k + 1) >= 3:
+            return (KIND_LEVENSHTEIN, k)
+    elif family == SUBSTITUTIONS:
+        caps = [
+            x for x in (params.max_l_dist, params.max_substitutions) if x is not None
+        ]
+        if caps:
+            k = min(caps)
+            if k >= 1 and len(needle) // (k + 1) >= 3:
+                return (KIND_SUBSTITUTIONS, k)
+    return None
+
+
+def _packed_views(col):
+    """Zero-copy packed views of a UTF-8 column: (data buffer as uint8,
+    per-row absolute start offsets, per-row byte lengths, ascii row mask or
+    None when every row is pure ASCII). Returns None when nulls are present
+    (callers then take the pure-Python path)."""
+    cb = pc.cast(col, pa.large_binary()).combine_chunks()
+    if cb.null_count:
+        return None
+    n = len(cb)
+    off = np.frombuffer(cb.buffers()[1], dtype=np.int64, count=cb.offset + n + 1)[
+        cb.offset :
+    ]
+    data_buf = cb.buffers()[2]
+    total = int(off[-1]) if n else 0
+    buf = (
+        np.frombuffer(data_buf, dtype=np.uint8, count=total)
+        if data_buf is not None and total
+        else np.zeros(1, np.uint8)
+    )
+    starts = np.ascontiguousarray(off[:-1])
+    lens = np.ascontiguousarray(np.diff(off))
+    used = buf[int(off[0]) : total] if n else buf[:0]
+    if used.size == 0 or int(used.max()) < 128:
+        return buf, starts, lens, None
+    # per-row ASCII flags via a cumulative non-ASCII count (handles
+    # zero-length rows, O(bytes) vectorized)
+    csum = np.zeros(used.size + 1, dtype=np.int64)
+    np.cumsum(used >= 128, out=csum[1:])
+    rel = off - off[0]
+    ascii_mask = (csum[rel[1:]] - csum[rel[:-1]]) == 0
+    return buf, starts, lens, ascii_mask
+
+
+def _native_matches_for_views(
+    kind: int,
+    needle: str,
+    k: int,
+    buf: np.ndarray,
+    starts: np.ndarray,
+    lens: np.ndarray,
+):
+    """Run the native batched search over (start, len) views and return raw
+    per-view match arrays (view_idx, start, end, dist), substitutions output
+    already deduplicated by start within each view (order: by view, then by
+    match start — the Python kernel's output order)."""
+    rows, ms, me, md = native_search_batch(
+        kind, needle.encode(), k, buf, starts, lens
+    )
+    if kind == KIND_SUBSTITUTIONS and len(rows):
+        order = np.lexsort((ms, rows))
+        rows, ms, me, md = rows[order], ms[order], me[order], md[order]
+        keep = np.ones(len(rows), dtype=bool)
+        keep[1:] = (rows[1:] != rows[:-1]) | (ms[1:] != ms[:-1])
+        rows, ms, me, md = rows[keep], ms[keep], me[keep], md[keep]
+    return rows, ms, me, md
 
 
 class FuzzySearcher:
@@ -50,10 +137,12 @@ class FuzzySearcher:
         # explicit family = registry lookup (custom kernels plug in here);
         # default = the reference's planner rules
         self.family = family or choose_search_family(self.params)
+        # native batched fast path (compiled once per host, one C call per
+        # batch with the GIL released) for the two ngram pigeonhole families;
+        # anything else — and non-ASCII rows — runs the pure-Python kernels
+        self._native = _native_kind_for(self.family, needle, self.params)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["id"].to_numpy()
-        contents = batch["content"].to_pylist()
+    def _python_rows(self, ids, contents):
         out_id, out_s, out_e, out_d, out_m = [], [], [], [], []
         for i, text in zip(ids, contents):
             for m in search_with_family(self.family, self.needle, text, self.params):
@@ -62,6 +151,78 @@ class FuzzySearcher:
                 out_e.append(m.end)
                 out_d.append(m.dist)
                 out_m.append(m.matched)
+        return out_id, out_s, out_e, out_d, out_m
+
+    def _native_rows(self, batch: pa.Table):
+        """(id, start, end, dist, matched) lists via the native kernel, or
+        None when the batch must take the Python path (nulls)."""
+        packed = _packed_views(batch["content"])
+        if packed is None:
+            return None
+        buf, starts, lens, ascii_mask = packed
+        ids = batch["id"].to_numpy()
+        if ascii_mask is None:
+            sel = None
+            s_c, l_c = starts, lens
+        else:
+            sel = np.flatnonzero(ascii_mask)
+            s_c = np.ascontiguousarray(starts[sel])
+            l_c = np.ascontiguousarray(lens[sel])
+        rows, ms, me, md = _native_matches_for_views(
+            self._native[0], self.needle, self._native[1], buf, s_c, l_c
+        )
+        if sel is not None:
+            rows = sel[rows]
+        out_id, out_s, out_e, out_d, out_m = [], [], [], [], []
+        consolidate = self._native[0] == KIND_LEVENSHTEIN
+        bounds = np.searchsorted(rows, np.arange(len(ids) + 1))
+        for r in np.unique(rows):
+            lo, hi = bounds[r], bounds[r + 1]
+            base = int(starts[r])
+            if consolidate:
+                matches = [
+                    Match(
+                        int(ms[i]),
+                        int(me[i]),
+                        int(md[i]),
+                        buf[base + ms[i] : base + me[i]].tobytes().decode("ascii"),
+                    )
+                    for i in range(lo, hi)
+                ]
+                matches = consolidate_overlapping_matches(matches)
+                for m in matches:
+                    out_id.append(int(ids[r]))
+                    out_s.append(m.start)
+                    out_e.append(m.end)
+                    out_d.append(m.dist)
+                    out_m.append(m.matched)
+            else:
+                for i in range(lo, hi):
+                    out_id.append(int(ids[r]))
+                    out_s.append(int(ms[i]))
+                    out_e.append(int(me[i]))
+                    out_d.append(int(md[i]))
+                    out_m.append(
+                        buf[base + ms[i] : base + me[i]].tobytes().decode("ascii")
+                    )
+        if ascii_mask is not None and not ascii_mask.all():
+            # non-ASCII rows: pure-Python kernel (char-level semantics)
+            bad = np.flatnonzero(~ascii_mask)
+            texts = batch["content"].take(pa.array(bad)).to_pylist()
+            p = self._python_rows(ids[bad], texts)
+            for acc, part in zip((out_id, out_s, out_e, out_d, out_m), p):
+                acc.extend(part)
+        return out_id, out_s, out_e, out_d, out_m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        res = None
+        if self._native is not None and get_search_lib() is not None:
+            res = self._native_rows(batch)
+        if res is None:
+            ids = batch["id"].to_numpy()
+            contents = batch["content"].to_pylist()
+            res = self._python_rows(ids, contents)
+        out_id, out_s, out_e, out_d, out_m = res
         return pa.table(
             {
                 "id": pa.array(out_id, pa.int64()),
@@ -130,6 +291,10 @@ class ChunkedFuzzySearcher:
         # duplicates can occur; consolidating would only drop legitimate
         # overlapping matches and diverge from the non-chunked search.
         self._family_consolidates = FAMILY_CONSOLIDATES[self.family]
+        # native batched path: every window of every ASCII doc in the batch
+        # becomes a zero-copy (offset, length) view into the shared Arrow
+        # data buffer — one C call scans them all
+        self._native = _native_kind_for(self.family, needle, self.params)
 
     def _search_one(self, text: str):
         matches = []
@@ -158,17 +323,99 @@ class ChunkedFuzzySearcher:
             return self._consolidate(matches)
         return sorted(set(matches))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _native_rows(self, batch: pa.Table):
+        """Windowed native scan: (id, start, end, dist, matched) lists, or
+        None when the batch has nulls (Python path)."""
+        packed = _packed_views(batch["content"])
+        if packed is None:
+            return None
+        buf, starts, lens, ascii_mask = packed
         ids = batch["id"].to_numpy()
-        contents = batch["content"].to_pylist()
+        step = self.chunk_size
+        # explode ASCII docs into overlapping-window views
+        w_start, w_len, w_doc, w_off = [], [], [], []
+        for r in range(len(ids)):
+            if ascii_mask is not None and not ascii_mask[r]:
+                continue
+            base, n = int(starts[r]), int(lens[r])
+            off = 0
+            while True:
+                w_start.append(base + off)
+                w_len.append(min(n - off, step + self.overlap))
+                w_doc.append(r)
+                w_off.append(off)
+                off += step
+                if off >= n:
+                    break
         out_id, out_s, out_e, out_d, out_m = [], [], [], [], []
-        for i, text in zip(ids, contents):
-            for m in self._search_one(text):
-                out_id.append(int(i))
-                out_s.append(m.start)
-                out_e.append(m.end)
-                out_d.append(m.dist)
-                out_m.append(m.matched)
+        if w_start:
+            widx, ms, me, md = _native_matches_for_views(
+                self._native[0],
+                self.needle,
+                self._native[1],
+                buf,
+                np.asarray(w_start, dtype=np.int64),
+                np.asarray(w_len, dtype=np.int64),
+            )
+            w_doc_a = np.asarray(w_doc, dtype=np.int64)
+            w_off_a = np.asarray(w_off, dtype=np.int64)
+            rows = w_doc_a[widx]
+            ms = ms + w_off_a[widx]
+            me = me + w_off_a[widx]
+            order = np.argsort(rows, kind="stable")
+            rows, ms, me, md = rows[order], ms[order], me[order], md[order]
+            bounds = np.searchsorted(rows, np.arange(len(ids) + 1))
+            for r in np.unique(rows):
+                lo, hi = bounds[r], bounds[r + 1]
+                base = int(starts[r])
+                matches = [
+                    Match(
+                        int(ms[i]),
+                        int(me[i]),
+                        int(md[i]),
+                        buf[base + ms[i] : base + me[i]].tobytes().decode("ascii"),
+                    )
+                    for i in range(lo, hi)
+                ]
+                if self._family_consolidates:
+                    matches = self._consolidate(matches)
+                else:
+                    matches = sorted(set(matches))
+                for m in matches:
+                    out_id.append(int(ids[r]))
+                    out_s.append(m.start)
+                    out_e.append(m.end)
+                    out_d.append(m.dist)
+                    out_m.append(m.matched)
+        if ascii_mask is not None and not ascii_mask.all():
+            bad = np.flatnonzero(~ascii_mask)
+            texts = batch["content"].take(pa.array(bad)).to_pylist()
+            for i, text in zip(ids[bad], texts):
+                for m in self._search_one(text):
+                    out_id.append(int(i))
+                    out_s.append(m.start)
+                    out_e.append(m.end)
+                    out_d.append(m.dist)
+                    out_m.append(m.matched)
+        return out_id, out_s, out_e, out_d, out_m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        res = None
+        if self._native is not None and get_search_lib() is not None:
+            res = self._native_rows(batch)
+        if res is None:
+            ids = batch["id"].to_numpy()
+            contents = batch["content"].to_pylist()
+            out_id, out_s, out_e, out_d, out_m = [], [], [], [], []
+            for i, text in zip(ids, contents):
+                for m in self._search_one(text):
+                    out_id.append(int(i))
+                    out_s.append(m.start)
+                    out_e.append(m.end)
+                    out_d.append(m.dist)
+                    out_m.append(m.matched)
+            res = (out_id, out_s, out_e, out_d, out_m)
+        out_id, out_s, out_e, out_d, out_m = res
         return pa.table(
             {
                 "id": pa.array(out_id, pa.int64()),

@@ -1,0 +1,167 @@
+"""Native batched search kernels ≡ pure-Python search kernels.
+
+The C kernels in kernels/native_search.py are strict semantic mirrors of
+find_near_matches_levenshtein_ngrams / find_near_matches_substitutions_ngrams
+(themselves pinned against the reference's behavior by the golden/property
+tests). These tests fuzz the equivalence at both the kernel level (raw match
+multiset AND emission order) and the stage level (FuzzySearcher /
+ChunkedFuzzySearcher output tables, including mixed ASCII/non-ASCII batches
+where non-ASCII rows must route to the Python kernels).
+"""
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fuzzysearch_ray.kernels.levenshtein import find_near_matches_levenshtein_ngrams
+from fuzzysearch_ray.kernels.native_search import (
+    KIND_LEVENSHTEIN,
+    KIND_SUBSTITUTIONS,
+    get_search_lib,
+    native_search_batch,
+)
+from fuzzysearch_ray.kernels.substitutions import (
+    find_near_matches_substitutions_ngrams,
+)
+from fuzzysearch_ray.pipelines.search import ChunkedFuzzySearcher, FuzzySearcher
+
+pytestmark = pytest.mark.skipif(
+    get_search_lib() is None, reason="no C compiler on this host"
+)
+
+
+def _pack(docs):
+    data = "".join(docs).encode()
+    buf = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+    lens = np.array([len(d) for d in docs], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])[:-1].astype(np.int64)
+    return buf, offs, lens
+
+
+def _edited(rng, needle, k, alpha):
+    t = list(needle)
+    for _ in range(rng.randint(0, k)):
+        op = rng.choice("sid")
+        p = rng.randrange(max(1, len(t)))
+        if op == "s" and t:
+            t[p] = rng.choice(alpha)
+        elif op == "i":
+            t.insert(p, rng.choice(alpha))
+        elif op == "d" and t:
+            del t[p]
+    return "".join(t)
+
+
+def test_kernel_equivalence_fuzz():
+    rng = random.Random(1234)
+    alpha = "abcde"
+    for _ in range(200):
+        m = rng.randint(3, 24)
+        needle = "".join(rng.choice(alpha) for _ in range(m))
+        k = rng.randint(1, max(1, m // 3 - 1))
+        if m // (k + 1) < 3:
+            continue
+        docs = []
+        for _ in range(rng.randint(1, 6)):
+            d = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+            if rng.random() < 0.5:
+                pos = rng.randrange(len(d) + 1)
+                d = d[:pos] + _edited(rng, needle, k, alpha) + d[pos:]
+            docs.append(d)
+        buf, offs, lens = _pack(docs)
+        for kind, pyfn in (
+            (KIND_LEVENSHTEIN, find_near_matches_levenshtein_ngrams),
+            (KIND_SUBSTITUTIONS, find_near_matches_substitutions_ngrams),
+        ):
+            rows, ms, me, md = native_search_batch(
+                kind, needle.encode(), k, buf, offs, lens
+            )
+            per_row = {}
+            for r, s, e, d in zip(rows, ms, me, md):
+                per_row.setdefault(int(r), []).append((int(s), int(e), int(d)))
+            for r, doc in enumerate(docs):
+                py = [(mt.start, mt.end, mt.dist) for mt in pyfn(needle, doc, k)]
+                nat = per_row.get(r, [])
+                if kind == KIND_SUBSTITUTIONS:
+                    # python dedups by start; native emits raw piece hits
+                    nat, py = sorted(set(nat)), sorted(set(py))
+                assert nat == py, (needle, k, doc)
+
+
+def _rand_batch(rng, with_nonascii):
+    alpha = "abcdef "
+    docs = []
+    for _ in range(120):
+        t = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 200)))
+        if rng.random() < 0.4:
+            pos = rng.randrange(len(t) + 1)
+            t = t[:pos] + _edited(rng, "stream", 1, alpha) + t[pos:]
+        if with_nonascii and rng.random() < 0.15:
+            t += "é漢"
+        docs.append(t)
+    return pa.table(
+        {
+            "id": pa.array(list(range(len(docs))), pa.int64()),
+            "content": pa.array(docs, pa.string()),
+        }
+    )
+
+
+def _rowset(tbl):
+    return sorted(
+        zip(
+            tbl["id"].to_pylist(),
+            tbl["start"].to_pylist(),
+            tbl["end"].to_pylist(),
+            tbl["dist"].to_pylist(),
+            tbl["matched"].to_pylist(),
+        )
+    )
+
+
+@pytest.mark.parametrize("with_nonascii", [False, True])
+def test_stage_equivalence(with_nonascii, monkeypatch):
+    rng = random.Random(99)
+    batch = _rand_batch(rng, with_nonascii)
+    stages = [
+        FuzzySearcher("stream", max_l_dist=1),
+        FuzzySearcher(
+            "stream", max_substitutions=1, max_insertions=0, max_deletions=0
+        ),
+        ChunkedFuzzySearcher("stream", 48, max_l_dist=1),
+    ]
+    for stage in stages:
+        assert stage._native is not None
+        native = _rowset(stage(batch))
+        monkeypatch.setattr(stage, "_native", None)
+        python = _rowset(stage(batch))
+        monkeypatch.undo()
+        assert native == python
+
+
+def test_null_content_falls_back():
+    batch = pa.table(
+        {
+            "id": pa.array([0, 1], pa.int64()),
+            "content": pa.array(["the stream flows", None], pa.string()),
+        }
+    )
+    stage = FuzzySearcher("stream", max_l_dist=1)
+    # null rows route the whole batch to the Python kernels, which raise on
+    # None haystacks the same way regardless of the native path
+    with pytest.raises(Exception):
+        stage(batch)
+
+
+def test_overflow_retry_path():
+    # tiny capacity start (4*ndocs) with many matches per doc forces the
+    # count-then-retry branch in native_search_batch
+    docs = [("stream " * 50) for _ in range(2)]
+    buf, offs, lens = _pack(docs)
+    rows, ms, me, md = native_search_batch(
+        KIND_LEVENSHTEIN, b"stream", 1, buf, offs, lens
+    )
+    py = list(find_near_matches_levenshtein_ngrams("stream", docs[0], 1))
+    assert len(rows) == 2 * len(py)
