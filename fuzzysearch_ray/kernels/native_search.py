@@ -43,6 +43,8 @@ from .native import compile_so
 #: kind codes shared with the C entry point
 KIND_LEVENSHTEIN = 0
 KIND_SUBSTITUTIONS = 1
+KIND_GENERIC = 2
+KIND_GENERIC_LP = 3
 
 _C_SOURCE = r"""
 #include <stdint.h>
@@ -246,10 +248,149 @@ static void search_subs_doc(const uint8_t *ndl, int64_t m, int64_t k,
     }
 }
 
+/* --- generic family: candidate automaton with independent budgets -------- */
+
+typedef struct {
+    int64_t start, pos, l, s, i, d;
+} gstate;
+
+typedef struct {
+    gstate *v;
+    int64_t n, cap;
+    int oom;
+} gvec;
+
+static void gpush(gvec *g, int64_t start, int64_t pos, int64_t l, int64_t s,
+                  int64_t i, int64_t d) {
+    if (g->n == g->cap) {
+        int64_t nc = g->cap ? g->cap * 2 : 64;
+        gstate *nv = (gstate *)realloc(g->v, (size_t)nc * sizeof(gstate));
+        if (!nv) { g->oom = 1; return; }
+        g->v = nv;
+        g->cap = nc;
+    }
+    gstate *st = g->v + g->n++;
+    st->start = start; st->pos = pos; st->l = l; st->s = s; st->i = i; st->d = d;
+}
+
+/* find_near_matches_generic_lp mirror (kernels/generic.py:21-92), including
+   the reference's edge quirks: a candidate is seeded at every offset, and
+   deletion-skip matches end at the CURRENT index. base is added to emitted
+   spans (window rebasing for the ngram branch). Returns 0, or -1 on OOM. */
+static int fs_generic_lp(const uint8_t *ndl, int64_t m, const uint8_t *hay,
+                         int64_t n, int64_t max_s, int64_t max_i,
+                         int64_t max_d, int64_t max_t, int64_t row_idx,
+                         int64_t base, fs_out *out, gvec *states, gvec *nxt) {
+    states->n = 0; nxt->n = 0;
+    for (int64_t idx = 0; idx < n; idx++) {
+        uint8_t ch = hay[idx];
+        gpush(states, idx, 0, 0, 0, 0, 0);
+        if (states->oom) return -1;
+        nxt->n = 0;
+        for (int64_t si = 0; si < states->n; si++) {
+            gstate st = states->v[si];
+            if (ch == ndl[st.pos]) {
+                if (st.pos + 1 == m)
+                    fs_emit(out, row_idx, base + st.start, base + idx + 1, st.l);
+                else
+                    gpush(nxt, st.start, st.pos + 1, st.l, st.s, st.i, st.d);
+                continue;
+            }
+            if (st.l == max_t) continue;
+            if (st.i < max_i)
+                gpush(nxt, st.start, st.pos, st.l + 1, st.s, st.i + 1, st.d);
+            if (st.pos + 1 < m) {
+                if (st.s < max_s)
+                    gpush(nxt, st.start, st.pos + 1, st.l + 1, st.s + 1, st.i, st.d);
+                else if (st.d < max_d && st.i < max_i)
+                    gpush(nxt, st.start, st.pos + 1, st.l + 1, st.s, st.i + 1,
+                          st.d + 1);
+            } else {
+                if (st.s < max_s || (st.d < max_d && st.i < max_i))
+                    fs_emit(out, row_idx, base + st.start, base + idx + 1,
+                            st.l + 1);
+            }
+            {
+                int64_t cap_skip = max_d - st.d;
+                if (max_t - st.l < cap_skip) cap_skip = max_t - st.l;
+                for (int64_t skip = 1; skip <= cap_skip; skip++) {
+                    if (st.pos + skip == m) {
+                        fs_emit(out, row_idx, base + st.start, base + idx,
+                                st.l + skip);
+                        break;
+                    }
+                    if (ndl[st.pos + skip] == ch) {
+                        if (st.pos + skip + 1 == m)
+                            fs_emit(out, row_idx, base + st.start, base + idx,
+                                    st.l + skip);
+                        else
+                            gpush(nxt, st.start, st.pos + 1 + skip,
+                                  st.l + skip, st.s, st.i, st.d + skip);
+                        break;
+                    }
+                }
+            }
+            if (nxt->oom) return -1;
+        }
+        { gvec *t = states; /* swap */
+          gstate *tv = states->v; int64_t tn = states->n, tc = states->cap;
+          states->v = nxt->v; states->n = nxt->n; states->cap = nxt->cap;
+          nxt->v = tv; nxt->n = tn; nxt->cap = tc; (void)t; }
+    }
+    for (int64_t si = 0; si < states->n; si++) {
+        gstate st = states->v[si];
+        int64_t remaining = m - st.pos;
+        if (st.d + remaining <= max_d && st.l + remaining <= max_t)
+            fs_emit(out, row_idx, base + st.start, base + n, st.l + remaining);
+    }
+    return 0;
+}
+
+/* find_near_matches_generic_ngrams mirror (kernels/generic.py:95-121):
+   pigeonhole piece hits, re-run the automaton on a +-k window, rebase. */
+static int search_generic_doc(const uint8_t *ndl, int64_t m, int64_t max_s,
+                              int64_t max_i, int64_t max_d, int64_t max_t,
+                              const uint8_t *hay, int64_t n, int64_t row_idx,
+                              fs_out *out, gvec *states, gvec *nxt) {
+    int64_t k = max_t;
+    int64_t piece_len = m / (k + 1);
+    for (int64_t ps = 0; ps + piece_len <= m; ps += piece_len) {
+        int64_t pe = ps + piece_len;
+        int64_t lo = (ps - k > 0) ? ps - k : 0;
+        int64_t hi = n - m + pe + k;
+        if (hi > n) hi = n;
+        if (hi <= lo || hi - lo < piece_len) continue;
+        const uint8_t *p = hay + lo;
+        const uint8_t *endp = hay + hi - piece_len;
+        uint8_t c0 = ndl[ps];
+        while (p <= endp) {
+            p = (const uint8_t *)memchr(p, c0, (size_t)(endp - p + 1));
+            if (!p) break;
+            if (piece_len == 1 ||
+                memcmp(p + 1, ndl + ps + 1, (size_t)(piece_len - 1)) == 0) {
+                int64_t hit = p - hay;
+                int64_t w_start = hit - ps - k;
+                if (w_start < 0) w_start = 0;
+                int64_t w_end = hit - ps + m + k;
+                if (w_end > n) w_end = n;
+                if (fs_generic_lp(ndl, m, hay + w_start, w_end - w_start,
+                                  max_s, max_i, max_d, max_t, row_idx,
+                                  w_start, out, states, nxt) < 0)
+                    return -1;
+            }
+            p++;
+        }
+    }
+    return 0;
+}
+
 /* batch entry: one call over a packed batch of haystacks. Returns the total
    number of matches (which may exceed cap_out — caller re-calls with the
-   returned capacity), or -1 on allocation failure. */
+   returned capacity), or -1 on allocation failure. kinds: 0 levenshtein
+   ngrams (k = total), 1 substitutions ngrams (k = total), 2 generic ngrams,
+   3 generic automaton over the whole haystack. */
 int64_t fsray_search_batch(int64_t kind, const uint8_t *ndl, int64_t m,
+                           int64_t max_subs, int64_t max_ins, int64_t max_dels,
                            int64_t k, const uint8_t *buf,
                            const int64_t *doc_off, const int64_t *doc_len,
                            int64_t ndocs, int64_t *out_row, int64_t *out_start,
@@ -261,21 +402,30 @@ int64_t fsray_search_batch(int64_t kind, const uint8_t *ndl, int64_t m,
     int64_t *band_b = (int64_t *)malloc((size_t)(2 * k + 8) * sizeof(int64_t));
     uint8_t *revbuf = (uint8_t *)malloc((size_t)(m + k + 2));
     uint8_t *prevbuf = (uint8_t *)malloc((size_t)(m + 2));
+    gvec states = {0, 0, 0, 0}, nxt = {0, 0, 0, 0};
     if (!dp_row || !band_a || !band_b || !revbuf || !prevbuf) {
         free(dp_row); free(band_a); free(band_b); free(revbuf); free(prevbuf);
         return -1;
     }
-    for (int64_t r = 0; r < ndocs; r++) {
+    int64_t rc = 0;
+    for (int64_t r = 0; r < ndocs && rc == 0; r++) {
         const uint8_t *hay = buf + doc_off[r];
         int64_t n = doc_len[r];
         if (kind == 0)
             search_lev_doc(ndl, m, k, hay, n, r, &out, dp_row, band_a, band_b,
                            revbuf, prevbuf);
-        else
+        else if (kind == 1)
             search_subs_doc(ndl, m, k, hay, n, r, &out);
+        else if (kind == 2)
+            rc = search_generic_doc(ndl, m, max_subs, max_ins, max_dels, k,
+                                    hay, n, r, &out, &states, &nxt);
+        else
+            rc = fs_generic_lp(ndl, m, hay, n, max_subs, max_ins, max_dels, k,
+                               r, 0, &out, &states, &nxt);
     }
     free(dp_row); free(band_a); free(band_b); free(revbuf); free(prevbuf);
-    return out.n;
+    free(states.v); free(nxt.v);
+    return rc < 0 ? -1 : out.n;
 }
 """
 
@@ -303,7 +453,10 @@ def get_search_lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_int64,  # kind
                     pu8,             # needle
                     ctypes.c_int64,  # m
-                    ctypes.c_int64,  # k
+                    ctypes.c_int64,  # max_subs
+                    ctypes.c_int64,  # max_ins
+                    ctypes.c_int64,  # max_dels
+                    ctypes.c_int64,  # k (max_l_dist / family cap)
                     pu8,             # packed haystack buffer
                     p64,             # doc offsets (absolute into buffer)
                     p64,             # doc lengths
@@ -325,15 +478,18 @@ def native_search_batch(
     buf: np.ndarray,
     doc_off: np.ndarray,
     doc_len: np.ndarray,
+    budgets: Optional[Tuple[int, int, int]] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """One C call over a packed haystack batch → (row, start, end, dist)
     arrays of raw (pre-consolidation) matches in piece-major per-row order.
 
     ``buf`` is the shared uint8 data buffer; ``doc_off``/``doc_len`` are
-    absolute per-document views into it (int64, C-contiguous)."""
+    absolute per-document views into it (int64, C-contiguous). ``budgets``
+    is the (max_subs, max_ins, max_dels) triple for the generic kinds."""
     lib = get_search_lib()
     assert lib is not None
     ndl = np.frombuffer(needle, dtype=np.uint8)
+    ms_, mi_, md_ = budgets if budgets is not None else (k, k, k)
     cap = max(4 * len(doc_off), 1024)
     while True:
         out_row = np.empty(cap, dtype=np.int64)
@@ -341,8 +497,8 @@ def native_search_batch(
         out_end = np.empty(cap, dtype=np.int64)
         out_dist = np.empty(cap, dtype=np.int64)
         n = lib.fsray_search_batch(
-            kind, ndl, len(ndl), k, buf, doc_off, doc_len, len(doc_off),
-            out_row, out_start, out_end, out_dist, cap,
+            kind, ndl, len(ndl), ms_, mi_, md_, k, buf, doc_off, doc_len,
+            len(doc_off), out_row, out_start, out_end, out_dist, cap,
         )
         if n < 0:
             raise MemoryError("native search batch allocation failed")

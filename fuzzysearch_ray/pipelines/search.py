@@ -20,9 +20,11 @@ from ..kernels import (
     choose_search_family,
     search_with_family,
 )
-from ..kernels.dispatch import LEVENSHTEIN, SUBSTITUTIONS
+from ..kernels.dispatch import GENERIC, LEVENSHTEIN, SUBSTITUTIONS
 from ..kernels.match import Match, consolidate_overlapping_matches
 from ..kernels.native_search import (
+    KIND_GENERIC,
+    KIND_GENERIC_LP,
     KIND_LEVENSHTEIN,
     KIND_SUBSTITUTIONS,
     get_search_lib,
@@ -41,15 +43,16 @@ MATCH_SCHEMA = pa.schema(
 
 
 def _native_kind_for(family: str, needle, params: SearchParams):
-    """(kind, cap) for the native batched ngram fast path, or None when the
-    pure-Python kernels must run (non-ASCII needle, lp/exact dispatch branch,
-    or a custom registered family)."""
+    """(kind, cap, budgets) for the native batched fast path, or None when
+    the pure-Python kernels must run (non-ASCII needle, an uncovered dispatch
+    branch, or a custom registered family). ``budgets`` is the
+    (max_subs, max_ins, max_dels) triple the generic kinds need."""
     if not isinstance(needle, str) or not needle or not needle.isascii():
         return None
     if family == LEVENSHTEIN:
         k = params.max_l_dist
         if k is not None and k >= 1 and len(needle) // (k + 1) >= 3:
-            return (KIND_LEVENSHTEIN, k)
+            return (KIND_LEVENSHTEIN, k, None)
     elif family == SUBSTITUTIONS:
         caps = [
             x for x in (params.max_l_dist, params.max_substitutions) if x is not None
@@ -57,7 +60,20 @@ def _native_kind_for(family: str, needle, params: SearchParams):
         if caps:
             k = min(caps)
             if k >= 1 and len(needle) // (k + 1) >= 3:
-                return (KIND_SUBSTITUTIONS, k)
+                return (KIND_SUBSTITUTIONS, k, None)
+    elif family == GENERIC:
+        subs, ins, dels, total = params.unpacked
+        if (
+            total is not None
+            and total >= 1
+            and all(x is not None for x in (subs, ins, dels))
+        ):
+            kind = (
+                KIND_GENERIC
+                if len(needle) // (total + 1) >= 3
+                else KIND_GENERIC_LP
+            )
+            return (kind, total, (subs, ins, dels))
     return None
 
 
@@ -101,13 +117,14 @@ def _native_matches_for_views(
     buf: np.ndarray,
     starts: np.ndarray,
     lens: np.ndarray,
+    budgets=None,
 ):
     """Run the native batched search over (start, len) views and return raw
     per-view match arrays (view_idx, start, end, dist), substitutions output
     already deduplicated by start within each view (order: by view, then by
     match start — the Python kernel's output order)."""
     rows, ms, me, md = native_search_batch(
-        kind, needle.encode(), k, buf, starts, lens
+        kind, needle.encode(), k, buf, starts, lens, budgets
     )
     if kind == KIND_SUBSTITUTIONS and len(rows):
         order = np.lexsort((ms, rows))
@@ -169,12 +186,13 @@ class FuzzySearcher:
             s_c = np.ascontiguousarray(starts[sel])
             l_c = np.ascontiguousarray(lens[sel])
         rows, ms, me, md = _native_matches_for_views(
-            self._native[0], self.needle, self._native[1], buf, s_c, l_c
+            self._native[0], self.needle, self._native[1], buf, s_c, l_c,
+            self._native[2],
         )
         if sel is not None:
             rows = sel[rows]
         out_id, out_s, out_e, out_d, out_m = [], [], [], [], []
-        consolidate = self._native[0] == KIND_LEVENSHTEIN
+        consolidate = self._native[0] != KIND_SUBSTITUTIONS
         bounds = np.searchsorted(rows, np.arange(len(ids) + 1))
         for r in np.unique(rows):
             lo, hi = bounds[r], bounds[r + 1]
@@ -356,27 +374,36 @@ class ChunkedFuzzySearcher:
                 buf,
                 np.asarray(w_start, dtype=np.int64),
                 np.asarray(w_len, dtype=np.int64),
+                self._native[2],
             )
+            # mirror _search_one exactly: consolidate PER WINDOW first (for
+            # consolidating families), rebase, then consolidate per doc —
+            # one-shot doc-level consolidation can differ on chained overlaps
             w_doc_a = np.asarray(w_doc, dtype=np.int64)
             w_off_a = np.asarray(w_off, dtype=np.int64)
-            rows = w_doc_a[widx]
-            ms = ms + w_off_a[widx]
-            me = me + w_off_a[widx]
-            order = np.argsort(rows, kind="stable")
-            rows, ms, me, md = rows[order], ms[order], me[order], md[order]
-            bounds = np.searchsorted(rows, np.arange(len(ids) + 1))
-            for r in np.unique(rows):
-                lo, hi = bounds[r], bounds[r + 1]
+            bounds = np.searchsorted(widx, np.arange(len(w_start) + 1))
+            per_doc = {}
+            for w in np.unique(widx):
+                lo, hi = bounds[w], bounds[w + 1]
+                r = int(w_doc_a[w])
                 base = int(starts[r])
+                off = int(w_off_a[w])
                 matches = [
                     Match(
-                        int(ms[i]),
-                        int(me[i]),
+                        int(ms[i]) + off,
+                        int(me[i]) + off,
                         int(md[i]),
-                        buf[base + ms[i] : base + me[i]].tobytes().decode("ascii"),
+                        buf[base + off + ms[i] : base + off + me[i]]
+                        .tobytes()
+                        .decode("ascii"),
                     )
                     for i in range(lo, hi)
                 ]
+                if self._family_consolidates:
+                    matches = self._consolidate(matches)
+                per_doc.setdefault(r, []).extend(matches)
+            for r in sorted(per_doc):
+                matches = per_doc[r]
                 if self._family_consolidates:
                     matches = self._consolidate(matches)
                 else:

@@ -15,8 +15,15 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
+from fuzzysearch_ray.kernels.generic import (
+    find_near_matches_generic_lp,
+    find_near_matches_generic_ngrams,
+)
 from fuzzysearch_ray.kernels.levenshtein import find_near_matches_levenshtein_ngrams
+from fuzzysearch_ray.kernels.match import SearchParams
 from fuzzysearch_ray.kernels.native_search import (
+    KIND_GENERIC,
+    KIND_GENERIC_LP,
     KIND_LEVENSHTEIN,
     KIND_SUBSTITUTIONS,
     get_search_lib,
@@ -90,6 +97,51 @@ def test_kernel_equivalence_fuzz():
                 assert nat == py, (needle, k, doc)
 
 
+def test_generic_kernel_equivalence_fuzz():
+    rng = random.Random(4321)
+    alpha = "abcd"
+    for _ in range(150):
+        m = rng.randint(2, 14)
+        needle = "".join(rng.choice(alpha) for _ in range(m))
+        subs = rng.randint(0, 2)
+        ins = rng.randint(0, 2)
+        dels = rng.randint(0, 2)
+        total = rng.choice([None, rng.randint(1, 3)])
+        try:
+            params = SearchParams(subs, ins, dels, total)
+        except ValueError:
+            continue
+        if params.max_l_dist < 1:
+            continue
+        docs = []
+        for _ in range(rng.randint(1, 4)):
+            d = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+            if rng.random() < 0.6:
+                pos = rng.randrange(len(d) + 1)
+                d = d[:pos] + _edited(rng, needle, params.max_l_dist, alpha) + d[pos:]
+            docs.append(d)
+        buf, offs, lens = _pack(docs)
+        k = params.max_l_dist
+        budgets = (
+            params.max_substitutions,
+            params.max_insertions,
+            params.max_deletions,
+        )
+        if m // (k + 1) >= 3:
+            kind, pyfn = KIND_GENERIC, find_near_matches_generic_ngrams
+        else:
+            kind, pyfn = KIND_GENERIC_LP, find_near_matches_generic_lp
+        rows, ms, me, md = native_search_batch(
+            kind, needle.encode(), k, buf, offs, lens, budgets
+        )
+        per_row = {}
+        for r, s, e, d in zip(rows, ms, me, md):
+            per_row.setdefault(int(r), []).append((int(s), int(e), int(d)))
+        for r, doc in enumerate(docs):
+            py = [(mt.start, mt.end, mt.dist) for mt in pyfn(needle, doc, params)]
+            assert per_row.get(r, []) == py, (needle, params.unpacked, doc)
+
+
 def _rand_batch(rng, with_nonascii):
     alpha = "abcdef "
     docs = []
@@ -130,7 +182,19 @@ def test_stage_equivalence(with_nonascii, monkeypatch):
         FuzzySearcher(
             "stream", max_substitutions=1, max_insertions=0, max_deletions=0
         ),
+        # generic lp branch (6 // 3 = 2 < 3)
+        FuzzySearcher(
+            "stream", max_substitutions=1, max_insertions=1, max_deletions=0
+        ),
+        # generic ngrams branch
+        FuzzySearcher(
+            "streaming pipe", max_substitutions=1, max_insertions=1,
+            max_deletions=0, max_l_dist=2,
+        ),
         ChunkedFuzzySearcher("stream", 48, max_l_dist=1),
+        ChunkedFuzzySearcher(
+            "stream", 48, max_substitutions=1, max_insertions=1, max_deletions=0
+        ),
     ]
     for stage in stages:
         assert stage._native is not None
