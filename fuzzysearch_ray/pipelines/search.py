@@ -477,17 +477,18 @@ def fuzzy_search_chunked(
 
 def substring_occurrence_counts(ds, needle: str, batch_size: int = 8192):
     """Per-row NON-overlapping occurrence count of a literal needle
-    (Python ``str.count`` semantics == SQL replace-trick arithmetic), plus a
-    contains flag. Stateless vectorized stage; the SQL oracle is
+    (Python ``str.count`` semantics == Arrow ``count_substring`` == SQL
+    replace-trick arithmetic). Fully vectorized Arrow kernel — no Python
+    per-row loop; the SQL oracle is
     (length(x) - length(replace(x, needle, ''))) / length(needle)."""
 
     def count_batch(batch: pa.Table) -> pa.Table:
-        contents = batch["content"].to_pylist()
-        counts = np.array([t.count(needle) for t in contents], dtype=np.int64)
         return pa.table(
             {
                 "id": batch["id"],
-                "n_occurrences": pa.array(counts, pa.int64()),
+                "n_occurrences": pc.cast(
+                    pc.count_substring(batch["content"], needle), pa.int64()
+                ),
             }
         )
 
