@@ -299,10 +299,67 @@ def run_corpus_only() -> dict:
     return out
 
 
+def run_pairs() -> dict:
+    """Alternating broadcast/join flagship runs only (no sf queries): the
+    cheap way to collect same-window join/broadcast evidence. Same warm-up
+    discipline as the full bench."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().target_max_block_size = 8 * 1024 * 1024
+    import ray.data as rd
+
+    from fuzzysearch_ray.config import DedupConfig
+    from fuzzysearch_ray.pipelines.dedup import near_dup_pipeline
+
+    corpus_path = ensure_corpus()
+    warm_page_cache([corpus_path])
+    rd.read_parquet(corpus_path).limit(2000).map_batches(
+        _warm_import, batch_format="pyarrow"
+    ).materialize()
+    near_dup_pipeline(
+        rd.read_parquet(corpus_path).limit(2000), DedupConfig(), content_mode="join"
+    )
+    n_bench_pairs = int(os.environ.get("GRAFT_BENCH_PAIRS", "3"))
+    pair_walls = []
+    for _ in range(n_bench_pairs):
+        t0 = time.time()
+        near_dup_pipeline(rd.read_parquet(corpus_path), DedupConfig())
+        b_sec = time.time() - t0
+        t0 = time.time()
+        near_dup_pipeline(
+            rd.read_parquet(corpus_path), DedupConfig(), content_mode="join"
+        )
+        pair_walls.append([round(b_sec, 3), round(time.time() - t0, 3)])
+    out = {
+        "metric": "join_broadcast_pairs",
+        "value": round(min(j / b for b, j in pair_walls), 3),
+        "unit": "ratio",
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": CORPUS_ROWS,
+        "corpus_pairs": pair_walls,
+        "broadcast_best_sec": min(p[0] for p in pair_walls),
+        "join_best_sec": min(p[1] for p in pair_walls),
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--corpus-only" in sys.argv:
         print(json.dumps(run_corpus_only()))
+    elif "--pairs" in sys.argv:
+        print(json.dumps(run_pairs()))
     else:
         print(json.dumps(run_bench()))
