@@ -138,6 +138,28 @@ def main():
         per_batch = timeit_us(lambda: scan(batch), min_seconds=0.5)
         out[name]["eng_lockstep_scan_per_doc"] = round(per_batch / nb, 2)
 
+    # the native batched SEARCH kernel (round 4): the exact find_near_matches
+    # semantics (ngram levenshtein family + consolidation) executed as one C
+    # call per document batch — the engine's actual actor-pool shape
+    from fuzzysearch_ray.kernels.native_search import get_search_lib
+    from fuzzysearch_ray.pipelines.search import FuzzySearcher
+
+    if get_search_lib() is not None:
+        for name, w in WORKLOADS.items():
+            nb = 512
+            batch = pa.table(
+                {
+                    "id": pa.array(np.arange(nb), pa.int64()),
+                    "content": pa.array([w["sequence"]] * nb, pa.string()),
+                }
+            )
+            searcher = FuzzySearcher(w["subsequence"], max_l_dist=w["max_dist"])
+            if searcher._native is None:
+                continue  # lp-branch workload: native covers ngram dispatch
+            searcher(batch.slice(0, 4))  # warm compile
+            per_batch = timeit_us(lambda: searcher(batch), min_seconds=0.5)
+            out[name]["eng_native_batch_search_per_doc"] = round(per_batch / nb, 2)
+
     print(json.dumps(out))
 
 
