@@ -441,26 +441,28 @@ def kmeans_assign(embeddings_ds, nlist: int = 8, iters: int = 1, seed: int = 42)
                 }
             )
 
-        agg = {}
-        for t in ray.get(
-            norm.map_batches(partials, batch_format="pyarrow")
-            .materialize()
-            .to_arrow_refs()
-        ):
-            if not t.num_rows:
-                continue
-            svals = t["s"].combine_chunks().flatten().to_numpy().reshape(
-                t.num_rows, -1
+        # driver-side Lloyd reduce over the tiny partials table (<= nlist
+        # rows per block): one concat + np.unique/bincount/add.at — no
+        # per-row Python; driver state stays nlist x dim floats
+        part = pa.concat_tables(
+            t
+            for t in ray.get(
+                norm.map_batches(partials, batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
             )
-            for cid, n, s in zip(t["cid"].to_numpy(), t["n"].to_numpy(), svals):
-                cur = agg.get(int(cid))
-                if cur is None:
-                    agg[int(cid)] = [int(n), s.copy()]
-                else:
-                    cur[0] += int(n)
-                    cur[1] += s
-        cent_ids = np.array(sorted(agg), dtype=np.int64)
-        cents = np.stack([agg[int(c)][1] / agg[int(c)][0] for c in cent_ids])
+            if t.num_rows
+        )
+        cids = part["cid"].to_numpy()
+        ns = part["n"].to_numpy()
+        svals = (
+            part["s"].combine_chunks().flatten().to_numpy().reshape(len(part), -1)
+        )
+        cent_ids, inv = np.unique(cids, return_inverse=True)
+        n_tot = np.bincount(inv, weights=ns)
+        s_tot = np.zeros((len(cent_ids), svals.shape[1]))
+        np.add.at(s_tot, inv, svals)
+        cents = s_tot / n_tot[:, None]
 
     cref = ray.put((_normalize(cents), cent_ids))
 
