@@ -307,29 +307,55 @@ def exact_jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
 
 
 def batched_exact_jaccard(
-    tags: np.ndarray, vals: np.ndarray, sz_a: np.ndarray, sz_b: np.ndarray
+    va: np.ndarray, la: np.ndarray, vb: np.ndarray, lb: np.ndarray
 ) -> np.ndarray:
-    """Exact Jaccard for MANY set pairs in one vectorized pass.
+    """Exact Jaccard for MANY set pairs in one batched kernel call.
 
-    ``vals`` is the concatenation of every pair's a-side and b-side set
-    elements (each side internally unique, e.g. np.unique'd shingle
-    hashes); ``tags[i]`` is the pair index of ``vals[i]``. Because each
-    SIDE is duplicate-free, a (tag, value) appearing twice means the value
-    is in both sides — one intersection hit. One lexsort + adjacent-equal
-    scan + bincount replaces the per-pair searchsorted loop (the last
-    per-pair Python on the verify flagship path).
+    ``va`` / ``vb`` are the concatenation of every pair's a-side / b-side
+    set elements in pair order (each side internally unique and sorted,
+    e.g. np.unique'd shingle hashes); ``la`` / ``lb`` are the per-pair
+    side sizes. With a system C compiler the intersection sizes come from
+    ONE ctypes call into a two-pointer merge over all pairs
+    (kernels/native_jaccard.py, GIL released); otherwise a per-pair
+    searchsorted loop. An earlier all-pairs ``np.lexsort`` formulation was
+    measured ~50x slower than either at flagship set sizes
+    (scripts/jaccard_bench.py) — indirect double argsort over every
+    element loses to O(na+nb) merges when the sides are already sorted.
     """
-    n = len(sz_a)
-    inter = np.zeros(n, dtype=np.int64)
-    if vals.size:
-        order = np.lexsort((vals, tags))
-        t = tags[order]
-        v = vals[order]
-        dup = (t[1:] == t[:-1]) & (v[1:] == v[:-1])
-        inter = np.bincount(t[1:][dup], minlength=n).astype(np.int64)
-    union = sz_a.astype(np.int64) + sz_b.astype(np.int64) - inter
+    from ..kernels.native_jaccard import get_lib, native_batch_inter
+
+    n = len(la)
+    la = np.ascontiguousarray(la, dtype=np.int64)
+    lb = np.ascontiguousarray(lb, dtype=np.int64)
+    if get_lib() is not None:
+        off_a = np.zeros(n + 1, dtype=np.int64)
+        off_b = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(la, out=off_a[1:])
+        np.cumsum(lb, out=off_b[1:])
+        inter = native_batch_inter(
+            np.ascontiguousarray(va, dtype=np.uint64),
+            off_a,
+            np.ascontiguousarray(vb, dtype=np.uint64),
+            off_b,
+        )
+    else:
+        inter = np.zeros(n, dtype=np.int64)
+        oa = ob = 0
+        for i in range(n):
+            a = va[oa : oa + la[i]]
+            b = vb[ob : ob + lb[i]]
+            oa += int(la[i])
+            ob += int(lb[i])
+            if a.size == 0 or b.size == 0:
+                continue
+            if a.size > b.size:
+                a, b = b, a
+            idx = np.searchsorted(b, a)
+            np.minimum(idx, b.size - 1, out=idx)
+            inter[i] = int(np.count_nonzero(b[idx] == a))
+    union = la + lb - inter
     out = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-    out[(sz_a == 0) & (sz_b == 0)] = 1.0
+    out[(la == 0) & (lb == 0)] = 1.0
     return out
 
 

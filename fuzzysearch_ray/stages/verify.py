@@ -347,15 +347,11 @@ class VerifyPairs:
             )
             pl = np.flatnonzero(plausible)
             if pl.size:
-                # one vectorized pass for ALL plausible pairs: block-wise
-                # segment gather + tagged lexsort intersection count
+                # one batched kernel call for ALL plausible pairs: block-wise
+                # segment gather + native merge-intersection count
                 va, la = self._shingles.gather_segments(pos_a[pl])
                 vb, lb = self._shingles.gather_segments(pos_b[pl])
-                idx = np.arange(pl.size, dtype=np.int64)
-                tags = np.concatenate([np.repeat(idx, la), np.repeat(idx, lb)])
-                jacs[pl] = batched_exact_jaccard(
-                    tags, np.concatenate([va, vb]), la, lb
-                )
+                jacs[pl] = batched_exact_jaccard(va, la, vb, lb)
             keep = np.flatnonzero(jacs >= cfg.jaccard_threshold)
             a_ids = a_all[keep]
             b_ids = b_all[keep]
@@ -388,14 +384,14 @@ class VerifyPairs:
                     cache[uid] = shingle_hashes(
                         texts_cat[fi][:lsh_cap], cfg.shingle_k
                     )
-            # one vectorized intersection pass for the whole batch: the
-            # per-pair work is only two dict fetches; sizes, tags and the
-            # lexsort dup-count are all numpy. Same size-ratio prefilter as
-            # the precomputed-shingles path above: jaccard <= min/max of the
-            # set sizes, so pairs that cannot reach the threshold never
-            # enter the lexsort — in the join-mode exchange partitions this
-            # is the difference between ~3.7 ms/pair and ~0.2 ms/pair
-            # (est-gate survivors are mostly size-implausible random pairs)
+            # one batched intersection call for the whole batch: the
+            # per-pair work is only two dict fetches; sizes and the merge
+            # intersection count are one native kernel call. Same size-ratio
+            # prefilter as the precomputed-shingles path above: jaccard <=
+            # min/max of the set sizes, so pairs that cannot reach the
+            # threshold never enter the kernel — in the join-mode exchange
+            # partitions (est-gate survivors are mostly size-implausible
+            # random pairs) that prefilter removes most of the gather cost
             rows_a = [cache[int(x)] for x in a_all]
             rows_b = [cache[int(x)] for x in b_all]
             la = np.fromiter((r.size for r in rows_a), np.int64, len(rows_a))
@@ -409,13 +405,13 @@ class VerifyPairs:
             plausible &= ~both_empty
             pl = np.flatnonzero(plausible)
             if pl.size:
-                la_p, lb_p = la[pl], lb[pl]
-                idx = np.arange(pl.size, dtype=np.int64)
-                tags = np.concatenate([np.repeat(idx, la_p), np.repeat(idx, lb_p)])
-                vals = np.concatenate(
-                    [rows_a[i] for i in pl.tolist()] + [rows_b[i] for i in pl.tolist()]
+                pll = pl.tolist()
+                jacs[pl] = batched_exact_jaccard(
+                    np.concatenate([rows_a[i] for i in pll]),
+                    la[pl],
+                    np.concatenate([rows_b[i] for i in pll]),
+                    lb[pl],
                 )
-                jacs[pl] = batched_exact_jaccard(tags, vals, la_p, lb_p)
             keep = np.flatnonzero(jacs >= cfg.jaccard_threshold)
             a_ids = a_all[keep]
             b_ids = b_all[keep]

@@ -1,0 +1,111 @@
+"""Microbench: the verify stage's exact-Jaccard gate, three ways.
+
+The gate computes exact Jaccard over each candidate pair's unique sorted
+shingle-hash arrays. Round 3 ran it as a Python loop calling
+functions.hashing.exact_jaccard per pair (VERDICT r03 "What's wrong" #2).
+An interim round-4 version batched it as one np.lexsort over all
+(tag, value) rows — which this script shows is ~50x SLOWER than the loop
+at flagship set sizes (two indirect stable argsorts over every element vs
+an already-vectorized per-pair searchsorted). The shipped fix is a native
+two-pointer merge in C (kernels/native_jaccard.py): one ctypes call per
+verify batch. This script measures all three on the same synthetic pair
+workload shaped like the flagship's verify input and prints µs/pair for
+BASELINE.md.
+
+Run: python scripts/jaccard_bench.py  (no Ray session; single thread)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fuzzysearch_ray.functions.hashing import batched_exact_jaccard, exact_jaccard
+
+
+def make_pairs(n_pairs: int, seed: int = 7):
+    """Pair workload shaped like the flagship verify batches: unique sorted
+    uint64 shingle-hash arrays, sizes ~ the bench corpus docs (a few hundred
+    shingles/doc), ~half the pairs true near-dups (high overlap)."""
+    rng = np.random.default_rng(seed)
+    sides_a, sides_b = [], []
+    for i in range(n_pairs):
+        na = int(rng.integers(150, 600))
+        base = np.unique(rng.integers(0, 1 << 62, size=na, dtype=np.uint64))
+        if i % 2 == 0:  # near-dup: ~90% shared shingles
+            keep = rng.random(base.size) < 0.9
+            extra = rng.integers(0, 1 << 62, size=base.size // 10, dtype=np.uint64)
+            b = np.unique(np.concatenate([base[keep], extra.astype(np.uint64)]))
+        else:  # unrelated
+            b = np.unique(
+                rng.integers(0, 1 << 62, size=int(rng.integers(150, 600)), dtype=np.uint64)
+            )
+        sides_a.append(base)
+        sides_b.append(b)
+    return sides_a, sides_b
+
+
+def lexsort_jaccard(tags, vals, sz_a, sz_b):
+    """The interim round-4 formulation, kept here only for measurement."""
+    n = len(sz_a)
+    inter = np.zeros(n, dtype=np.int64)
+    if vals.size:
+        order = np.lexsort((vals, tags))
+        t = tags[order]
+        v = vals[order]
+        dup = (t[1:] == t[:-1]) & (v[1:] == v[:-1])
+        inter = np.bincount(t[1:][dup], minlength=n).astype(np.int64)
+    union = sz_a.astype(np.int64) + sz_b.astype(np.int64) - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
+def main():
+    n_pairs = int(os.environ.get("JACBENCH_PAIRS", "20000"))
+    sides_a, sides_b = make_pairs(n_pairs)
+    la = np.array([a.size for a in sides_a], dtype=np.int64)
+    lb = np.array([b.size for b in sides_b], dtype=np.int64)
+    va = np.concatenate(sides_a)
+    vb = np.concatenate(sides_b)
+    idx = np.arange(n_pairs, dtype=np.int64)
+    tags = np.concatenate([np.repeat(idx, la), np.repeat(idx, lb)])
+    vals = np.concatenate([va, vb])
+
+    # per-pair Python loop (the round-3 shape)
+    t0 = time.perf_counter()
+    loop = np.array([exact_jaccard(a, b) for a, b in zip(sides_a, sides_b)])
+    t_loop = time.perf_counter() - t0
+
+    # all-pairs lexsort (the interim round-4 shape, measured for the record)
+    t0 = time.perf_counter()
+    lex = lexsort_jaccard(tags, vals, la, lb)
+    t_lex = time.perf_counter() - t0
+
+    # shipped kernel: one native merge call per batch (falls back to a
+    # searchsorted loop without a compiler — the printed flag says which)
+    from fuzzysearch_ray.kernels.native_jaccard import get_lib
+
+    t0 = time.perf_counter()
+    batched = batched_exact_jaccard(va, la, vb, lb)
+    t_batch = time.perf_counter() - t0
+
+    assert np.allclose(loop, batched) and np.allclose(loop, lex), "kernel mismatch"
+    out = {
+        "n_pairs": n_pairs,
+        "per_pair_loop_us": round(t_loop / n_pairs * 1e6, 3),
+        "lexsort_us": round(t_lex / n_pairs * 1e6, 3),
+        "batched_us": round(t_batch / n_pairs * 1e6, 3),
+        "native": get_lib() is not None,
+        "speedup_vs_loop": round(t_loop / t_batch, 2),
+        "mean_set_size": round(float(np.mean(la + lb)) / 2, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

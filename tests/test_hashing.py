@@ -254,10 +254,26 @@ def test_batched_exact_jaccard_matches_scalar():
     rows_b.append(np.empty(0, np.uint64))  # non-empty/empty
     la = np.array([r.size for r in rows_a], dtype=np.int64)
     lb = np.array([r.size for r in rows_b], dtype=np.int64)
-    idx = np.arange(len(rows_a), dtype=np.int64)
-    tags = np.concatenate([np.repeat(idx, la), np.repeat(idx, lb)])
-    vals = np.concatenate(rows_a + rows_b)
-    got = batched_exact_jaccard(tags, vals, la, lb)
+    va = np.concatenate(rows_a)
+    vb = np.concatenate(rows_b)
+    got = batched_exact_jaccard(va, la, vb, lb)
     exp = np.array([exact_jaccard(a, b) for a, b in zip(rows_a, rows_b)])
     assert np.allclose(got, exp)
     assert got[-2] == 1.0 and got[-1] == 0.0
+
+    # the pure-python fallback (no native lib) must agree with the native path
+    from fuzzysearch_ray.kernels import native_jaccard
+
+    orig = native_jaccard.get_lib
+    native_jaccard_was = orig()
+    try:
+        native_jaccard.get_lib = lambda: None
+        fallback = batched_exact_jaccard(va, la, vb, lb)
+    finally:
+        native_jaccard.get_lib = orig
+    assert np.allclose(fallback, exp)
+    # in this container a compiler exists, so the first run above was native
+    if native_jaccard_was is None:
+        import warnings
+
+        warnings.warn("no C compiler: batched_exact_jaccard ran fallback only")
