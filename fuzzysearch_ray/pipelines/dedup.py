@@ -180,9 +180,17 @@ def near_dup_pipeline(
         ).count()
     else:
         edges_small = verified.select_columns(["a", "b"]).to_pandas()
-        labels = components_driver(
-            edges_small["a"].to_numpy(), edges_small["b"].to_numpy()
-        )
+        if len(edges_small) == 0:
+            # an empty Dataset's to_pandas loses the schema (no columns);
+            # zero edges is a legal outcome (e.g. a corpus whose only dups
+            # are exact, removed before LSH)
+            labels = components_driver(
+                np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+            )
+        else:
+            labels = components_driver(
+                edges_small["a"].to_numpy(), edges_small["b"].to_numpy()
+            )
         clusters_ds = assign_clusters_broadcast(membership_ds, labels).materialize()
         _mark("clustering")
         # stats without another shuffle: a cluster is multi-member iff it has

@@ -6,6 +6,11 @@ from .corpus import (
     row_for_index,
     write_corpus_parquet,
 )
-from .io import read_corpus, read_documents_as_corpus
+from .io import (
+    read_corpus,
+    read_corpus_csv,
+    read_corpus_jsonl,
+    read_documents_as_corpus,
+)
 
 __all__ = [name for name in dir() if not name.startswith("_")]

@@ -1,10 +1,13 @@
-"""Corpus readers: column-pruned parquet ingestion into the engine's logical
-table (id, content [, repo, path, commit, lang]).
+"""Corpus readers: column-pruned ingestion into the engine's logical table
+(id, content [, repo, path, commit, lang]) from parquet, JSONL, or CSV.
 
 The reference's file connector (find_near_matches_in_file,
 /root/reference/src/fuzzysearch/__init__.py:86-200) becomes
 ``ray.data.read_parquet`` — rows are already document-granular, so the
-chunk-overlap machinery is unnecessary (SURVEY.md §1.2).
+chunk-overlap machinery is unnecessary (SURVEY.md §1.2). JSONL and CSV are
+the other two formats large text corpora actually arrive in; both map to
+the same logical schema through the same id-derivation rule, so every
+downstream pipeline is source-format agnostic.
 """
 
 from __future__ import annotations
@@ -14,44 +17,93 @@ from typing import Optional, Sequence
 import pyarrow as pa
 
 
-def read_corpus(path: str, columns: Optional[Sequence[str]] = None):
-    """Read a corpus parquet (input_hint shape) pruning to needed columns.
+_ID_KEY_COLS = ("repo", "path", "commit")
 
-    Adds a stable ``id`` column (int64) derived from row position if absent —
-    computed per-block from block metadata would not be stable under retry,
-    so we hash (repo, path, commit) instead, which is content-addressed and
-    deterministic.
+
+def _batch_key_ids(batch: pa.Table) -> "pa.Table":
+    """Append a deterministic int64 ``id`` derived from (repo, path, commit).
+
+    Row position would not be stable under task retry, so the id is
+    content-addressed instead. Fully vectorized: the joined key strings'
+    UTF-8 bytes are scattered into one (rows x maxlen) uint8 matrix straight
+    from the Arrow buffers, hashed with a Horner polynomial over the columns
+    (maxlen vectorized passes, no per-row Python), then splitmix64-finalized.
     """
-    import ray.data as rd
+    import numpy as np
     import pyarrow.compute as pc
 
+    from ..functions.hashing import _splitmix64
+
+    key = pc.binary_join_element_wise(
+        pc.cast(batch["repo"], pa.string()),
+        pc.cast(batch["path"], pa.string()),
+        pc.cast(batch["commit"], pa.string()),
+        "\x1f",
+    ).combine_chunks()
+    off_buf, data_buf = key.buffers()[1], key.buffers()[2]
+    off_dtype = np.int64 if pa.types.is_large_string(key.type) else np.int32
+    off = np.frombuffer(off_buf, dtype=off_dtype, count=len(key) + 1).astype(
+        np.int64
+    ) + key.offset
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    starts, lens = off[:-1], np.diff(off)
+    maxlen = int(lens.max()) if len(lens) else 0
+    mat = np.zeros((len(key), maxlen), dtype=np.uint8)
+    if maxlen:
+        cols = np.arange(maxlen, dtype=np.int64)
+        mask = cols[None, :] < lens[:, None]
+        mat[mask] = data[(starts[:, None] + cols[None, :])[mask]]
+    # seed with the length so 'ab'+pad never collides with 'ab\0'
+    P = np.uint64(0x100000001B3)  # FNV prime (odd -> full period mod 2^64)
+    h = lens.astype(np.uint64)
+    for j in range(maxlen):  # maxlen vectorized passes, not a per-row loop
+        h = h * P + mat[:, j]
+    ids = _splitmix64(h).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+    return batch.append_column("id", pa.array(ids, pa.int64()))
+
+
+def _ensure_id(ds):
+    """Append the content-addressed ``id`` when the source lacks one."""
+    if "id" in ds.schema().names:
+        return ds
+    return ds.map_batches(_batch_key_ids, batch_format="pyarrow")
+
+
+def read_corpus(path: str, columns: Optional[Sequence[str]] = None):
+    """Read a corpus parquet (input_hint shape) pruning to needed columns,
+    adding the stable content-addressed ``id`` if absent."""
+    import ray.data as rd
+
     wanted = list(columns) if columns else None
-    ds = rd.read_parquet(path, columns=wanted)
-    schema_names = ds.schema().names
-    if "id" not in schema_names:
+    return _ensure_id(rd.read_parquet(path, columns=wanted))
 
-        def add_id(batch: pa.Table) -> pa.Table:
-            import numpy as np
 
-            from ..functions.hashing import _splitmix64
+def read_corpus_jsonl(path: str, columns: Optional[Sequence[str]] = None):
+    """Read a corpus from JSON-Lines files (one document object per line,
+    the interchange format most raw text corpora ship in). Same logical
+    schema and id rule as ``read_corpus``; ``columns`` prunes AFTER parse
+    (JSONL is not columnar, so unlike parquet the bytes must be read —
+    convert long-lived corpora to parquet for scan-heavy workloads)."""
+    import ray.data as rd
 
-            key = pc.binary_join_element_wise(
-                pc.cast(batch["repo"], pa.string()),
-                pc.cast(batch["path"], pa.string()),
-                pc.cast(batch["commit"], pa.string()),
-                "\x1f",
-            )
-            h = np.array([hash_str(s.as_py()) for s in key], dtype=np.uint64)
-            ids = _splitmix64(h).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
-            return batch.append_column("id", pa.array(ids, pa.int64()))
+    ds = rd.read_json(path)
+    if columns:
+        keep = [c for c in ds.schema().names if c in set(columns)]
+        ds = ds.select_columns(keep)
+    return _ensure_id(ds)
 
-        def hash_str(s: str) -> int:
-            import hashlib
 
-            return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+def read_corpus_csv(path: str, columns: Optional[Sequence[str]] = None):
+    """Read a corpus from CSV files (header row required). Same logical
+    schema and id rule as ``read_corpus``; like JSONL, pruning happens
+    after parse."""
+    import ray.data as rd
 
-        ds = ds.map_batches(add_id, batch_format="pyarrow")
-    return ds
+    ds = rd.read_csv(path)
+    if columns:
+        keep = [c for c in ds.schema().names if c in set(columns)]
+        ds = ds.select_columns(keep)
+    return _ensure_id(ds)
 
 
 def read_documents_as_corpus(sf_dir: str):

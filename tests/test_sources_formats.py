@@ -1,0 +1,120 @@
+"""Source-format parity: the same logical corpus read from parquet, JSONL,
+and CSV must be indistinguishable downstream — identical content-addressed
+ids, identical rows — and the flagship dedup pipeline must run end-to-end
+over a non-parquet source."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fuzzysearch_ray.sources import read_corpus, read_corpus_csv, read_corpus_jsonl
+
+ROWS = [
+    # (repo, path, commit, content) — content exercises quoting (commas,
+    # quotes, unicode) so the CSV round-trip is honest
+    ("r0", "a.py", "c1", "def f(x):\n    return x + 1\n"),
+    ("r0", "b.py", "c1", 'print("hi, there")  # comma, "quotes"\n'),
+    ("r1", "a.py", "c2", "x = [1, 2, 3]\ny = x * 2  # ünïcode ok\n"),
+    ("r1", "deep/nested/mod.py", "c2", ""),
+    ("r2", "a.py", "c1", "def f(x):\n    return x + 1\n"),  # dup content
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_files(tmp_path_factory):
+    root = tmp_path_factory.mktemp("src_formats")
+    tbl = pa.table(
+        {
+            "repo": pa.array([r[0] for r in ROWS]),
+            "path": pa.array([r[1] for r in ROWS]),
+            "commit": pa.array([r[2] for r in ROWS]),
+            "content": pa.array([r[3] for r in ROWS]),
+        }
+    )
+    pq_path = os.path.join(root, "corpus.parquet")
+    pq.write_table(tbl, pq_path)
+    jsonl_path = os.path.join(root, "corpus.jsonl")
+    with open(jsonl_path, "w") as f:
+        for repo, path, commit, content in ROWS:
+            f.write(
+                json.dumps(
+                    {"repo": repo, "path": path, "commit": commit, "content": content}
+                )
+                + "\n"
+            )
+    csv_path = os.path.join(root, "corpus.csv")
+    import csv as _csv
+
+    with open(csv_path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["repo", "path", "commit", "content"])
+        for row in ROWS:
+            w.writerow(row)
+    return pq_path, jsonl_path, csv_path
+
+
+def _collect(ds):
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return t.sort_by([("repo", "ascending"), ("path", "ascending"), ("commit", "ascending")])
+
+
+def test_three_formats_identical(ray_session, corpus_files):
+    pq_path, jsonl_path, csv_path = corpus_files
+    t_pq = _collect(read_corpus(pq_path))
+    t_jl = _collect(read_corpus_jsonl(jsonl_path))
+    t_csv = _collect(read_corpus_csv(csv_path))
+    for name in ("repo", "path", "commit", "content", "id"):
+        assert t_jl[name].to_pylist() == t_pq[name].to_pylist(), (name, "jsonl")
+        assert t_csv[name].to_pylist() == t_pq[name].to_pylist(), (name, "csv")
+    # ids are content-addressed on (repo, path, commit): all distinct here,
+    # stable across reads, and independent of row order
+    ids = t_pq["id"].to_pylist()
+    assert len(set(ids)) == len(ids)
+    assert all(0 <= i < 2**63 for i in ids)
+
+
+def test_id_vectorized_hash_properties(ray_session, corpus_files):
+    """The padded-matrix polynomial id must separate keys that differ only
+    by separator placement or by a shared-prefix/suffix relationship."""
+    pq_path, _, _ = corpus_files
+    tricky = pa.table(
+        {
+            "repo": pa.array(["ab", "a", "a", ""]),
+            "path": pa.array(["c", "bc", "b", "ab\x1fc"]),
+            "commit": pa.array(["x", "x", "cx", "x"]),
+            "content": pa.array(["w", "x", "y", "z"]),
+        }
+    )
+    from fuzzysearch_ray.sources.io import _batch_key_ids
+
+    out = _batch_key_ids(tricky)["id"].to_pylist()
+    assert len(set(out)) == len(out)
+
+
+def test_columns_pruning(ray_session, corpus_files):
+    pq_path, jsonl_path, csv_path = corpus_files
+    for reader, path in (
+        (read_corpus_jsonl, jsonl_path),
+        (read_corpus_csv, csv_path),
+    ):
+        ds = reader(path, columns=["repo", "path", "commit", "content"])
+        assert set(ds.schema().names) == {"repo", "path", "commit", "content", "id"}
+
+
+def test_dedup_pipeline_over_jsonl(ray_session, corpus_files):
+    """The flagship near-dup pipeline is source-format agnostic: run it over
+    the JSONL read and check the exact-dup pair (r0/a.py vs r2/a.py) lands
+    in one cluster."""
+    from fuzzysearch_ray.config import DedupConfig
+    from fuzzysearch_ray.pipelines.dedup import near_dup_pipeline
+
+    _, jsonl_path, _ = corpus_files
+    ds = read_corpus_jsonl(jsonl_path)
+    res = near_dup_pipeline(ds, DedupConfig())
+    assert res["stats"]["n_rows"] == len(ROWS)
+    # the two identical contents collapse in exact dedup
+    assert res["stats"]["n_exact_dup_rows"] >= 1
