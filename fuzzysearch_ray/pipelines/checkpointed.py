@@ -57,23 +57,57 @@ def _shard_name(path: str) -> str:
 def _read_shard(path_or_paths, columns=None):
     """Read corpus shards, adapting the documents-table schema
     (doc_id/text → id/content) so the CLI and checkpointed runs accept
-    either input shape (the driver's testdata tables or the input_hint
-    corpus). Column pruning happens at the read in both cases."""
+    any of the input shapes: the driver's testdata tables, shards that
+    already carry an ``id``, or the bare input_hint schema
+    (repo, path, commit, lang, content) from which the content-addressed
+    ``id`` is derived (sources/io._batch_key_ids — deterministic, so the
+    stage-2 content re-read reproduces stage-1's ids exactly). Parquet
+    prunes columns at the read; JSONL/CSV shards (non-columnar) prune
+    after parse."""
     import pyarrow.parquet as pq
     import ray.data as rd
+
+    from ..sources.io import _ID_KEY_COLS, _ensure_id
 
     first = (
         path_or_paths[0]
         if isinstance(path_or_paths, (list, tuple))
         else path_or_paths
     )
-    names = set(pq.read_schema(first).names)
-    alias = {"id": "doc_id", "content": "text"}
-    if columns is not None:
-        actual = [c if c in names else alias.get(c, c) for c in columns]
-        ds = rd.read_parquet(path_or_paths, columns=actual)
+    ext = os.path.splitext(first)[1].lower()
+    is_parquet = ext not in (".jsonl", ".json", ".csv")
+    if is_parquet:
+        names = set(pq.read_schema(first).names)
     else:
-        ds = rd.read_parquet(path_or_paths)
+        reader = rd.read_json if ext in (".jsonl", ".json") else rd.read_csv
+        ds = reader(path_or_paths)
+        names = set(ds.schema().names)
+    alias = {"id": "doc_id", "content": "text"}
+    derive_id = "id" not in names and "doc_id" not in names
+    if derive_id:
+        missing = [k for k in _ID_KEY_COLS if k not in names]
+        if missing:
+            raise ValueError(
+                "shard %r has no id/doc_id column and lacks the key "
+                "columns %s needed to derive one" % (first, missing)
+            )
+    if is_parquet:
+        if columns is not None:
+            actual = [c if c in names else alias.get(c, c) for c in columns]
+            if derive_id:
+                # id comes from (repo, path, commit): read those instead
+                # (the alias pass rewrote the absent "id" to "doc_id")
+                actual = list(
+                    dict.fromkeys(
+                        [
+                            *_ID_KEY_COLS,
+                            *(c for c in actual if c not in ("id", "doc_id")),
+                        ]
+                    )
+                )
+            ds = rd.read_parquet(path_or_paths, columns=actual)
+        else:
+            ds = rd.read_parquet(path_or_paths)
     ren = {alias[k]: k for k in alias if k not in names and alias[k] in names}
     if ren:
 
@@ -81,6 +115,10 @@ def _read_shard(path_or_paths, columns=None):
             return t.rename_columns([ren.get(n, n) for n in t.column_names])
 
         ds = ds.map_batches(_rename, batch_format="pyarrow")
+    if derive_id:
+        ds = _ensure_id(ds)
+    if columns is not None and (derive_id or not is_parquet):
+        ds = ds.select_columns(list(columns))
     return ds
 
 
@@ -222,12 +260,20 @@ def _stage3_clusters(
     to fold incremental edges into the global clustering."""
     import ray.data as rd
 
-    edges_ds = rd.read_parquet(_part_files(out_dir, edge_parts))
+    # zero verified edges is a legal outcome (e.g. every dup in the corpus
+    # is exact): write_parquet of an empty dataset leaves no files behind
+    edge_files = _part_files(out_dir, edge_parts)
+    edges_ds = rd.read_parquet(edge_files) if edge_files else None
     membership_ds = rd.read_parquet(_part_files(out_dir, membership_parts))
-    n_edges = edges_ds.count()
+    n_edges = edges_ds.count() if edges_ds is not None else 0
     if n_edges > config.driver_edges_limit:
         labels_ds = components_distributed(edges_ds)
         clusters = assign_clusters_join(membership_ds, labels_ds)
+    elif n_edges == 0:
+        labels = components_driver(
+            np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        )
+        clusters = assign_clusters_broadcast(membership_ds, labels)
     else:
         small = edges_ds.select_columns(["a", "b"]).to_pandas()
         labels = components_driver(small["a"].to_numpy(), small["b"].to_numpy())

@@ -28,6 +28,16 @@ def _batch_key_ids(batch: pa.Table) -> "pa.Table":
     UTF-8 bytes are scattered into one (rows x maxlen) uint8 matrix straight
     from the Arrow buffers, hashed with a Horner polynomial over the columns
     (maxlen vectorized passes, no per-row Python), then splitmix64-finalized.
+
+    The matrix is RIGHT-aligned (strings padded with leading zeros): a
+    leading zero contributes 0 to the polynomial, so a row's hash depends
+    only on its own bytes and length — NOT on the longest string in the
+    batch. (Left-aligned padding multiplies every row by P^maxlen, making
+    the "content-addressed" id silently batch-composition-dependent; the
+    checkpointed pipeline derives ids in two differently-batched reads and
+    would disagree with itself.) The length is mixed in at finalization so
+    a key with real leading NUL bytes still separates from its stripped
+    sibling.
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -51,13 +61,15 @@ def _batch_key_ids(batch: pa.Table) -> "pa.Table":
     mat = np.zeros((len(key), maxlen), dtype=np.uint8)
     if maxlen:
         cols = np.arange(maxlen, dtype=np.int64)
-        mask = cols[None, :] < lens[:, None]
-        mat[mask] = data[(starts[:, None] + cols[None, :])[mask]]
-    # seed with the length so 'ab'+pad never collides with 'ab\0'
+        shift = (maxlen - lens)[:, None]  # right-align: leading pad zeros
+        mask = cols[None, :] >= shift
+        mat[mask] = data[(starts[:, None] + cols[None, :] - shift)[mask]]
     P = np.uint64(0x100000001B3)  # FNV prime (odd -> full period mod 2^64)
-    h = lens.astype(np.uint64)
+    h = np.zeros(len(key), dtype=np.uint64)
     for j in range(maxlen):  # maxlen vectorized passes, not a per-row loop
         h = h * P + mat[:, j]
+    # fold the length in at the end ('\0ab' vs 'ab' share the polynomial)
+    h ^= lens.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
     ids = _splitmix64(h).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
     return batch.append_column("id", pa.array(ids, pa.int64()))
 

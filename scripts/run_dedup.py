@@ -23,7 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="parquet file, dir, or glob")
+    p.add_argument("--input", required=True,
+                   help="parquet/jsonl/csv file, dir, or glob; shards "
+                        "without an id column must carry (repo, path, "
+                        "commit) so the content-addressed id can be derived")
     p.add_argument("--out", required=True, help="output/checkpoint directory")
     p.add_argument("--shingle-k", type=int, default=5)
     p.add_argument("--num-perm", type=int, default=128)
@@ -39,7 +42,11 @@ def main() -> int:
 
     paths = sorted(glob.glob(args.input))
     if not paths and os.path.isdir(args.input):
-        paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        paths = sorted(
+            p
+            for pat in ("*.parquet", "*.jsonl", "*.csv")
+            for p in glob.glob(os.path.join(args.input, pat))
+        )
     if not paths and os.path.exists(args.input):
         paths = [args.input]
     if not paths:

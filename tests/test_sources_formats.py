@@ -95,6 +95,53 @@ def test_id_vectorized_hash_properties(ray_session, corpus_files):
     assert len(set(out)) == len(out)
 
 
+def test_id_independent_of_batch_composition():
+    """The content-addressed id must be a pure function of the row: hashing
+    a row alone, or alongside a much longer row (which changes the padded
+    matrix width), must give the identical id."""
+    from fuzzysearch_ray.sources.io import _batch_key_ids
+
+    def one(repo, path, commit):
+        return pa.table(
+            {
+                "repo": pa.array([repo]),
+                "path": pa.array([path]),
+                "commit": pa.array([commit]),
+            }
+        )
+
+    rows = [("r0", "a.py", "c1"), ("", "", ""), ("r1", "deep/x.py", "c2")]
+    alone = [_batch_key_ids(one(*r))["id"][0].as_py() for r in rows]
+    mixed = pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows] + ["r9" * 50]),
+            "path": pa.array([r[1] for r in rows] + ["p" * 300]),
+            "commit": pa.array([r[2] for r in rows] + ["c" * 100]),
+        }
+    )
+    together = _batch_key_ids(mixed)["id"].to_pylist()[:3]
+    assert together == alone
+    # sliced (non-zero offset) input must agree too
+    sliced = _batch_key_ids(mixed.slice(1, 2))["id"].to_pylist()
+    assert sliced == together[1:3]
+
+
+def test_id_leading_nul_separation():
+    """'\\0ab' and 'ab' share the right-aligned polynomial; the length mix
+    at finalization must still separate them."""
+    from fuzzysearch_ray.sources.io import _batch_key_ids
+
+    t = pa.table(
+        {
+            "repo": pa.array(["\x00ab", "ab"]),
+            "path": pa.array(["p", "p"]),
+            "commit": pa.array(["c", "c"]),
+        }
+    )
+    out = _batch_key_ids(t)["id"].to_pylist()
+    assert out[0] != out[1]
+
+
 def test_columns_pruning(ray_session, corpus_files):
     pq_path, jsonl_path, csv_path = corpus_files
     for reader, path in (
@@ -103,6 +150,65 @@ def test_columns_pruning(ray_session, corpus_files):
     ):
         ds = reader(path, columns=["repo", "path", "commit", "content"])
         assert set(ds.schema().names) == {"repo", "path", "commit", "content", "id"}
+
+
+def test_checkpointed_run_over_idless_inputs(ray_session, tmp_path):
+    """The checkpointed CLI pipeline must accept the bare input_hint schema
+    (repo, path, commit, lang, content — no id): ids are derived
+    content-addressed, and a JSONL shard of the same rows must reproduce
+    the parquet run's clusters exactly. Also exercises the zero-edge
+    stage-3 path (this corpus's only dups are exact)."""
+    import pyarrow.parquet as pq
+
+    from fuzzysearch_ray.config import DedupConfig
+    from fuzzysearch_ray.pipelines.checkpointed import run_dedup_checkpointed
+
+    rows = [
+        (f"repo{i % 3}", f"m_{i}.py", f"c{i % 2}", "py",
+         f"def f{i}(x):\n    return x + {i}\n")
+        for i in range(40)
+    ] + [
+        ("repoX", f"dup_{i}.py", "c9", "py", "def f0(x):\n    return x + 0\n")
+        for i in range(6)
+    ]
+    tbl = pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows]),
+            "path": pa.array([r[1] for r in rows]),
+            "commit": pa.array([r[2] for r in rows]),
+            "lang": pa.array([r[3] for r in rows]),
+            "content": pa.array([r[4] for r in rows]),
+        }
+    )
+    pq_path = str(tmp_path / "shard.parquet")
+    pq.write_table(tbl, pq_path)
+    jl_path = str(tmp_path / "shard.jsonl")
+    with open(jl_path, "w") as f:
+        for r in tbl.to_pylist():
+            f.write(json.dumps(r) + "\n")
+
+    def clusters_of(path, out):
+        state = run_dedup_checkpointed([path], str(tmp_path / out), DedupConfig())
+        import ray.data as rd
+
+        part = str(tmp_path / out / "part=clusters" / "all")
+        files = [
+            os.path.join(root, fn)
+            for root, _, fns in os.walk(part)
+            for fn in fns
+            if fn.endswith(".parquet")
+        ]
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        return t.sort_by([("id", "ascending")]), state
+
+    t_pq, state_pq = clusters_of(pq_path, "run_pq")
+    t_jl, _ = clusters_of(jl_path, "run_jl")
+    assert t_pq.num_rows == len(rows)
+    assert t_pq["id"].to_pylist() == t_jl["id"].to_pylist()
+    assert t_pq["cluster_id"].to_pylist() == t_jl["cluster_id"].to_pylist()
+    # the 6+1 identical contents form one exact-dup cluster
+    meta = state_pq["completed_partitions"]["clusters/all"]
+    assert meta["n_clusters_multi"] == 1
 
 
 def test_dedup_pipeline_over_jsonl(ray_session, corpus_files):
