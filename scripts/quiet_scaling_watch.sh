@@ -1,22 +1,25 @@
 #!/bin/bash
 # Wait for a quiet host phase (hw control efficiency >= threshold), then run
-# the 960k-row scaling sample and a closing control, all serialized.
-# Outputs: /tmp/ctl_pre_w8.json  /tmp/scaling_w8_960k.json  /tmp/ctl_post_w8.json
+# the scaling sample at $ROWS rows and a closing control, all serialized.
+# Usage: quiet_scaling_watch.sh [THRESH] [MAX_TRIES] [ROWS] [TAG]
+# Outputs: /tmp/ctl_pre_$TAG.json  /tmp/scaling_$TAG.json  /tmp/ctl_post_$TAG.json
 set -u
 THRESH=${1:-0.85}
 MAX_TRIES=${2:-10}
+ROWS=${3:-960000}
+TAG=${4:-w8_960k}
 for i in $(seq 1 "$MAX_TRIES"); do
-  GRAFT_CONTROL_TASKS=2048 python scripts/hw_control.py 2>/dev/null | tail -1 > /tmp/ctl_pre_w8.json
-  eff=$(python -c "import json;print(json.load(open('/tmp/ctl_pre_w8.json'))['value'])")
-  echo "[watch] try $i control=$eff" >> /tmp/quiet_watch.log
+  GRAFT_CONTROL_TASKS=2048 python scripts/hw_control.py 2>/dev/null | tail -1 > "/tmp/ctl_pre_$TAG.json"
+  eff=$(python -c "import json;print(json.load(open('/tmp/ctl_pre_$TAG.json'))['value'])")
+  echo "[watch:$TAG] try $i control=$eff" >> /tmp/quiet_watch.log
   ok=$(python -c "print(1 if $eff >= $THRESH else 0)")
   if [ "$ok" = "1" ]; then
-    GRAFT_SCALING_ROWS=960000 python bench.py --scaling 2>/dev/null | tail -1 > /tmp/scaling_w8_960k.json
-    GRAFT_CONTROL_TASKS=2048 python scripts/hw_control.py 2>/dev/null | tail -1 > /tmp/ctl_post_w8.json
-    echo "[watch] done after try $i" >> /tmp/quiet_watch.log
+    GRAFT_SCALING_ROWS=$ROWS python bench.py --scaling 2>/dev/null | tail -1 > "/tmp/scaling_$TAG.json"
+    GRAFT_CONTROL_TASKS=2048 python scripts/hw_control.py 2>/dev/null | tail -1 > "/tmp/ctl_post_$TAG.json"
+    echo "[watch:$TAG] done after try $i" >> /tmp/quiet_watch.log
     exit 0
   fi
   sleep 600
 done
-echo "[watch] gave up after $MAX_TRIES tries" >> /tmp/quiet_watch.log
+echo "[watch:$TAG] gave up after $MAX_TRIES tries" >> /tmp/quiet_watch.log
 exit 1
