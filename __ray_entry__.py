@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": Q.q_media_features,
         # --- round-4 additions ---
         "media_bmp_pixel_stats": Q.q_media_bmp_pixel_stats,
+        "jsonl_ingest_stats": Q.q_jsonl_ingest_stats,
+        "csv_ingest_event_stats": Q.q_csv_ingest_event_stats,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -690,6 +692,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN GREATEST(h, w) <= 16 THEN w "
             "ELSE GREATEST(1, (w * 16) // GREATEST(h, w)) END AS BIGINT) AS out_w "
             "FROM src"
+        ),
+        "jsonl_ingest_stats": (
+            # engine side re-derives ids from the JSONL round-trip; distinct
+            # content-addressed ids == distinct doc_id iff the id kernel is
+            # collision-free and independent of the sink's sharding
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids, "
+            "CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "csv_ingest_event_stats": (
+            # integer-cents sum (float order-proof); epoch-µs ints round-trip
+            # the CSV exactly, props length checks RFC-4180 quote handling
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, "
+            "CAST(SUM(LENGTH(props)) AS BIGINT) AS props_chars, "
+            "CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_epoch_us "
+            "FROM events GROUP BY event_type"
         ),
         "media_bmp_pixel_stats": (
             # closed-form checksum of the REAL decoded BMP pixel content:

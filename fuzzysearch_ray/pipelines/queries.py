@@ -2874,3 +2874,176 @@ def q_media_bmp_pixel_stats(sf_dir: str):
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values("media_id", ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# Source/sink round-trips: JSONL and CSV ingestion through the corpus readers
+# (sources/io.py). Each query WRITES the table out with Ray's distributed
+# sink (write_json / write_csv, one shard per block), reads it back through
+# the engine's format-agnostic reader — including the content-addressed id
+# kernel — and aggregates; the SQL oracle computes the same aggregate over
+# the original parquet, so any parse/escape/id bug fails the gate.
+# --------------------------------------------------------------------------
+
+def _ingest_scratch(sf_dir: str, fmt: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), "fsray_ingest_%s_%s" % (fmt, key))
+
+
+def _materialize_once(out_dir: str, write_fn) -> str:
+    """Write a scratch dataset exactly once per (sf_dir, format): the writer
+    lands in a pid-suffixed temp dir that is atomically renamed into place,
+    so concurrent or retried query runs never read a half-written shard set.
+    The ``.done`` marker lives NEXT TO the directory (a marker inside it
+    would be parsed as a data file by read_json/read_csv)."""
+    import os
+    import shutil
+
+    marker = out_dir + ".done"
+    if os.path.exists(marker):
+        return out_dir
+    tmp = "%s.tmp.%d" % (out_dir, os.getpid())
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_fn(tmp)
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs is in place
+    open(marker, "w").close()
+    return out_dir
+
+
+def q_jsonl_ingest_stats(sf_dir: str):
+    """documents → distributed JSONL sink → ``read_corpus_jsonl`` →
+    per-language stats. ``n_distinct_ids`` counts DISTINCT content-addressed
+    ids from the reader's vectorized key-hash kernel (sources/io.py:23) —
+    it equals the row count iff the kernel is collision-free AND
+    batch-composition-independent (ids are derived under whatever sharding
+    the sink produced, which differs from the oracle's row identity)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.io import read_corpus_jsonl
+
+    def write(tmp: str) -> None:
+        ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+
+        def to_corpus(batch: pa.Table) -> pa.Table:
+            did = pc.cast(batch["doc_id"], pa.string())
+            return pa.table(
+                {
+                    "repo": batch["source"],
+                    "path": pc.binary_join_element_wise("doc", did, "/"),
+                    "commit": pc.cast(batch["n_chars"], pa.string()),
+                    "lang": batch["lang"],
+                    "content": batch["text"],
+                }
+            )
+
+        ds.map_batches(to_corpus, batch_format="pyarrow").write_json(tmp)
+
+    path = _materialize_once(_ingest_scratch(sf_dir, "jsonl"), write)
+    ds = read_corpus_jsonl(path)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "id": batch["id"],
+                "nchars": pc.cast(pc.utf8_length(batch["content"]), pa.int64()),
+            }
+        )
+
+    per_id = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["lang", "id"])
+        .aggregate(Count(alias_name="k"), Sum("nchars", alias_name="s"))
+    )
+    out = (
+        per_id.groupby("lang")
+        .aggregate(
+            Sum("k", alias_name="n_docs"),
+            Count(alias_name="n_distinct_ids"),
+            Sum("s", alias_name="sum_chars"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_docs", "n_distinct_ids", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang", ignore_index=True)[
+        ["lang", "n_docs", "n_distinct_ids", "sum_chars"]
+    ]
+
+
+def q_csv_ingest_event_stats(sf_dir: str):
+    """events → distributed CSV sink → ``read_corpus_csv`` → per-event-type
+    stats. Timestamps ride as epoch-µs int64 (text timestamps round-trip at
+    the mercy of the reader's type inference; integers are exact), doubles
+    round-trip exactly through Arrow's shortest-repr CSV writer, and props
+    carries embedded quotes through RFC-4180 quoting. Sums use the repo's
+    integer-cents convention so float summation order cannot flake the gate."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..sources.io import read_corpus_csv
+
+    def write(tmp: str) -> None:
+        ds = _read(sf_dir, "events")
+
+        def to_flat(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id": batch["event_id"],
+                    "user_id": batch["user_id"],
+                    "event_type": batch["event_type"],
+                    "epoch_us": pc.cast(batch["ts"], pa.int64()),
+                    "value": batch["value"],
+                    "props": batch["props"],
+                }
+            )
+
+        ds.map_batches(to_flat, batch_format="pyarrow").write_csv(tmp)
+
+    path = _materialize_once(_ingest_scratch(sf_dir, "csv"), write)
+    ds = read_corpus_csv(path)
+
+    def project(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "user_id": batch["user_id"],
+                "epoch_us": batch["epoch_us"],
+                "cents": pa.array(cents, pa.int64()),
+                "props_chars": pc.cast(pc.utf8_length(batch["props"]), pa.int64()),
+            }
+        )
+
+    per_user = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(
+            Count(alias_name="k"),
+            Sum("cents", alias_name="c"),
+            Sum("props_chars", alias_name="p"),
+            Max("epoch_us", alias_name="m"),
+        )
+    )
+    out = (
+        per_user.groupby("event_type")
+        .aggregate(
+            Sum("k", alias_name="n_events"),
+            Count(alias_name="n_users"),
+            Sum("c", alias_name="value_cents"),
+            Sum("p", alias_name="props_chars"),
+            Max("m", alias_name="last_epoch_us"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_events", "n_users", "value_cents", "props_chars", "last_epoch_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type", ignore_index=True)[
+        ["event_type", "n_events", "n_users", "value_cents", "props_chars", "last_epoch_us"]
+    ]

@@ -1,0 +1,101 @@
+"""Brute-force tests for the JSONL/CSV ingest round-trip queries: the table
+is written with Ray's distributed sink, read back through the format-agnostic
+corpus readers (including the content-addressed id kernel), and aggregated;
+expectations are an independent pandas reimplementation over the original
+parquet."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fuzzysearch_ray.pipelines.queries import (
+    q_csv_ingest_event_stats,
+    q_jsonl_ingest_stats,
+)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jsonl_ingest_stats_brute_force(tmp_path):
+    texts = [
+        "def f(x):\n    return x + 1\n",
+        'print("hi, there")  # comma, "quotes"\n',
+        "x = [1, 2, 3]  # ünïcode — ok\n",
+        "",  # empty content round-trips
+        "def f(x):\n    return x + 1\n",  # dup content, distinct doc -> distinct id
+        "tab\tand\\backslash\n",
+    ]
+    langs = ["py", "py", "en", "en", "py", "de"]
+    sources = ["s0", "s1", "s0", "s1", "s2", "s0"]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = q_jsonl_ingest_stats(str(tmp_path))
+
+    df = tbl.to_pandas()
+    exp = (
+        df.groupby("lang")
+        .agg(
+            n_docs=("doc_id", "size"),
+            n_distinct_ids=("doc_id", "nunique"),
+            sum_chars=("text", lambda s: sum(len(t) for t in s)),
+        )
+        .reset_index()
+        .sort_values("lang", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_csv_ingest_event_stats_brute_force(tmp_path):
+    rng = np.random.default_rng(7)
+    n = 400
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(
+                (np.int64(1_700_000_000_000_000) + rng.integers(0, 10**12, n)),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array(rng.integers(0, 37, n), pa.int64()),
+            "event_type": pa.array(
+                [["click", "view", "buy"][i % 3] for i in range(n)], pa.string()
+            ),
+            # two-decimal values: cents are exact, no .5-cent boundary flake
+            "value": pa.array(rng.integers(-5000, 50000, n) / 100.0, pa.float64()),
+            "props": pa.array(
+                ['{"k": %d, "s": "a,b \\"q\\""}' % i for i in range(n)], pa.string()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = q_csv_ingest_event_stats(str(tmp_path))
+
+    df = tbl.to_pandas()
+    df["cents"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    df["props_chars"] = df["props"].str.len()
+    df["epoch_us"] = df["ts"].astype("int64")
+    exp = (
+        df.groupby("event_type")
+        .agg(
+            n_events=("event_id", "size"),
+            n_users=("user_id", "nunique"),
+            value_cents=("cents", "sum"),
+            props_chars=("props_chars", "sum"),
+            last_epoch_us=("epoch_us", "max"),
+        )
+        .reset_index()
+        .sort_values("event_type", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
