@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_bmp_pixel_stats": Q.q_media_bmp_pixel_stats,
         "jsonl_ingest_stats": Q.q_jsonl_ingest_stats,
         "csv_ingest_event_stats": Q.q_csv_ingest_event_stats,
+        "pii_redaction": Q.q_pii_redaction,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -692,6 +693,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN GREATEST(h, w) <= 16 THEN w "
             "ELSE GREATEST(1, (w * 16) // GREATEST(h, w)) END AS BIGINT) AS out_w "
             "FROM src"
+        ),
+        "pii_redaction": (
+            # same deterministic PII synthesis on both sides, then real
+            # RE2-vs-RE2 count + sequential-redaction parity
+            "WITH s AS (SELECT doc_id, "
+            "'u' || CAST(doc_id AS VARCHAR) || '@ex.com' || "
+            "CASE WHEN doc_id % 3 = 0 THEN ' alt.u' || CAST(doc_id AS VARCHAR) "
+            "|| '@ex.org' ELSE '' END || "
+            "' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+            "' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7 ' || text AS synth "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(synth, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, "
+            "CAST(len(regexp_extract_all(synth, "
+            "'\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones, "
+            "CAST(len(regexp_extract_all(synth, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips, "
+            "CAST(LENGTH(regexp_replace(regexp_replace(regexp_replace(synth, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS BIGINT) "
+            "AS redacted_chars FROM s"
         ),
         "jsonl_ingest_stats": (
             # engine side re-derives ids from the JSONL round-trip; distinct

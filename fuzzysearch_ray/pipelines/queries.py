@@ -3047,3 +3047,56 @@ def q_csv_ingest_event_stats(sf_dir: str):
     return out.sort_values("event_type", ignore_index=True)[
         ["event_type", "n_events", "n_users", "value_cents", "props_chars", "last_epoch_us"]
     ]
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-data scrubbing): vectorized RE2 regex detection +
+# sequential redaction over a deterministic PII-laden synthesis of each doc
+# (documents.text has no digits/emails, so both sides first build the same
+# synthetic string — engine via Arrow kernels, oracle via SQL concatenation —
+# then run REAL regex machinery; any dialect/count/replace divergence between
+# Arrow's RE2 and DuckDB's RE2 fails the gate).
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redaction(sf_dir: str):
+    """Per-document PII counts + redacted length. One vectorized Arrow RE2
+    pass per pattern per batch (count_substring_regex / the replace chain
+    email → phone → ip); no per-row Python anywhere."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def redact(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"]
+        dnp = did.to_numpy()
+        ds_ = pc.cast(did, pa.string())
+        alt = pc.if_else(
+            pa.array(dnp % 3 == 0),
+            pc.binary_join_element_wise(" alt.u", ds_, "@ex.org", ""),
+            pa.scalar("", pa.string()),
+        )
+        phone4 = pc.utf8_lpad(
+            pc.cast(pa.array(dnp % 10000, pa.int64()), pa.string()), 4, "0"
+        )
+        oct_ = pc.cast(pa.array(dnp % 256, pa.int64()), pa.string())
+        synth = pc.binary_join_element_wise(
+            "u", ds_, "@ex.com", alt, " call 415-555-", phone4,
+            " ip 10.", oct_, ".0.7 ", batch["text"], "",
+        )
+        red = pc.replace_substring_regex(synth, _PII_EMAIL, "<EMAIL>")
+        red = pc.replace_substring_regex(red, _PII_PHONE, "<PHONE>")
+        red = pc.replace_substring_regex(red, _PII_IP, "<IP>")
+        return pa.table(
+            {
+                "doc_id": did,
+                "n_emails": pc.cast(pc.count_substring_regex(synth, _PII_EMAIL), pa.int64()),
+                "n_phones": pc.cast(pc.count_substring_regex(synth, _PII_PHONE), pa.int64()),
+                "n_ips": pc.cast(pc.count_substring_regex(synth, _PII_IP), pa.int64()),
+                "redacted_chars": pc.cast(pc.utf8_length(red), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow")

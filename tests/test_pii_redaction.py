@@ -1,0 +1,74 @@
+"""Brute-force test for q_pii_redaction: an independent `re`-module
+reimplementation over synthetic docs whose ORIGINAL text already contains
+PII-like strings (the query's synthesis only prepends more), so counts > the
+synthesized minimum and the redaction chain is exercised on text the
+synthesis didn't plant."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fuzzysearch_ray.pipelines.queries import (
+    _PII_EMAIL,
+    _PII_IP,
+    _PII_PHONE,
+    q_pii_redaction,
+)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pii_redaction_brute_force(tmp_path):
+    texts = [
+        "plain words only",
+        "mail me at bob.smith+x@corp.example.io today",
+        "server 192.168.001.255 and 8.8.8.8 responded",
+        "call 212-555-0199 or 999-123-4567 now",
+        "edge a@b.cd end",  # minimal email
+        "not-an-ip 1234.5.6.7 but 1.2.3.4 is",  # \b keeps 234.5.6.7 from matching after '1'... RE2 decides; re must agree
+        "",
+        "unicode — héllo wörld @ not an email",
+    ]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n) * 7 + 3, pa.int64()),  # non-contiguous ids
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = q_pii_redaction(str(tmp_path)).to_pandas().sort_values("doc_id", ignore_index=True)
+
+    rows = []
+    for did, text in zip(tbl["doc_id"].to_pylist(), texts):
+        synth = "u%d@ex.com" % did
+        if did % 3 == 0:
+            synth += " alt.u%d@ex.org" % did
+        synth += " call 415-555-%04d ip 10.%d.0.7 %s" % (did % 10000, did % 256, text)
+        red = re.sub(_PII_EMAIL, "<EMAIL>", synth)
+        red = re.sub(_PII_PHONE, "<PHONE>", red)
+        red = re.sub(_PII_IP, "<IP>", red)
+        rows.append(
+            (
+                did,
+                len(re.findall(_PII_EMAIL, synth)),
+                len(re.findall(_PII_PHONE, synth)),
+                len(re.findall(_PII_IP, synth)),
+                len(red),
+            )
+        )
+    exp = pd.DataFrame(
+        rows, columns=["doc_id", "n_emails", "n_phones", "n_ips", "redacted_chars"]
+    ).sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # sanity: the adversarial originals actually contributed matches
+    assert exp["n_emails"].sum() > n  # beyond the one synthesized per doc
+    assert exp["n_ips"].sum() > n
+    assert exp["n_phones"].sum() > n
