@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_ingest_stats": Q.q_jsonl_ingest_stats,
         "csv_ingest_event_stats": Q.q_csv_ingest_event_stats,
         "pii_redaction": Q.q_pii_redaction,
+        "heavy_hitter_terms": Q.q_heavy_hitter_terms,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -693,6 +694,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN GREATEST(h, w) <= 16 THEN w "
             "ELSE GREATEST(1, (w * 16) // GREATEST(h, w)) END AS BIGINT) AS out_w "
             "FROM src"
+        ),
+        "heavy_hitter_terms": (
+            # identical semantics to top_terms (the scale path differs:
+            # bounded candidates + exact recount instead of a vocab shuffle)
+            "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS term FROM documents) "
+            "SELECT term, COUNT(*) AS n FROM toks GROUP BY term "
+            "ORDER BY n DESC, term LIMIT 20"
         ),
         "pii_redaction": (
             # same deterministic PII synthesis on both sides, then real

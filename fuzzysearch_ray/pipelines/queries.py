@@ -3100,3 +3100,96 @@ def q_pii_redaction(sf_dir: str):
         )
 
     return ds.map_batches(redact, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Heavy-hitter terms, sketch scale path: the exact `top_terms` shuffles one
+# row per distinct term (fine here, unbounded at 100 TB where the long tail
+# of typos/identifiers makes the vocabulary ~corpus-sized). This variant
+# never shuffles the vocabulary: pass 1 keeps each batch's top-M terms plus
+# the largest DROPPED count (the mass bound), pass 2 exactly recounts only
+# the bounded candidate union via a broadcast membership mask. A term kept
+# in no batch has global count <= sum of per-batch dropped caps, so when the
+# k-th candidate's exact count exceeds that bound the result is PROVABLY the
+# true top-k — checked loudly, never silently approximate.
+# --------------------------------------------------------------------------
+
+def q_heavy_hitter_terms(sf_dir: str, k: int = 20, m: int = 512):
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.text_stats import explode_tokens
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_topm(batch: pa.Table) -> pa.Table:
+        _, toks = explode_tokens(batch["text"])
+        if len(toks) == 0:
+            return pa.table({"term": pa.array([""], pa.string()),
+                             "cnt": pa.array([0], pa.int64())})
+        enc = toks.dictionary_encode()
+        cnt = np.bincount(
+            enc.indices.to_numpy(), minlength=len(enc.dictionary)
+        ).astype(np.int64)
+        if cnt.size > m:
+            keep = np.argpartition(cnt, -m)[-m:]
+            cap = int(np.max(np.delete(cnt, keep))) if cnt.size > m else 0
+        else:
+            keep = np.arange(cnt.size)
+            cap = 0
+        terms = enc.dictionary.take(pa.array(keep, pa.int64()))
+        # sentinel row: term "" (never a token: the tokenizer emits only
+        # non-empty [a-z0-9]+ runs) carries this batch's dropped-mass cap
+        return pa.table(
+            {
+                "term": pa.concat_arrays([terms.combine_chunks() if hasattr(terms, "combine_chunks") else terms, pa.array([""], pa.string())]),
+                "cnt": pa.array(np.concatenate([cnt[keep], [cap]]), pa.int64()),
+            }
+        )
+
+    cand_df = (
+        ds.map_batches(partial_topm, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()
+    )
+    caps_total = int(cand_df.loc[cand_df["term"] == "", "n"].sum())
+    candidates = cand_df.loc[cand_df["term"] != "", "term"].to_numpy()
+    cand_ref = ray.put(pa.array(candidates, pa.string()))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        _, toks = explode_tokens(batch["text"])
+        if len(toks) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        enc = toks.dictionary_encode()
+        cnt = np.bincount(
+            enc.indices.to_numpy(), minlength=len(enc.dictionary)
+        ).astype(np.int64)
+        member = pc.is_in(enc.dictionary, value_set=cand).to_numpy(
+            zero_copy_only=False
+        )
+        sel = np.flatnonzero(member)
+        return pa.table(
+            {
+                "term": enc.dictionary.take(pa.array(sel, pa.int64())),
+                "cnt": pa.array(cnt[sel], pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "term"], ascending=[False, True], ignore_index=True)
+    )
+    out = exact.head(k).reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    if len(out) == k and int(out["n"].iloc[-1]) <= caps_total:
+        raise RuntimeError(
+            "heavy-hitter bound violated: k-th count %d <= dropped-mass cap %d "
+            "(raise m for this corpus)" % (int(out["n"].iloc[-1]), caps_total)
+        )
+    return out

@@ -1,0 +1,70 @@
+"""Brute-force tests for q_heavy_hitter_terms: equality with an exact Python
+counter when the candidate budget is adequate, and the LOUD bound-violation
+error (never a silently wrong answer) when it is not."""
+
+from collections import Counter
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fuzzysearch_ray.pipelines.queries import q_heavy_hitter_terms
+
+
+def _write_docs(tmp_path, texts):
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return texts
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_match_exact_counter(tmp_path):
+    rng = np.random.default_rng(11)
+    vocab = ["w%03d" % i for i in range(400)]
+    # zipf-ish: low indices far more frequent, plus punctuation/case noise
+    texts = [
+        " ".join(vocab[min(int(rng.zipf(1.3)) - 1, 399)] for _ in range(120))
+        + " The END."
+        for _ in range(60)
+    ]
+    _write_docs(tmp_path, texts)
+
+    got = q_heavy_hitter_terms(str(tmp_path), k=15, m=256)
+
+    c = Counter()
+    for t in texts:
+        c.update(re.findall(r"[a-z0-9]+", t.lower()))
+    exp = (
+        pd.DataFrame(sorted(c.items()), columns=["term", "n"])
+        .sort_values(["n", "term"], ascending=[False, True], ignore_index=True)
+        .head(15)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_bound_violation_is_loud(tmp_path):
+    # hundreds of distinct near-uniform terms per batch with m=2: the k-th
+    # candidate's count cannot beat the dropped-mass cap -> must raise, not
+    # return a plausible-but-unproven ranking
+    rng = np.random.default_rng(12)
+    texts = [
+        " ".join("t%04d" % int(rng.integers(0, 2000)) for _ in range(200))
+        for _ in range(40)
+    ]
+    _write_docs(tmp_path, texts)
+    with pytest.raises(RuntimeError, match="heavy-hitter bound violated"):
+        q_heavy_hitter_terms(str(tmp_path), k=10, m=2)
