@@ -42,10 +42,13 @@ def md5_hex(text: str) -> str:
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Finalizing bit mixer (splitmix64), vectorized over uint64 arrays."""
-    x = (x + _MIX_A).astype(np.uint64)
-    x = ((x ^ (x >> np.uint64(30))) * _MIX_B).astype(np.uint64)
-    x = ((x ^ (x >> np.uint64(27))) * _MIX_C).astype(np.uint64)
-    return (x ^ (x >> np.uint64(31))).astype(np.uint64)
+    # copy=False: the arithmetic already yields uint64 arrays (operands are
+    # uint64) — astype would otherwise COPY each 8-byte-per-window buffer,
+    # measured as the top cost once hashing went batch-sized
+    x = (x + _MIX_A).astype(np.uint64, copy=False)
+    x = ((x ^ (x >> np.uint64(30))) * _MIX_B).astype(np.uint64, copy=False)
+    x = ((x ^ (x >> np.uint64(27))) * _MIX_C).astype(np.uint64, copy=False)
+    return (x ^ (x >> np.uint64(31))).astype(np.uint64, copy=False)
 
 
 def _poly_window_hashes(data: np.ndarray, width: int) -> np.ndarray:
@@ -80,7 +83,9 @@ def _poly_window_hashes(data: np.ndarray, width: int) -> np.ndarray:
         if m > 0:
             # fresh output: the shifted operand overlaps cur[:m] in memory,
             # so a true in-place add is not possible here
-            cur = (cur[:m] * p_cur + cur[cur_w : cur_w + m]).astype(np.uint64)
+            cur = (cur[:m] * p_cur + cur[cur_w : cur_w + m]).astype(
+                np.uint64, copy=False
+            )
         cur_w *= 2
         p_cur = np.uint64((int(p_cur) * int(p_cur)) & 0xFFFFFFFFFFFFFFFF)
     return acc[: n - width + 1]
@@ -404,6 +409,58 @@ def run_window_hashes(text: str, window: int) -> np.ndarray:
         cur_w *= 2
         p_cur = np.uint64((int(p_cur) * int(p_cur)) & 0xFFFFFFFFFFFFFFFF)
     return _splitmix64(acc[: n - window + 1])
+
+
+def _batched_window_hash_slices(texts, width: int):
+    """Positional window hashes for MANY texts in one doubling-construction
+    pass: all UTF-8 bytes are concatenated and ``_poly_window_hashes`` +
+    ``_splitmix64`` run ONCE over the whole buffer (windows straddling a
+    text boundary are simply never sliced out). Returns one view per text —
+    ``None`` for texts shorter than ``width`` (callers pick their own short
+    path). Values are bit-identical to the per-text functions: a window's
+    polynomial hash depends only on its own ``width`` bytes.
+
+    This is the verify hot path's fix for the profile's measured cost: at
+    ~2.6 KB/doc the per-doc calls spent more in Python/allocator overhead
+    (astype churn, small-array passes) than in hashing — one batch pass over
+    ~5 MB replaces ~2k small calls per verify batch."""
+    bufs = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), np.int64, len(bufs))
+    offs = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    total = int(offs[-1])
+    H = np.empty(0, dtype=np.uint64)
+    if total >= width:
+        data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        H = _splitmix64(_poly_window_hashes(data, width))
+    out = []
+    for i in range(len(bufs)):
+        n = int(lens[i])
+        if n < width:
+            out.append(None)
+        else:
+            s = int(offs[i])
+            out.append(H[s : s + n - width + 1])
+    return out
+
+
+def batched_shingle_hashes(texts, k: int = DEFAULT_SHINGLE_K):
+    """``shingle_hashes`` for many texts, one hashing pass (bit-identical —
+    pinned by tests). Short texts (< k bytes) take the scalar short path."""
+    views = _batched_window_hash_slices(texts, k)
+    return [
+        shingle_hashes(t, k) if v is None else _sorted_unique_inplace(v.copy())
+        for t, v in zip(texts, views)
+    ]
+
+
+def batched_run_window_hashes(texts, window: int):
+    """``run_window_hashes`` for many texts, one hashing pass (bit-identical).
+    Returned arrays are VIEWS into the batch's shared hash buffer — copies
+    are the caller's choice (the verify run-cache holds views; the buffer is
+    released when the cached docs are evicted)."""
+    views = _batched_window_hash_slices(texts, window)
+    return [np.empty(0, dtype=np.uint64) if v is None else v for v in views]
 
 
 def shares_long_run_hashed(

@@ -29,6 +29,8 @@ import pyarrow.compute as pc
 from ..config import DedupConfig
 from ..functions.hashing import (
     batched_exact_jaccard,
+    batched_run_window_hashes,
+    batched_shingle_hashes,
     run_window_hashes,
     shares_long_run_hashed,
     shingle_hashes,
@@ -379,11 +381,21 @@ class VerifyPairs:
             if len(cache) + len(uniq) > 8192:
                 cache.clear()
             lsh_cap = cfg.max_content_bytes_for_lsh
-            for uid, fi in zip(uniq.tolist(), first.tolist()):
-                if uid not in cache:
-                    cache[uid] = shingle_hashes(
-                        texts_cat[fi][:lsh_cap], cfg.shingle_k
-                    )
+            missing = [
+                (uid, fi)
+                for uid, fi in zip(uniq.tolist(), first.tolist())
+                if uid not in cache
+            ]
+            if missing:
+                # one hashing pass for every uncached doc in the batch
+                # (profile: per-doc shingle_hashes calls were the verify
+                # stage's single largest cost — Python/allocator overhead,
+                # not hashing)
+                hashed = batched_shingle_hashes(
+                    [texts_cat[fi][:lsh_cap] for _, fi in missing],
+                    cfg.shingle_k,
+                )
+                cache.update(zip((uid for uid, _ in missing), hashed))
             # one batched intersection call for the whole batch: the
             # per-pair work is only two dict fetches; sizes and the merge
             # intersection count are one native kernel call. Same size-ratio
@@ -447,11 +459,18 @@ class VerifyPairs:
             uq, fi_ = np.unique(und_ids, return_index=True)
             if len(rc) + len(uq) > 4096:
                 rc.clear()
+            miss_rc = []
             for uid, j in zip(uq.tolist(), fi_.tolist()):
                 if uid not in rc:
                     src = und_first[j]
                     t_ = texts_a[src] if j < len(undecided) else texts_b[src]
-                    rc[uid] = run_window_hashes(t_, cfg.min_exact_run)
+                    miss_rc.append((uid, t_))
+            if miss_rc:
+                # one hashing pass for every uncached doc (see shingle fill)
+                hashed_rc = batched_run_window_hashes(
+                    [t_ for _, t_ in miss_rc], cfg.min_exact_run
+                )
+                rc.update(zip((uid for uid, _ in miss_rc), hashed_rc))
         for i in undecided.tolist():
             ta, tb = texts_a[i], texts_b[i]
             runs[i] = shares_long_run_hashed(

@@ -277,3 +277,31 @@ def test_batched_exact_jaccard_matches_scalar():
         import warnings
 
         warnings.warn("no C compiler: batched_exact_jaccard ran fallback only")
+
+
+def test_batched_window_hashing_bit_identical():
+    """batched_shingle_hashes / batched_run_window_hashes == the per-text
+    functions, bit for bit, across short/empty/unicode/boundary texts (the
+    concatenated construction must never let a window straddle two texts)."""
+    import numpy as np
+
+    from fuzzysearch_ray.functions.hashing import (
+        batched_run_window_hashes,
+        batched_shingle_hashes,
+        run_window_hashes,
+        shingle_hashes,
+    )
+
+    rng = np.random.default_rng(5)
+    texts = ["", "x", "ab", "abcdefgh", "é" * 5, "wörld—" * 3]
+    for _ in range(40):
+        n = int(rng.integers(0, 400))
+        texts.append("".join(chr(int(c)) for c in rng.integers(32, 127, n)))
+    for k in (3, 9, 64):
+        got = batched_shingle_hashes(texts, k)
+        for t, g in zip(texts, got):
+            np.testing.assert_array_equal(g, shingle_hashes(t, k))
+    for w in (4, 32, 256):
+        got = batched_run_window_hashes(texts, w)
+        for t, g in zip(texts, got):
+            np.testing.assert_array_equal(g, run_window_hashes(t, w))
