@@ -125,6 +125,8 @@ def run_bench() -> dict:
     timed("topk_per_group", lambda: Q.q_topk_per_group(SF_DIR))
     timed("rolling_user_stats", lambda: Q.q_rolling_user_stats(SF_DIR))
     timed("novel_docs_bloom", lambda: Q.q_novel_docs_bloom(SF_DIR))
+    timed("pii_redaction", lambda: Q.q_pii_redaction(SF_DIR))
+    timed("heavy_hitter_terms", lambda: Q.q_heavy_hitter_terms(SF_DIR))
 
     # headline: flagship dedup over the synthetic source-code corpus,
     # measured as ALTERNATING broadcast/join runs within one window. The
