@@ -142,7 +142,7 @@ def run_bench() -> dict:
     near_dup_pipeline(
         rd.read_parquet(corpus_path).limit(2000), DedupConfig(), content_mode="join"
     )
-    n_bench_pairs = int(os.environ.get("GRAFT_BENCH_PAIRS", "2"))
+    n_bench_pairs = int(os.environ.get("GRAFT_BENCH_PAIRS", "3"))
     pair_walls = []
     res = res_join = None
     for _ in range(n_bench_pairs):
