@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_ingest_event_stats": Q.q_csv_ingest_event_stats,
         "pii_redaction": Q.q_pii_redaction,
         "heavy_hitter_terms": Q.q_heavy_hitter_terms,
+        "dup_chunk_strip": Q.q_dup_chunk_strip,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -632,6 +633,22 @@ def oracle_sql() -> dict[str, str]:
             "HAVING COUNT(*) > 1) "
             "SELECT CAST(k // 1048576 AS BIGINT) AS rep_doc_id, "
             "CAST(k % 1048576 AS BIGINT) AS rep_chunk_idx, n_members FROM g"
+        ),
+        "dup_chunk_strip": (
+            # RefinedWeb-style frequent-chunk removal + reconstruction:
+            # 8-token non-overlapping chunks, any chunk content appearing
+            # >= 3 times corpus-wide is deleted; survivors re-joined in order
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "c AS (SELECT doc_id, u.cidx AS cidx, "
+            "array_to_string(toks[u.cidx*8+1 : u.cidx*8+8], ' ') AS chunk "
+            "FROM t, UNNEST(range((len(toks)+7)//8)) AS u(cidx)), "
+            "f AS (SELECT chunk, count(*) AS cnt FROM c GROUP BY chunk) "
+            "SELECT c.doc_id AS doc_id, "
+            "coalesce(string_agg(c.chunk, ' ' ORDER BY c.cidx) "
+            "FILTER (WHERE f.cnt < 3), '') AS cleaned, "
+            "count(*) FILTER (WHERE f.cnt >= 3) AS n_removed "
+            "FROM c JOIN f USING (chunk) GROUP BY c.doc_id"
         ),
         "unigram_logprob": (
             "WITH toks AS (SELECT doc_id, "

@@ -127,6 +127,7 @@ def run_bench() -> dict:
     timed("novel_docs_bloom", lambda: Q.q_novel_docs_bloom(SF_DIR))
     timed("pii_redaction", lambda: Q.q_pii_redaction(SF_DIR))
     timed("heavy_hitter_terms", lambda: Q.q_heavy_hitter_terms(SF_DIR))
+    timed("dup_chunk_strip", lambda: Q.q_dup_chunk_strip(SF_DIR))
 
     # headline: flagship dedup over the synthetic source-code corpus,
     # measured as ALTERNATING broadcast/join runs within one window. The

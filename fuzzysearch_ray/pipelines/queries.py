@@ -2119,6 +2119,141 @@ def q_chunk_dedup_groups(sf_dir: str, window: int = 32):
     )
 
 
+def _space_chunk_hashes(batch: pa.Table, window: int):
+    """Shared chunk-hash kernel for the dup-chunk-strip passes: tokenize on
+    the LITERAL single space (exact ``string_split(text, ' ')`` parity —
+    empty tokens from doubled spaces are kept, matching the oracle), form
+    non-overlapping ``window``-token chunks, and reduce each chunk to one
+    int64 splitmix chain over per-token siphashes (same chain construction
+    as ``q_chunk_dedup_groups``; collisions ~2^-64/pair, repo convention).
+
+    Returns ``(h, chunk_doc, tok_doc, tok_chunk, vals, counts)``:
+    per-chunk hash + owning-doc index, per-token doc index + global chunk
+    index, the flat Arrow token values, and per-doc token counts.
+    """
+    from ..functions.hashing import _splitmix64
+
+    ids_n = batch.num_rows
+    toks = pc.split_pattern(batch["text"], " ").combine_chunks()
+    counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    vals = toks.flatten()
+    th = pd.util.hash_array(
+        vals.to_numpy(zero_copy_only=False).astype(object)
+    ).astype(np.uint64)
+    starts_per_doc = (counts + window - 1) // window
+    n_chunks = int(starts_per_doc.sum())
+    chunk_doc = np.repeat(np.arange(ids_n), starts_per_doc)
+    ends_c = np.cumsum(starts_per_doc)
+    chunk_w = (
+        np.arange(n_chunks, dtype=np.int64)
+        - np.repeat(ends_c - starts_per_doc, starts_per_doc)
+        if n_chunks
+        else np.empty(0, np.int64)
+    )
+    doc_off = np.concatenate([[0], np.cumsum(counts)])
+    base = doc_off[chunk_doc] + chunk_w * window
+    end = np.minimum(base + window, doc_off[chunk_doc + 1])
+    h = np.full(n_chunks, np.uint64(0x9E37), dtype=np.uint64)
+    for j in range(window):
+        pos = base + j
+        live = pos < end
+        if not live.any():
+            break
+        hj = np.where(live, th[np.minimum(pos, max(len(th) - 1, 0))], np.uint64(0))
+        h = np.where(live, _splitmix64(h ^ hj), h)
+    tok_doc = np.repeat(np.arange(ids_n), counts)
+    tok_chunk = (
+        np.repeat(np.arange(n_chunks, dtype=np.int64), end - base)
+        if n_chunks
+        else np.empty(0, np.int64)
+    )
+    return h, chunk_doc, tok_doc, tok_chunk, vals, counts
+
+
+def q_dup_chunk_strip(sf_dir: str, window: int = 8, min_count: int = 3):
+    """Corpus-frequent chunk REMOVAL with document reconstruction — the
+    RefinedWeb/CCNet line-dedup analog for this corpus (these texts are
+    single-line, so the 'line' is a non-overlapping ``window``-token chunk):
+    any chunk whose exact content appears >= ``min_count`` times corpus-wide
+    is deleted from every document, and each document's surviving chunks are
+    re-joined in order. Emits (doc_id, cleaned, n_removed).
+
+    Scale shape: pass 1 ships only (int64 chunk-hash, partial count) rows —
+    pre-reduced per batch with np.unique before the groupby, content never
+    shuffles. The frequent-hash set is bounded by the corpus's duplicate
+    mass (count >= min_count), collected small and ray.put-broadcast once;
+    pass 2 re-derives chunk hashes per batch and rebuilds cleaned text fully
+    vectorized (token keep-mask -> Arrow LargeListArray -> binary_join), no
+    per-row Python. A corpus whose hot-set outgrows broadcast would switch
+    this to the join-mode exchange used by stages/verify.py.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk_partials(batch: pa.Table) -> pa.Table:
+        h, _, _, _, _, _ = _space_chunk_hashes(batch, window)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(u.view(np.int64), pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    freq = (
+        ds.map_batches(chunk_partials, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="cnt"))
+    )
+
+    def hot_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["cnt"], min_count))
+        return t.select(["h"])
+
+    hot = (
+        freq.map_batches(hot_only, batch_format="pyarrow")
+        .to_pandas()["h"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    hot_ref = ray.put(np.sort(hot.view(np.uint64)))
+
+    def strip(batch: pa.Table) -> pa.Table:
+        hot_sorted = ray.get(hot_ref)
+        h, chunk_doc, tok_doc, tok_chunk, vals, counts = _space_chunk_hashes(
+            batch, window
+        )
+        ndocs = batch.num_rows
+        if len(h):
+            idx = np.searchsorted(hot_sorted, h)
+            idx = np.minimum(idx, max(len(hot_sorted) - 1, 0))
+            dup = (
+                hot_sorted[idx] == h if len(hot_sorted) else np.zeros(len(h), bool)
+            )
+        else:
+            dup = np.zeros(0, bool)
+        keep_tok = ~dup[tok_chunk] if len(tok_chunk) else np.zeros(0, bool)
+        kept_vals = vals.filter(pa.array(keep_tok))
+        kept_counts = np.bincount(tok_doc[keep_tok], minlength=ndocs)
+        offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int64)
+        cleaned = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), kept_vals),
+            " ",
+        )
+        n_removed = np.bincount(chunk_doc[dup], minlength=ndocs).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "cleaned": cleaned,
+                "n_removed": pa.array(n_removed, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(strip, batch_format="pyarrow")
+
+
 def q_unigram_logprob(sf_dir: str):
     """Unigram-LM quality score — the integer-free proxy for perplexity
     filtering: score(doc) = mean over tokens of -ln(corpus unigram prob).

@@ -1,0 +1,89 @@
+"""Brute-force tests for q_dup_chunk_strip (corpus-frequent chunk removal
+with document reconstruction): checked against an independent Counter-based
+Python reimplementation of the contract — split on the literal space,
+non-overlapping window-token chunks, remove any chunk whose exact content
+appears >= min_count times corpus-wide, re-join survivors in order."""
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fuzzysearch_ray.pipelines.queries import q_dup_chunk_strip
+
+
+def _write_docs(tmp_path, texts):
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s0"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+
+def _brute(texts, window, min_count):
+    chunks_per_doc = []
+    for t in texts:
+        toks = t.split(" ")
+        chunks_per_doc.append(
+            [" ".join(toks[i : i + window]) for i in range(0, len(toks), window)]
+        )
+    freq = Counter(c for chunks in chunks_per_doc for c in chunks)
+    rows = []
+    for i, chunks in enumerate(chunks_per_doc):
+        kept = [c for c in chunks if freq[c] < min_count]
+        rows.append((i, " ".join(kept), sum(freq[c] >= min_count for c in chunks)))
+    return pd.DataFrame(rows, columns=["doc_id", "cleaned", "n_removed"])
+
+
+def _run(tmp_path, texts, window, min_count):
+    _write_docs(tmp_path, texts)
+    got = (
+        q_dup_chunk_strip(str(tmp_path), window=window, min_count=min_count)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    exp = _brute(texts, window, min_count)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    return got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_chunk_strip_hand_cases(tmp_path):
+    boiler = "h1 h2 h3 h4"  # 4-token chunk shared by three docs -> removed
+    twice = "t1 t2 t3 t4"  # shared by only two docs -> kept at min_count=3
+    texts = [
+        f"{boiler} a b c d e",        # boilerplate + unique tail
+        f"{boiler} f g h i",          # boilerplate + unique chunk
+        boiler,                        # ENTIRE doc removed -> cleaned == ""
+        f"{twice} j k",                # pair-shared chunk survives
+        f"{twice} l m",
+        "short",                       # shorter than the window
+        "x  y",                        # doubled space -> empty token kept
+    ]
+    got = _run(tmp_path, texts, window=4, min_count=3)
+    assert got.loc[2, "cleaned"] == "" and got.loc[2, "n_removed"] == 1
+    assert got.loc[0, "cleaned"] == "a b c d e" and got.loc[0, "n_removed"] == 1
+    assert got.loc[3, "cleaned"] == f"{twice} j k" and got.loc[3, "n_removed"] == 0
+    assert got.loc[6, "cleaned"] == "x  y"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_chunk_strip_randomized(tmp_path):
+    rng = np.random.default_rng(31)
+    vocab = ["aa", "bb", "cc"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 25))))
+        for _ in range(150)
+    ]
+    # tiny vocab + small window make cross-doc chunk collisions common
+    _run(tmp_path, texts, window=3, min_count=2)
+    _run(tmp_path, texts, window=5, min_count=4)
