@@ -60,34 +60,65 @@ def one_task(task_id: int) -> int:
     return total + int((dists >= 0).sum())
 
 
+MEM_MIB = int(os.environ.get("GRAFT_CONTROL_MEM_MIB", "64"))
+MEM_ROUNDS = int(os.environ.get("GRAFT_CONTROL_MEM_ROUNDS", "10"))
+
+
+def one_task_mem(task_id: int) -> float:
+    """STREAM-triad-shaped task: moves ~3 x MEM_MIB x MEM_ROUNDS bytes
+    through DRAM (buffers sized past any LLC). GRAFT_CONTROL_MODE=mem
+    measures how the box's MEMORY BANDWIDTH scales with process count —
+    the resource the arithmetic control above does not touch, and the one
+    a multi-node cluster multiplies with node count."""
+    import numpy as np
+
+    n = MEM_MIB * 1024 * 1024 // 8
+    rng = np.random.default_rng(task_id)
+    a = rng.random(n)
+    b = rng.random(n)
+    c = np.empty(n)
+    for _ in range(MEM_ROUNDS):
+        np.multiply(a, 1.01, out=c)
+        c += b
+    return float(c[0])
+
+
 def run_pool(nprocs: int) -> float:
+    mode = os.environ.get("GRAFT_CONTROL_MODE", "cpu")
+    fn = one_task_mem if mode == "mem" else one_task
     t0 = time.time()
     with mp.get_context("spawn").Pool(nprocs) as pool:
-        pool.map(one_task, range(TASKS), chunksize=1)
+        pool.map(fn, range(TASKS), chunksize=1)
     return time.time() - t0
 
 
 def main():
     lo = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    mode = os.environ.get("GRAFT_CONTROL_MODE", "cpu")
     # warm once (compiles the native kernel, primes imports/page cache)
-    one_task(0)
+    one_task_mem(0) if mode == "mem" else one_task(0)
     t_lo = min(run_pool(lo) for _ in range(2))
     t_hi = min(run_pool(hi) for _ in range(2))
     eff = (t_lo / t_hi) / (hi / lo)
-    print(
-        json.dumps(
-            {
-                "metric": "hw_control_efficiency",
-                "value": round(eff, 3),
-                "sec_lo": round(t_lo, 2),
-                "sec_hi": round(t_hi, 2),
-                "nprocs": [lo, hi],
-                "tasks": TASKS,
-                "docs_per_task": DOCS_PER_TASK,
-            }
-        )
-    )
+    out = {
+        "metric": (
+            "hw_control_mem_efficiency" if mode == "mem" else "hw_control_efficiency"
+        ),
+        "value": round(eff, 3),
+        "sec_lo": round(t_lo, 2),
+        "sec_hi": round(t_hi, 2),
+        "nprocs": [lo, hi],
+        "tasks": TASKS,
+    }
+    if mode == "mem":
+        gb = TASKS * MEM_ROUNDS * 3 * MEM_MIB / 1024.0
+        out["gb_per_sec_lo"] = round(gb / t_lo, 1)
+        out["gb_per_sec_hi"] = round(gb / t_hi, 1)
+        out["mem_mib"] = MEM_MIB
+    else:
+        out["docs_per_task"] = DOCS_PER_TASK
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
