@@ -234,7 +234,7 @@ def run_scaling() -> dict:
     r_hi = one(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
-    return {
+    out = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -245,6 +245,34 @@ def run_scaling() -> dict:
         "corpus_rows": rows,
         "num_cpus": [lo, hi],
     }
+    # same-window hardware ceilings (no Ray): pure-CPU scaling and
+    # DRAM-bandwidth scaling at the same two pool sizes. The pipeline's
+    # ratio must be read between these two — on one box every worker
+    # shares a single memory system, and the measured bandwidth scaling
+    # (~0.55 on this host) bounds any bandwidth-touching workload; a real
+    # N->4N NODE scaling multiplies bandwidth with node count.
+    # BASELINE.md "denominator probe" section has the full attribution.
+    if os.environ.get("GRAFT_SCALING_CONTROLS", "1") != "0":
+        ctl = os.path.join(REPO, "scripts", "hw_control.py")
+        for key, env_extra in (
+            ("hw_control_cpu", {"GRAFT_CONTROL_TASKS": "2048"}),
+            (
+                "hw_control_mem",
+                {"GRAFT_CONTROL_TASKS": "64", "GRAFT_CONTROL_MODE": "mem"},
+            ),
+        ):
+            try:
+                o = subprocess.run(
+                    [sys.executable, ctl, str(lo), str(hi)],
+                    env=dict(os.environ, **env_extra),
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                ).stdout
+                out[key] = json.loads(o.strip().splitlines()[-1])["value"]
+            except Exception:
+                out[key] = None
+    return out
 
 
 def _warm_import(batch):
