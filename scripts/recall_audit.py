@@ -1,0 +1,153 @@
+"""Generator-truth dup-pair recall audit at bench scale.
+
+The all-pairs oracle (pipelines/oracle.py) is exact but quadratic: it
+validates recall up to ~5k rows. This audit scales the ≥0.99 recall
+criterion to the full bench corpus by exploiting the generator's known
+block structure (sources/corpus.py: every 20-row block contains an
+exact-dup group, a bounded-edit near-dup family, and a shared-boilerplate
+row). Truth pairs are computed EXACTLY — the same shingle hashing and
+exact-Jaccard decision the verify stage uses, via the batched native
+kernel — over:
+
+  (a) every in-block pair (190/block) of K uniformly sampled blocks, and
+  (b) M uniformly sampled CROSS-block boilerplate (slot-18) pairs — the
+      LSH skew clique that stresses capped-bucket connectivity.
+
+Recall = fraction of truth pairs whose members the pipeline co-clustered.
+This is exact recall on a uniform sample of the truth-pair population
+(reported with per-category counts); the 5k all-pairs oracle remains the
+precision gate.
+
+Usage: python scripts/recall_audit.py [--rows 480000] [--blocks 2000]
+       [--pairs18 4000] [--num-cpus 16] [--seed 42]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=480000)
+    ap.add_argument("--blocks", type=int, default=2000)
+    ap.add_argument("--pairs18", type=int, default=4000)
+    ap.add_argument("--num-cpus", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().target_max_block_size = 8 * 1024 * 1024
+
+    from fuzzysearch_ray.config import DedupConfig
+    from fuzzysearch_ray.functions.hashing import (
+        batched_exact_jaccard,
+        sha256_hex,
+        shingle_hashes,
+    )
+    from fuzzysearch_ray.pipelines.dedup import near_dup_pipeline
+    from fuzzysearch_ray.sources.corpus import corpus_batch, write_corpus_shards
+
+    cfg = DedupConfig()
+    path = f"/tmp/fsray_bench_corpus_{args.rows}"
+    write_corpus_shards(path, args.rows, seed=cfg.seed)
+
+    t0 = time.time()
+    res = near_dup_pipeline(rd.read_parquet(path), cfg)
+    pipe_sec = time.time() - t0
+    cl = res["clusters"].to_pandas()
+    label = dict(zip(cl["id"].astype(np.int64), cl["cluster_id"].astype(np.int64)))
+
+    # ---- sampled truth pairs ------------------------------------------------
+    rng = np.random.default_rng(args.seed + 1)
+    n_blocks = args.rows // 20
+    blocks = rng.choice(n_blocks, size=min(args.blocks, n_blocks), replace=False)
+
+    pair_a, pair_b, category = [], [], []
+    for g in blocks.tolist():
+        ids = [g * 20 + s for s in range(20)]
+        for i in range(20):
+            for j in range(i + 1, 20):
+                pair_a.append(ids[i])
+                pair_b.append(ids[j])
+                category.append("in_block")
+    g18 = rng.choice(n_blocks, size=(args.pairs18, 2))
+    g18 = g18[g18[:, 0] != g18[:, 1]]
+    for ga, gb in g18.tolist():
+        pair_a.append(ga * 20 + 18)
+        pair_b.append(gb * 20 + 18)
+        category.append("boilerplate_x")
+
+    # regenerate exactly the sampled rows (deterministic by construction)
+    need = sorted(set(pair_a) | set(pair_b))
+    tbl = corpus_batch(np.array(need, dtype=np.int64), cfg.seed)
+    content = dict(zip(tbl["id"].to_pylist(), tbl["content"].to_pylist()))
+    sh = {
+        i: shingle_hashes(content[i][: cfg.max_content_bytes_for_lsh], cfg.shingle_k)
+        for i in need
+    }
+    sha = {i: sha256_hex(content[i]) for i in need}
+
+    la = np.array([sh[i].size for i in pair_a], dtype=np.int64)
+    lb = np.array([sh[i].size for i in pair_b], dtype=np.int64)
+    va = np.concatenate([sh[i] for i in pair_a]) if la.sum() else np.empty(0, np.uint64)
+    vb = np.concatenate([sh[i] for i in pair_b]) if lb.sum() else np.empty(0, np.uint64)
+    jac = batched_exact_jaccard(va, la, vb, lb)
+
+    same_sha = np.array([sha[a] == sha[b] for a, b in zip(pair_a, pair_b)])
+    truth = (jac >= cfg.jaccard_threshold) | same_sha
+    found = np.array([label[a] == label[b] for a, b in zip(pair_a, pair_b)])
+
+    cats = np.array(category)
+    out = {
+        "metric": "dup_pair_recall_sampled_truth",
+        "value": round(float((truth & found).sum() / max(truth.sum(), 1)), 6),
+        "rows": args.rows,
+        "sampled_blocks": int(len(blocks)),
+        "sampled_pairs": int(len(truth)),
+        "truth_pairs": int(truth.sum()),
+        "missed_pairs": int((truth & ~found).sum()),
+        "truth_by_category": {
+            c: int(truth[cats == c].sum()) for c in ("in_block", "boilerplate_x")
+        },
+        "recall_by_category": {
+            c: round(
+                float(
+                    (truth & found)[cats == c].sum()
+                    / max(truth[cats == c].sum(), 1)
+                ),
+                6,
+            )
+            for c in ("in_block", "boilerplate_x")
+        },
+        "pipeline_wall_sec": round(pipe_sec, 2),
+        "num_cpus": args.num_cpus,
+        "jaccard_threshold": cfg.jaccard_threshold,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
