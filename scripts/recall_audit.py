@@ -16,7 +16,8 @@ kernel — over:
 Recall = fraction of truth pairs whose members the pipeline co-clustered.
 This is exact recall on a uniform sample of the truth-pair population
 (reported with per-category counts); the 5k all-pairs oracle remains the
-precision gate.
+precision gate. `tests/test_recall_audit.py` pins the sampling logic at
+pytest scale.
 
 Usage: python scripts/recall_audit.py [--rows 480000] [--blocks 2000]
        [--pairs18 4000] [--num-cpus 16] [--seed 42]
@@ -35,6 +36,91 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+
+def sampled_truth_pairs(rows: int, blocks: int, pairs18: int, seed: int, cfg):
+    """Uniform truth-pair sample with EXACT labels.
+
+    Returns (pair_a, pair_b, truth, cats): row-id pairs, a boolean truth
+    mask (same sha256 OR exact shingle Jaccard >= cfg.jaccard_threshold —
+    the verify stage's own dup criterion over the same kernels), and a
+    per-pair category array ('in_block' / 'boilerplate_x')."""
+    from fuzzysearch_ray.functions.hashing import (
+        batched_exact_jaccard,
+        sha256_hex,
+        shingle_hashes,
+    )
+    from fuzzysearch_ray.sources.corpus import corpus_batch
+
+    rng = np.random.default_rng(seed + 1)
+    n_blocks = rows // 20
+    chosen = rng.choice(n_blocks, size=min(blocks, n_blocks), replace=False)
+
+    pair_a, pair_b, category = [], [], []
+    for g in chosen.tolist():
+        ids = [g * 20 + s for s in range(20)]
+        for i in range(20):
+            for j in range(i + 1, 20):
+                pair_a.append(ids[i])
+                pair_b.append(ids[j])
+                category.append("in_block")
+    if n_blocks > 1 and pairs18 > 0:
+        g18 = rng.choice(n_blocks, size=(pairs18, 2))
+        g18 = g18[g18[:, 0] != g18[:, 1]]
+        for ga, gb in g18.tolist():
+            pair_a.append(ga * 20 + 18)
+            pair_b.append(gb * 20 + 18)
+            category.append("boilerplate_x")
+
+    # regenerate exactly the sampled rows (deterministic by construction)
+    need = sorted(set(pair_a) | set(pair_b))
+    tbl = corpus_batch(np.array(need, dtype=np.int64), cfg.seed)
+    content = dict(zip(tbl["id"].to_pylist(), tbl["content"].to_pylist()))
+    sh = {
+        i: shingle_hashes(content[i][: cfg.max_content_bytes_for_lsh], cfg.shingle_k)
+        for i in need
+    }
+    sha = {i: sha256_hex(content[i]) for i in need}
+
+    la = np.array([sh[i].size for i in pair_a], dtype=np.int64)
+    lb = np.array([sh[i].size for i in pair_b], dtype=np.int64)
+    va = np.concatenate([sh[i] for i in pair_a]) if la.sum() else np.empty(0, np.uint64)
+    vb = np.concatenate([sh[i] for i in pair_b]) if lb.sum() else np.empty(0, np.uint64)
+    jac = batched_exact_jaccard(va, la, vb, lb)
+
+    same_sha = np.array([sha[a] == sha[b] for a, b in zip(pair_a, pair_b)])
+    truth = (jac >= cfg.jaccard_threshold) | same_sha
+    return (
+        np.array(pair_a, dtype=np.int64),
+        np.array(pair_b, dtype=np.int64),
+        truth,
+        np.array(category),
+    )
+
+
+def audit_recall(label: dict, pair_a, pair_b, truth, cats) -> dict:
+    """Recall of cluster co-membership over the sampled truth pairs."""
+    found = np.array([label[int(a)] == label[int(b)] for a, b in zip(pair_a, pair_b)])
+    out = {
+        "value": round(float((truth & found).sum() / max(truth.sum(), 1)), 6),
+        "sampled_pairs": int(len(truth)),
+        "truth_pairs": int(truth.sum()),
+        "missed_pairs": int((truth & ~found).sum()),
+        "truth_by_category": {
+            c: int(truth[cats == c].sum()) for c in ("in_block", "boilerplate_x")
+        },
+        "recall_by_category": {
+            c: round(
+                float(
+                    (truth & found)[cats == c].sum()
+                    / max(truth[cats == c].sum(), 1)
+                ),
+                6,
+            )
+            for c in ("in_block", "boilerplate_x")
+        },
+    }
+    return out
 
 
 def main():
@@ -62,13 +148,8 @@ def main():
     DataContext.get_current().target_max_block_size = 8 * 1024 * 1024
 
     from fuzzysearch_ray.config import DedupConfig
-    from fuzzysearch_ray.functions.hashing import (
-        batched_exact_jaccard,
-        sha256_hex,
-        shingle_hashes,
-    )
     from fuzzysearch_ray.pipelines.dedup import near_dup_pipeline
-    from fuzzysearch_ray.sources.corpus import corpus_batch, write_corpus_shards
+    from fuzzysearch_ray.sources.corpus import write_corpus_shards
 
     cfg = DedupConfig()
     path = f"/tmp/fsray_bench_corpus_{args.rows}"
@@ -80,68 +161,14 @@ def main():
     cl = res["clusters"].to_pandas()
     label = dict(zip(cl["id"].astype(np.int64), cl["cluster_id"].astype(np.int64)))
 
-    # ---- sampled truth pairs ------------------------------------------------
-    rng = np.random.default_rng(args.seed + 1)
-    n_blocks = args.rows // 20
-    blocks = rng.choice(n_blocks, size=min(args.blocks, n_blocks), replace=False)
-
-    pair_a, pair_b, category = [], [], []
-    for g in blocks.tolist():
-        ids = [g * 20 + s for s in range(20)]
-        for i in range(20):
-            for j in range(i + 1, 20):
-                pair_a.append(ids[i])
-                pair_b.append(ids[j])
-                category.append("in_block")
-    g18 = rng.choice(n_blocks, size=(args.pairs18, 2))
-    g18 = g18[g18[:, 0] != g18[:, 1]]
-    for ga, gb in g18.tolist():
-        pair_a.append(ga * 20 + 18)
-        pair_b.append(gb * 20 + 18)
-        category.append("boilerplate_x")
-
-    # regenerate exactly the sampled rows (deterministic by construction)
-    need = sorted(set(pair_a) | set(pair_b))
-    tbl = corpus_batch(np.array(need, dtype=np.int64), cfg.seed)
-    content = dict(zip(tbl["id"].to_pylist(), tbl["content"].to_pylist()))
-    sh = {
-        i: shingle_hashes(content[i][: cfg.max_content_bytes_for_lsh], cfg.shingle_k)
-        for i in need
-    }
-    sha = {i: sha256_hex(content[i]) for i in need}
-
-    la = np.array([sh[i].size for i in pair_a], dtype=np.int64)
-    lb = np.array([sh[i].size for i in pair_b], dtype=np.int64)
-    va = np.concatenate([sh[i] for i in pair_a]) if la.sum() else np.empty(0, np.uint64)
-    vb = np.concatenate([sh[i] for i in pair_b]) if lb.sum() else np.empty(0, np.uint64)
-    jac = batched_exact_jaccard(va, la, vb, lb)
-
-    same_sha = np.array([sha[a] == sha[b] for a, b in zip(pair_a, pair_b)])
-    truth = (jac >= cfg.jaccard_threshold) | same_sha
-    found = np.array([label[a] == label[b] for a, b in zip(pair_a, pair_b)])
-
-    cats = np.array(category)
+    pair_a, pair_b, truth, cats = sampled_truth_pairs(
+        args.rows, args.blocks, args.pairs18, args.seed, cfg
+    )
     out = {
         "metric": "dup_pair_recall_sampled_truth",
-        "value": round(float((truth & found).sum() / max(truth.sum(), 1)), 6),
+        **audit_recall(label, pair_a, pair_b, truth, cats),
         "rows": args.rows,
-        "sampled_blocks": int(len(blocks)),
-        "sampled_pairs": int(len(truth)),
-        "truth_pairs": int(truth.sum()),
-        "missed_pairs": int((truth & ~found).sum()),
-        "truth_by_category": {
-            c: int(truth[cats == c].sum()) for c in ("in_block", "boilerplate_x")
-        },
-        "recall_by_category": {
-            c: round(
-                float(
-                    (truth & found)[cats == c].sum()
-                    / max(truth[cats == c].sum(), 1)
-                ),
-                6,
-            )
-            for c in ("in_block", "boilerplate_x")
-        },
+        "sampled_blocks": int(min(args.blocks, args.rows // 20)),
         "pipeline_wall_sec": round(pipe_sec, 2),
         "num_cpus": args.num_cpus,
         "jaccard_threshold": cfg.jaccard_threshold,

@@ -1,0 +1,57 @@
+"""Pin the bench-scale recall audit's sampling logic at pytest scale:
+the sampled generator-truth pairs must agree with the all-pairs oracle's
+dup relation, and the pipeline must co-cluster every sampled truth pair
+(the same recall-1.0 contract the 480k audit reports in BASELINE.md)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+from recall_audit import audit_recall, sampled_truth_pairs  # noqa: E402
+
+from fuzzysearch_ray.config import DedupConfig
+from fuzzysearch_ray.pipelines.dedup import near_dup_pipeline
+from fuzzysearch_ray.pipelines.oracle import oracle_clusters
+from fuzzysearch_ray.sources.corpus import generate_corpus_table
+
+ROWS = 1200
+
+
+@pytest.fixture(scope="module")
+def audit_inputs(ray_session):
+    cfg = DedupConfig()
+    table = generate_corpus_table(ROWS, seed=cfg.seed)
+    res = near_dup_pipeline(rd.from_arrow(table), cfg)
+    cl = res["clusters"].to_pandas()
+    label = dict(zip(cl["id"].astype(np.int64), cl["cluster_id"].astype(np.int64)))
+    return cfg, table, label
+
+
+def test_sampled_truth_matches_oracle(audit_inputs):
+    """Every sampled truth pair must be co-clustered by the exhaustive
+    all-pairs oracle, and every sampled co-oracle-clustered pair whose
+    direct relation is dup must be truth (the sample labels pairs with
+    the same criterion the oracle unions on)."""
+    cfg, table, _ = audit_inputs
+    pair_a, pair_b, truth, _ = sampled_truth_pairs(ROWS, 20, 200, 99, cfg)
+    ocl = oracle_clusters(table, cfg)
+    olabel = dict(zip(ocl["id"], ocl["cluster_id"]))
+    for a, b, t in zip(pair_a, pair_b, truth):
+        if t:
+            assert olabel[int(a)] == olabel[int(b)], (a, b)
+
+
+def test_pipeline_recall_on_sampled_truth(audit_inputs):
+    cfg, _, label = audit_inputs
+    pair_a, pair_b, truth, cats = sampled_truth_pairs(ROWS, 60, 400, 5, cfg)
+    out = audit_recall(label, pair_a, pair_b, truth, cats)
+    assert out["truth_pairs"] > 500, out
+    assert out["truth_by_category"]["boilerplate_x"] > 50, out
+    assert out["value"] == 1.0, out
+    assert out["missed_pairs"] == 0, out
