@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": Q.q_pii_redaction,
         "heavy_hitter_terms": Q.q_heavy_hitter_terms,
         "dup_chunk_strip": Q.q_dup_chunk_strip,
+        "fuzzy_search_no_deletions": Q.q_fuzzy_search_no_deletions,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -959,6 +960,10 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_search_chunked": _lev_mindist_sql("stream", 1),
         "fuzzy_search_substitutions": _subs_matches_sql("stream", 1),
         "fuzzy_search_generic": _generic_mindist_sql("stream"),
+        # the no-deletions family at subs<=1/ins<=1 has identical window-cost
+        # semantics to the generic family with dels=0 (same caps), so the
+        # same oracle shape applies; distinct needle keeps the row distinct
+        "fuzzy_search_no_deletions": _generic_mindist_sql("window"),
         "near_dup_clusters": _near_dup_clusters_sql(),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "simhash_signatures": _simhash_sql(9),

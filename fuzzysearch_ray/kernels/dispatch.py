@@ -24,6 +24,7 @@ from .exact import iter_exact_matches
 from .generic import find_near_matches_generic
 from .levenshtein import find_near_matches_levenshtein
 from .match import Match, SearchParams, UNLIMITED, consolidate_overlapping_matches
+from .no_deletions import find_near_matches_no_deletions_ngrams
 from .substitutions import find_near_matches_substitutions
 
 #: Built-in family names (the engine's kernel registry keys).
@@ -31,6 +32,11 @@ EXACT = "exact"
 SUBSTITUTIONS = "substitutions"
 LEVENSHTEIN = "levenshtein"
 GENERIC = "generic"
+#: Reachable only by explicit ``family=`` selection, never by the planner —
+#: mirroring the reference, whose dispatcher has no no-deletions branch
+#: (__init__.py:60-83) while no_deletions.py:42-129 is a public direct-call
+#: entry point.
+NO_DELETIONS = "no_deletions"
 
 
 @dataclass(frozen=True)
@@ -109,6 +115,20 @@ register_kernel(
         find_near_matches_generic,
         consolidates=True,
         chunk_overlap_extra=_generic_overlap,
+    )
+)
+register_kernel(
+    SearchKernel(
+        NO_DELETIONS,
+        find_near_matches_no_deletions_ngrams,
+        # the reference's direct-call function returns raw (claimed-start
+        # suppressed, start-sorted) matches with no consolidation pass
+        consolidates=False,
+        # a no-deletions match extends at most max_insertions past a
+        # width-len(needle) window
+        chunk_overlap_extra=lambda params: params.max_insertions
+        if params.max_insertions is not None
+        else 0,
     )
 )
 

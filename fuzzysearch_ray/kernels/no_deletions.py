@@ -27,14 +27,25 @@ def expand_no_deletions(
     For each insertion count 0..max_insertions, computes the minimal number
     of substitutions (DP over the needle), then filters to within-budget,
     strictly-improving entries (no_deletions.py:13-39).
+
+    Divergence from the reference: when ``window`` is shorter than
+    ``len(needle) + max_insertions`` (a flank clipped by the haystack
+    boundary), insertion counts that would index past the window are treated
+    as infeasible instead of raising IndexError — the reference's unwired
+    no_deletions.py:24-30 crashes on such inputs (verified on v0.8.1), which
+    a corpus-scale operator cannot do.
     """
     if not needle:
         return (0, 0)  # parity quirk: a bare tuple, not a list of tuples
 
-    subs_for_ins = [0] * (max_insertions + 1)
+    usable_ins = min(max_insertions, len(window) - len(needle))
+    if usable_ins < 0:
+        return []
+
+    subs_for_ins = [0] * (usable_ins + 1)
     for j, ch in enumerate(needle):
         subs_for_ins[0] += ch != window[j]
-        for ins in range(1, max_insertions + 1):
+        for ins in range(1, usable_ins + 1):
             subs_for_ins[ins] = min(
                 subs_for_ins[ins] + (ch != window[j + ins]),
                 subs_for_ins[ins - 1],
@@ -100,7 +111,9 @@ def find_near_matches_no_deletions_ngrams(
             rem_subs = max_subs - min(c[0] for c in costs_after)
             rem_ins = max_ins - min(c[1] for c in costs_after)
             rem_total = max_total - min(c[0] + c[1] for c in costs_after)
-            window_before = haystack[base - rem_ins : hit]
+            # clamp at 0: a negative Python slice start would wrap around
+            # (same latent hazard as the reference's no_deletions.py:103)
+            window_before = haystack[max(0, base - rem_ins) : hit]
             if piece_start == 0 or window_before[-len(before) :] == before:
                 costs_before = [(0, 0)]
             else:

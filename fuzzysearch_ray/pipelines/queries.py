@@ -454,6 +454,27 @@ def q_fuzzy_search_generic(sf_dir: str, needle: str = "stream"):
     return _min_dist_per_doc(out)
 
 
+def q_fuzzy_search_no_deletions(sf_dir: str, needle: str = "window"):
+    """Per-doc minimum cost through the no-deletions family (reference
+    no_deletions.py:42-129, reachable only by direct call — the planner never
+    selects it), with subs<=1, ins<=1. Same window-cost semantics as the
+    generic family at these caps (dels=0 in both), so the same SQL oracle
+    shape applies; min-dist parity with brute-force window enumeration is
+    pinned by the fuzz test in tests/test_kernels_dispatch_generic.py (the
+    family's claimed-start suppression drops duplicate spans, never the
+    per-doc minimum)."""
+    corpus = read_documents_as_corpus(sf_dir)
+    out = fuzzy_search(
+        corpus,
+        needle,
+        max_substitutions=1,
+        max_insertions=1,
+        max_deletions=0,
+        family="no_deletions",
+    )
+    return _min_dist_per_doc(out)
+
+
 # --------------------------------------------------------------------------
 # Near-dup dedup pipelines
 # --------------------------------------------------------------------------

@@ -151,6 +151,55 @@ class TestNoDeletions:
         with pytest.raises(ValueError):
             find_near_matches_no_deletions_ngrams("ab", "abc", SearchParams(1, 1, 0, None))
 
+    def test_haystack_boundary_windows_no_crash(self):
+        # the reference's unwired no_deletions.py:24-30 raises IndexError when
+        # a flank window is clipped by the haystack boundary (verified on
+        # v0.8.1); the engine treats out-of-window insertions as infeasible
+        p = SearchParams(1, 1, 0, None)
+        got = find_near_matches_no_deletions_ngrams(
+            "window", "win window wiind stream xx win wiind", p)
+        assert (4, 10, 0) in [(m.start, m.end, m.dist) for m in got]
+
+    def test_min_dist_matches_brute_force_windows(self):
+        """Oracle-validity pin for q_fuzzy_search_no_deletions: the per-doc
+        MIN over the family's (claimed-start-suppressed) matches equals the
+        minimum cost over ALL no-deletion alignments — width-m windows at
+        Hamming<=1 cost ham, width-(m+1) windows at 1 insertion + <=1 sub
+        cost 1+ham — which is exactly what the SQL oracle enumerates."""
+        needle = "window"
+        m = len(needle)
+        p = SearchParams(1, 1, 0, None)
+
+        def brute_min(s):
+            best = None
+            for i in range(len(s) - m + 1):
+                ham = sum(a != b for a, b in zip(needle, s[i:i + m]))
+                if ham <= 1:
+                    best = ham if best is None else min(best, ham)
+            for i in range(len(s) - m):
+                w = s[i:i + m + 1]
+                for q in range(m + 1):
+                    ham = sum(
+                        a != b for a, b in zip(needle, w[:q] + w[q + 1:])
+                    )
+                    if ham <= 1:
+                        best = 1 + ham if best is None else min(best, 1 + ham)
+            return best
+
+        rng = random.Random(7)
+        words = ["window", "wndow", "winxdow", "wiind", "dow", "win", "xx",
+                 "stream", "windaw", "wwindow", "ndowwi", "windo", "indow"]
+        for _ in range(400):
+            s = " ".join(rng.choice(words) for _ in range(rng.randint(1, 10)))
+            got = find_near_matches_no_deletions_ngrams(needle, s, p)
+            kmin = min((mt.dist for mt in got), default=None)
+            assert kmin == brute_min(s), s
+        for _ in range(400):
+            s = "".join(rng.choice("wind ox") for _ in range(rng.randint(6, 50)))
+            got = find_near_matches_no_deletions_ngrams(needle, s, p)
+            kmin = min((mt.dist for mt in got), default=None)
+            assert kmin == brute_min(s), s
+
 
 class TestSubstitutionsVsGenericAgreement:
     def test_random_agreement(self):
