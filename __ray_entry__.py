@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_terms": Q.q_heavy_hitter_terms,
         "dup_chunk_strip": Q.q_dup_chunk_strip,
         "fuzzy_search_no_deletions": Q.q_fuzzy_search_no_deletions,
+        "text_normalize": Q.q_text_normalize,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -743,6 +744,27 @@ def oracle_sql() -> dict[str, str]:
             "'\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'), "
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS BIGINT) "
             "AS redacted_chars FROM s"
+        ),
+        "text_normalize": (
+            # same deterministic mess on both sides (chr() spellings match
+            # the engine's _MESS_* literals codepoint for codepoint), then
+            # DuckDB nfc_normalize + RE2 vs the engine's ASCII-gated
+            # unicodedata NFC + Arrow RE2 chain — byte-identical patterns
+            "WITH messy AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER) "
+            "WHEN 0 THEN 'Cafe' || chr(769) || ' ' || chr(160) || ' ' || text "
+            "|| ' ' || chr(13) || chr(10) "
+            "WHEN 1 THEN chr(8203) || 'zero' || chr(8203) || 'width ' || text "
+            "|| chr(9) || chr(9) || 'tabs' || chr(9) "
+            "WHEN 2 THEN 'ctrl' || chr(7) || chr(1) || ' ' || text || ' end' || chr(127) "
+            "WHEN 3 THEN '  lead   space ' || text || '  ' "
+            "ELSE text END AS mt FROM documents), "
+            "c AS (SELECT doc_id, mt, trim(regexp_replace(regexp_replace("
+            "regexp_replace(nfc_normalize(mt), "
+            "'[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x{200B}\\x{FEFF}]', '', 'g'), "
+            "'\\x{00A0}', ' ', 'g'), '[ \\t\\r\\n]+', ' ', 'g')) AS ct FROM messy) "
+            "SELECT doc_id, ct AS clean_text, "
+            "CAST(length(mt) AS BIGINT) AS n_before, "
+            "CAST(length(ct) AS BIGINT) AS n_after FROM c"
         ),
         "jsonl_ingest_stats": (
             # engine side re-derives ids from the JSONL round-trip; distinct

@@ -3349,3 +3349,84 @@ def q_heavy_hitter_terms(sf_dir: str, k: int = 20, m: int = 512):
             "(raise m for this corpus)" % (int(out["n"].iloc[-1]), caps_total)
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# Unicode text normalization (training-data scrub): NFC composition,
+# control / zero-width stripping, NBSP unification, whitespace collapse.
+# Mess is synthesized deterministically per doc_id (same recipe in the SQL
+# oracle, like q_pii_redaction's PII synthesis) so the gate compares the
+# engine's kernels vs DuckDB's nfc_normalize + RE2 on identical inputs.
+# --------------------------------------------------------------------------
+
+# one (prefix, suffix) pair per doc_id % 5; index 4 leaves the doc untouched
+_MESS_PREFIXES = [
+    "Cafe\u0301 \u00a0 ",         # decomposed accent (e + U+0301) + NBSP
+    "\u200bzero\u200bwidth ",     # zero-width spaces
+    "ctrl\x07\x01 ",                # control chars
+    "  lead   space ",              # leading / repeated spaces
+    "",
+]
+_MESS_SUFFIXES = [" \r\n", "\t\ttabs\t", " end\x7f", "  ", ""]
+
+# RE2-escape spellings shared verbatim with the SQL oracle (both engines run
+# RE2, so byte-identical patterns guarantee identical semantics)
+_NORM_CTRL_RE = r"[\x01-\x08\x0b\x0c\x0e-\x1f\x7f\x{200B}\x{FEFF}]"
+_NORM_NBSP_RE = r"\x{00A0}"
+_NORM_WS_RE = r"[ \t\r\n]+"
+
+
+def normalize_text_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """NFC + strip controls/zero-width + NBSP→space + collapse + trim.
+
+    pyarrow 16's utf8_normalize(form='NFC') does not compose (it behaves as
+    NFD), so NFC runs through Python unicodedata ONLY for the non-ASCII rows
+    — detected vectorized via bytes==chars — while ASCII rows (the vast
+    majority of a code/web corpus, for which NFC is the identity) never
+    leave Arrow. Everything after NFC is Arrow RE2 kernels.
+    """
+    import unicodedata
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    non_ascii = pc.not_equal(pc.binary_length(col), pc.utf8_length(col))
+    if pc.any(non_ascii).as_py():
+        idx = np.flatnonzero(non_ascii.to_numpy(zero_copy_only=False))
+        fixed = pa.array(
+            [
+                unicodedata.normalize("NFC", s)
+                for s in col.take(pa.array(idx)).to_pylist()
+            ],
+            type=col.type,
+        )
+        np_mask = np.zeros(len(col), dtype=bool)
+        np_mask[idx] = True
+        col = pc.replace_with_mask(col, pa.array(np_mask), fixed)
+    t = pc.replace_substring_regex(col, pattern=_NORM_CTRL_RE, replacement="")
+    t = pc.replace_substring_regex(t, pattern=_NORM_NBSP_RE, replacement=" ")
+    t = pc.replace_substring_regex(t, pattern=_NORM_WS_RE, replacement=" ")
+    return pc.utf8_trim_whitespace(t)
+
+
+def q_text_normalize(sf_dir: str):
+    """(doc_id, clean_text, n_before, n_after) over deterministically messed
+    documents. Single map_batches pass, no shuffle — trivially scale-safe."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"]
+        sel = did.to_numpy() % 5
+        pre = pa.array(np.asarray(_MESS_PREFIXES, dtype=object)[sel], pa.string())
+        suf = pa.array(np.asarray(_MESS_SUFFIXES, dtype=object)[sel], pa.string())
+        messy = pc.binary_join_element_wise(pre, batch["text"], suf, "")
+        clean = normalize_text_column(messy)
+        return pa.table(
+            {
+                "doc_id": did,
+                "clean_text": clean,
+                "n_before": pc.cast(pc.utf8_length(messy), pa.int64()),
+                "n_after": pc.cast(pc.utf8_length(clean), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -1,0 +1,72 @@
+"""Brute-force parity for the Unicode normalization scrub: the vectorized
+Arrow chain in normalize_text_column must match a plain Python
+unicodedata + re reference on adversarial strings (decomposed accents,
+zero-width chars, controls, NBSP, mixed whitespace runs, pure-ASCII rows
+that must stay on the zero-copy path)."""
+
+import re
+import unicodedata
+
+import pyarrow as pa
+
+from fuzzysearch_ray.pipelines.queries import (
+    _MESS_PREFIXES,
+    _MESS_SUFFIXES,
+    normalize_text_column,
+)
+
+_CTRL = re.compile("[\x01-\x08\x0b\x0c\x0e-\x1f\x7f​﻿]")
+_WS = re.compile("[ \t\r\n]+")
+
+
+def brute(s: str) -> str:
+    t = unicodedata.normalize("NFC", s)
+    t = _CTRL.sub("", t)
+    t = t.replace(" ", " ")
+    t = _WS.sub(" ", t)
+    return t.strip()
+
+
+ADVERSARIAL = [
+    "",
+    "plain ascii text",
+    "  many   spaces\t\tand\ttabs  ",
+    "line\r\nbreaks\rmixed\nhere",
+    "Café composes to café",          # NFC composition
+    "​zero​width﻿bom",
+    "ctrl\x07bell\x01soh\x7fdel",
+    "nb sp  runs",
+    "á́ double combining",
+    "already é composed",
+    " ",                                     # NBSP only → empty
+    "\x07\x01​",                             # strip-only → empty
+    "mix Café \t \x07 x",
+]
+
+
+class TestNormalizeTextColumn:
+    def test_adversarial_parity(self):
+        got = normalize_text_column(pa.array(ADVERSARIAL)).to_pylist()
+        assert got == [brute(s) for s in ADVERSARIAL]
+
+    def test_chunked_array_input(self):
+        ca = pa.chunked_array([ADVERSARIAL[:4], ADVERSARIAL[4:]])
+        assert normalize_text_column(ca).to_pylist() == [
+            brute(s) for s in ADVERSARIAL
+        ]
+
+    def test_mess_recipe_round_trip(self):
+        # every injected mess normalizes back to the original (clean) body
+        body = "the quick batch stream"
+        for pre, suf in zip(_MESS_PREFIXES, _MESS_SUFFIXES):
+            messy = pre + body + suf
+            expect = brute(messy)
+            got = normalize_text_column(pa.array([messy])).to_pylist()[0]
+            assert got == expect
+            assert body in got
+
+    def test_ascii_rows_unchanged_semantics(self):
+        rows = ["pure ascii", "  trim me  ", "tab\there"]
+        assert normalize_text_column(pa.array(rows)).to_pylist() == [
+            brute(s) for s in rows
+        ]
