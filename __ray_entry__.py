@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_chunk_strip": Q.q_dup_chunk_strip,
         "fuzzy_search_no_deletions": Q.q_fuzzy_search_no_deletions,
         "text_normalize": Q.q_text_normalize,
+        "dedup_report": Q.q_dedup_report,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -765,6 +766,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, ct AS clean_text, "
             "CAST(length(mt) AS BIGINT) AS n_before, "
             "CAST(length(ct) AS BIGINT) AS n_after FROM c"
+        ),
+        "dedup_report": (
+            # per-source exact-dup dashboard; engine keys groups on the full
+            # 128-bit md5 (2^-128 collision class, repo convention) where the
+            # oracle partitions on text directly
+            "WITH g AS (SELECT source, "
+            "CASE WHEN COUNT(*) OVER (PARTITION BY text) > 1 THEN 1 ELSE 0 END "
+            "AS is_dup, text FROM documents) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs, "
+            "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts, "
+            "CAST((10000 * SUM(is_dup)) // COUNT(*) AS BIGINT) AS dup_bps "
+            "FROM g GROUP BY source"
         ),
         "jsonl_ingest_stats": (
             # engine side re-derives ids from the JSONL round-trip; distinct

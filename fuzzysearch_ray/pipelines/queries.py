@@ -3430,3 +3430,104 @@ def q_text_normalize(sf_dir: str):
         )
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Dedup report: per-source exact-duplication metrics (the operational
+# dashboard a corpus curation run reads before choosing what to drop).
+# Scale shape: ONE integer-only shuffle (md5 halves + hashed source id —
+# content and source strings never shuffle); each digest's rows co-locate,
+# so per-partition pandas resolves group sizes vectorized and emits tiny
+# per-source partials; everything after is driver-side on ~partitions ×
+# sources rows.
+# --------------------------------------------------------------------------
+
+def q_dedup_report(sf_dir: str, num_partitions: int = 32):
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        cb = pc.cast(batch["text"], pa.large_binary()).combine_chunks()
+        n = len(cb)
+        off = np.frombuffer(
+            cb.buffers()[1], dtype=np.int64, count=cb.offset + n + 1
+        )[cb.offset:]
+        mv = (
+            memoryview(cb.buffers()[2])
+            if cb.buffers()[2] is not None
+            else memoryview(b"")
+        )
+        md5 = hashlib.md5
+        digests = [md5(mv[off[i]: off[i + 1]]).digest() for i in range(n)]
+        both = (
+            np.frombuffer(b"".join(digests), dtype=">u8")
+            .astype(np.uint64)
+            .view(np.int64)
+            .reshape(-1, 2)
+        )
+        src_h = np.array(
+            [
+                int.from_bytes(md5(s.encode()).digest()[:8], "big", signed=True)
+                for s in batch["source"].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        part = (both[:, 0].view(np.uint64) % num_partitions).astype(np.int64)
+        return pa.table(
+            {
+                "h1": pa.array(both[:, 0].copy(), pa.int64()),
+                "h2": pa.array(both[:, 1].copy(), pa.int64()),
+                "src_h": pa.array(src_h, pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def resolve(block: pd.DataFrame) -> pd.DataFrame:
+        grp_n = block.groupby(["h1", "h2"])["src_h"].transform("size")
+        dup = (grp_n.to_numpy() > 1).astype(np.int64)
+        agg = (
+            pd.DataFrame({"src_h": block["src_h"].to_numpy(), "dup": dup})
+            .groupby("src_h")
+            .agg(n_docs=("dup", "size"), n_dup_docs=("dup", "sum"))
+        )
+        distinct = (
+            block.drop_duplicates(["h1", "h2", "src_h"])
+            .groupby("src_h")
+            .size()
+            .rename("n_distinct_texts")
+        )
+        out = agg.join(distinct).reset_index()
+        return out.astype(np.int64)
+
+    partials = (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()  # ~num_partitions × n_sources rows
+        .groupby("src_h", as_index=False)
+        .sum()
+    )
+
+    def batch_names(batch: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        uniq = pc.unique(batch["source"]).to_pylist()
+        hs = [
+            int.from_bytes(_h.md5(s.encode()).digest()[:8], "big", signed=True)
+            for s in uniq
+        ]
+        return pa.table(
+            {"src_h": pa.array(hs, pa.int64()), "source": pa.array(uniq, pa.string())}
+        )
+
+    names = (
+        ds.select_columns(["source"])
+        .map_batches(batch_names, batch_format="pyarrow")
+        .to_pandas()  # ≤ blocks × n_sources rows
+        .drop_duplicates("src_h")
+    )
+    rep = partials.merge(names, on="src_h").drop(columns=["src_h"])
+    rep["dup_bps"] = (10000 * rep["n_dup_docs"]) // rep["n_docs"]
+    cols = ["source", "n_docs", "n_dup_docs", "n_distinct_texts", "dup_bps"]
+    return rep[cols].astype({c: np.int64 for c in cols[1:]})

@@ -154,3 +154,36 @@ def test_near_dup_degree_brute_force(tmp_path):
     ).reset_index(drop=True)
     assert (deg > 0).sum() == 15  # every family member found partners
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_report_brute_force(tmp_path):
+    from fuzzysearch_ray.pipelines.queries import q_dedup_report
+
+    rng = np.random.default_rng(33)
+    # small text pool forces cross-source duplicate groups
+    pool = ["alpha beta", "gamma", "delta epsilon", "zeta", "eta theta"]
+    texts = [pool[int(i)] for i in rng.integers(0, len(pool), 200)]
+    texts += ["unique-%d" % i for i in range(17)]
+    sources = [f"s{int(i)}" for i in rng.integers(0, 4, len(texts))]
+    _write_docs(tmp_path, texts, sources=sources)
+
+    got = (
+        q_dedup_report(str(tmp_path))
+        .sort_values("source", ignore_index=True)
+    )
+
+    df = pd.DataFrame({"text": texts, "source": sources})
+    grp_n = df.groupby("text")["source"].transform("size")
+    df["is_dup"] = (grp_n > 1).astype(np.int64)
+    exp = (
+        df.groupby("source")
+        .agg(
+            n_docs=("is_dup", "size"),
+            n_dup_docs=("is_dup", "sum"),
+            n_distinct_texts=("text", "nunique"),
+        )
+        .reset_index()
+    )
+    exp["dup_bps"] = (10000 * exp["n_dup_docs"]) // exp["n_docs"]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
