@@ -128,6 +128,12 @@ def run_bench() -> dict:
     timed("pii_redaction", lambda: Q.q_pii_redaction(SF_DIR))
     timed("heavy_hitter_terms", lambda: Q.q_heavy_hitter_terms(SF_DIR))
     timed("dup_chunk_strip", lambda: Q.q_dup_chunk_strip(SF_DIR))
+    timed("text_normalize", lambda: Q.q_text_normalize(SF_DIR))
+    timed("dedup_report", lambda: Q.q_dedup_report(SF_DIR))
+    timed(
+        "fuzzy_search_no_deletions",
+        lambda: Q.q_fuzzy_search_no_deletions(SF_DIR),
+    )
 
     # headline: flagship dedup over the synthetic source-code corpus,
     # measured as ALTERNATING broadcast/join runs within one window. The
