@@ -1,0 +1,66 @@
+"""Golden conformance table for the no-deletions family: expected spans /
+distances / matched slices transcribed from the reference's behavior
+(taleinat/fuzzysearch v0.8.1, no_deletions.py:42-129, direct-call runs on
+interior inputs — long pads keep flank windows away from the haystack
+boundary, where the reference's unwired code raises IndexError and the
+engine diverges by design; see kernels/no_deletions.py)."""
+
+from fuzzysearch_ray.kernels.match import SearchParams
+from fuzzysearch_ray.kernels.no_deletions import (
+    find_near_matches_no_deletions_ngrams,
+)
+
+PAD = "q" * 12
+
+# (needle, haystack, (subs, ins, dels, l_dist), [(start, end, dist, matched)])
+GOLDEN = [
+    ("PATTERNXYZ", PAD + "zATxTERNXYZ" + PAD, (1, 1, 0, None),
+     [(12, 23, 2, "zATxTERNXYZ")]),
+    ("PATTERNXYZ", PAD + "PATTERNXYZ" + PAD, (1, 1, 0, None),
+     [(12, 22, 0, "PATTERNXYZ")]),
+    ("PATTERNXYZ", PAD + "xPATTERNXxZ" + PAD, (1, 1, 0, None),
+     [(13, 23, 1, "PATTERNXxZ")]),
+    ("PATTERNXYZ", PAD + "PATyTERNXxZ" + PAD, (2, 1, 0, None),
+     [(12, 23, 2, "PATyTERNXxZ")]),
+    ("PATTERNXYZ", PAD + "xPATTyERNXYZ" + PAD, (2, 1, 0, None),
+     [(13, 24, 1, "PATTyERNXYZ")]),
+    ("PATTERNXYZ", PAD + "PyTTERNXYZ" + PAD, (2, 1, 0, None),
+     [(12, 22, 1, "PyTTERNXYZ")]),
+    ("PATTERNXYZ", PAD + "PATTERNXYyZ" + PAD, (1, 2, 0, None),
+     [(12, 22, 1, "PATTERNXYy"), (12, 23, 1, "PATTERNXYyZ")]),
+    ("PATTERNXYZ", PAD + "PzATTERNXxYZ" + PAD, (1, 2, 0, None),
+     [(12, 24, 2, "PzATTERNXxYZ"), (13, 24, 2, "zATTERNXxYZ")]),
+    ("PATTERNXYZ", PAD + "zATTxRNXYZ" + PAD, (1, 2, 0, None), []),
+    ("PATTERNXYZ", PAD + "PATTERNzXYZ" + PAD, (0, 2, 0, None),
+     [(12, 23, 1, "PATTERNzXYZ")]),
+    ("PATTERNXYZ", PAD + "PATTEyNXYZ" + PAD, (0, 2, 0, None), []),
+    ("PATTERNXYZ", PAD + "PzATTERNzYZ" + PAD, (0, 2, 0, None), []),
+    ("abcdefghi", PAD + "abcdzefghi" + PAD, (1, 1, 0, None),
+     [(12, 22, 1, "abcdzefghi")]),
+    ("abcdefghi", PAD + "ybcdexghi" + PAD, (1, 1, 0, None), []),
+    ("abcdefghi", PAD + "axbcdefghi" + PAD, (1, 1, 0, None),
+     [(12, 22, 1, "axbcdefghi"), (13, 22, 1, "xbcdefghi")]),
+    ("abcdefghi", PAD + "abcdxfghi" + PAD, (1, 1, 0, None),
+     [(12, 21, 1, "abcdxfghi")]),
+    ("abcdefghi", PAD + "axzcdefghi" + PAD, (2, 1, 0, None),
+     [(12, 22, 2, "axzcdefghi"), (13, 22, 2, "xzcdefghi")]),
+    ("abcdefghi", PAD + "aybcdefghyi" + PAD, (2, 1, 0, None),
+     [(12, 22, 2, "aybcdefghy"), (13, 22, 2, "ybcdefghy"),
+      (13, 23, 2, "ybcdefghyi")]),
+    ("abcdefghi", PAD + "ayybcdefghi" + PAD, (1, 2, 0, None),
+     [(12, 23, 2, "ayybcdefghi"), (14, 23, 1, "ybcdefghi")]),
+    ("abcdefghi", PAD + "abcdzfghxi" + PAD, (1, 2, 0, None),
+     [(12, 22, 2, "abcdzfghxi")]),
+    ("abcdefghi", PAD + "abcdeygxhi" + PAD, (0, 2, 0, None), []),
+    ("abcdefghi", PAD + "azzcdefghi" + PAD, (0, 2, 0, None), []),
+]
+
+
+def test_golden_reference_parity():
+    for needle, hay, caps, expected in GOLDEN:
+        got = find_near_matches_no_deletions_ngrams(
+            needle, hay, SearchParams(*caps)
+        )
+        assert [
+            (m.start, m.end, m.dist, m.matched) for m in got
+        ] == expected, (needle, hay, caps)
