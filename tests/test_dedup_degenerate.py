@@ -1,0 +1,75 @@
+"""Degenerate-corpus robustness for the flagship pipeline: single row,
+all-identical rows, empty-string contents, and unicode content must all
+produce a complete, correct labeling (every id labeled exactly once,
+cluster_id = min member id) without crashing any stage."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fuzzysearch_ray.config import DedupConfig
+from fuzzysearch_ray.pipelines.dedup import clusters_to_pandas, near_dup_pipeline
+
+
+def _corpus(contents):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(range(len(contents)), pa.int64()),
+                "content": pa.array(contents, pa.string()),
+                "lang": pa.array(["py"] * len(contents), pa.string()),
+            }
+        )
+    )
+
+
+def _run(contents):
+    res = near_dup_pipeline(_corpus(contents), DedupConfig())
+    return clusters_to_pandas(res)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDegenerateCorpora:
+    def test_single_row(self):
+        out = _run(["def f():\n    return 1\n"])
+        assert len(out) == 1
+        assert out["cluster_id"].iloc[0] == out["id"].iloc[0]
+
+    def test_all_identical(self):
+        out = _run(["same content here, long enough to shingle"] * 20)
+        assert len(out) == 20
+        assert out["id"].is_unique
+        # one exact-dup cluster, rep = min id = 0
+        assert (out["cluster_id"] == 0).all()
+
+    def test_empty_and_short_strings(self):
+        contents = ["", "", "x", "y", "a reasonable piece of content " * 4]
+        out = _run(contents)
+        assert len(out) == len(contents)
+        assert out["id"].is_unique
+        # the two empty strings are exact dups of each other
+        m = out.set_index("id")["cluster_id"]
+        assert m[0] == m[1]
+        # distinct singles stay unclustered with the empties
+        assert m[2] != m[0] and m[3] != m[0] and m[2] != m[3]
+
+    def test_unicode_content(self):
+        base = "def héllo():\n    return 'χαίρετε κόσμε' * 3  # ünïcode\n"
+        contents = [base, base, base + "# trailing comment\n", "unrelated " * 8]
+        out = _run(contents)
+        assert len(out) == 4
+        m = out.set_index("id")["cluster_id"]
+        assert m[0] == m[1]  # exact dups
+        assert m[3] != m[0]  # unrelated stays apart
+
+    def test_every_id_labeled_exactly_once_mixed(self):
+        contents = (
+            [""] * 3
+            + ["tiny"] * 2
+            + ["block of shared boilerplate text " * 6 + str(i) for i in range(10)]
+        )
+        out = _run(contents)
+        assert len(out) == len(contents)
+        assert out["id"].is_unique
+        mins = out.groupby("cluster_id")["id"].min()
+        assert (mins.index.to_numpy() == mins.to_numpy()).all()
