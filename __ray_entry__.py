@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search_no_deletions": Q.q_fuzzy_search_no_deletions,
         "text_normalize": Q.q_text_normalize,
         "dedup_report": Q.q_dedup_report,
+        "cluster_size_histogram": Q.q_cluster_size_histogram,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,

@@ -3531,3 +3531,33 @@ def q_dedup_report(sf_dir: str, num_partitions: int = 32):
     rep["dup_bps"] = (10000 * rep["n_dup_docs"]) // rep["n_docs"]
     cols = ["source", "n_docs", "n_dup_docs", "n_distinct_texts", "dup_bps"]
     return rep[cols].astype({c: np.int64 for c in cols[1:]})
+
+
+def q_cluster_size_histogram(sf_dir: str):
+    """Cluster-size histogram of the flagship near-dup clustering:
+    (cluster_size, n_clusters), singletons included — the audit a curation
+    run reads to pick a dedup policy (how much mass sits in giant
+    boilerplate clusters vs pairs). Two tiny integer-keyed aggregates over
+    the labeling; content never moves."""
+    from ray.data.aggregate import Count
+
+    corpus = read_documents_as_corpus(sf_dir)
+    res = near_dup_pipeline(corpus, DedupConfig())
+    sizes = (
+        res["clusters"]
+        .groupby("cluster_id")
+        .aggregate(Count(alias_name="cluster_size"))
+    )
+    hist = (
+        sizes.groupby("cluster_size").aggregate(Count(alias_name="n_clusters"))
+    )
+
+    def cast64(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster_size": batch["cluster_size"].cast(pa.int64()),
+                "n_clusters": batch["n_clusters"].cast(pa.int64()),
+            }
+        )
+
+    return hist.map_batches(cast64, batch_format="pyarrow")
