@@ -1002,6 +1002,14 @@ def oracle_sql() -> dict[str, str]:
         # same oracle shape applies; distinct needle keeps the row distinct
         "fuzzy_search_no_deletions": _generic_mindist_sql("window"),
         "near_dup_clusters": _near_dup_clusters_sql(),
+        "cluster_size_histogram": (
+            # histogram over the same recursive-closure clustering the
+            # flagship oracle computes
+            "WITH c AS (" + _near_dup_clusters_sql() + "), "
+            "s AS (SELECT cluster_id, COUNT(*) AS sz FROM c GROUP BY cluster_id) "
+            "SELECT CAST(sz AS BIGINT) AS cluster_size, "
+            "CAST(COUNT(*) AS BIGINT) AS n_clusters FROM s GROUP BY sz"
+        ),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "simhash_signatures": _simhash_sql(9),
         "simhash_dup_pairs": _simhash_pairs_sql(3, 9),
