@@ -3521,11 +3521,17 @@ def q_dedup_report(sf_dir: str, num_partitions: int = 32):
             {"src_h": pa.array(hs, pa.int64()), "source": pa.array(uniq, pa.string())}
         )
 
+    from ray.data.aggregate import Min
+
     names = (
         ds.select_columns(["source"])
         .map_batches(batch_names, batch_format="pyarrow")
-        .to_pandas()  # ≤ blocks × n_sources rows
-        .drop_duplicates("src_h")
+        # distributed reduce to one row per source (the batch-level distinct
+        # above bounds the shuffle at blocks × n_sources rows; Min is a pure
+        # tie-break — every row of a src_h group carries the same name)
+        .groupby("src_h")
+        .aggregate(Min("source", alias_name="source"))
+        .to_pandas()  # n_sources rows
     )
     rep = partials.merge(names, on="src_h").drop(columns=["src_h"])
     rep["dup_bps"] = (10000 * rep["n_dup_docs"]) // rep["n_docs"]
