@@ -3466,13 +3466,15 @@ def q_dedup_report(sf_dir: str, num_partitions: int = 32):
             .view(np.int64)
             .reshape(-1, 2)
         )
-        src_h = np.array(
+        enc = batch["source"].combine_chunks().dictionary_encode()
+        hmap = np.array(
             [
                 int.from_bytes(md5(s.encode()).digest()[:8], "big", signed=True)
-                for s in batch["source"].to_pylist()
+                for s in enc.dictionary.to_pylist()
             ],
             dtype=np.int64,
         )
+        src_h = hmap[enc.indices.to_numpy()]
         part = (both[:, 0].view(np.uint64) % num_partitions).astype(np.int64)
         return pa.table(
             {
