@@ -735,8 +735,18 @@ def _split_values_for_exchange(tbl, num_parts: int, req, as_sketch: bool, num_pe
     take = np.flatnonzero(counts > 0)
     if take.size == 0:
         return [empty] * num_parts
-    row_idx = np.repeat(take, counts[take])
-    req_idx = np.concatenate([np.arange(lo[i], hi[i]) for i in take.tolist()])
+    c = counts[take]
+    row_idx = np.repeat(take, c)
+    # ragged arange over the request ranges, fully vectorized (the Python
+    # per-row np.arange loop here measured tens of seconds on a coarse
+    # 960k-row content block)
+    offs = np.zeros(take.size + 1, dtype=np.int64)
+    np.cumsum(c, out=offs[1:])
+    req_idx = (
+        np.arange(offs[-1], dtype=np.int64)
+        - np.repeat(offs[:-1], c)
+        + np.repeat(lo[take], c)
+    )
     fanned = base.take(pa.array(row_idx, pa.int64()))
     return _slice_by_part(fanned, rp[req_idx], num_parts)
 
@@ -929,10 +939,27 @@ def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig, sigs_ds=None):
         split_vals = ray.remote(num_returns=P)(_split_values_for_exchange)
         verify_part = ray.remote(_verify_exchange_partition)
 
+        def _spread(ds, lo_blocks=None, hi_blocks=None):
+            """Materialize a map-side input with a block count in
+            [~cpus, ~4x cpus]: a coarse side (one giant block) serializes
+            the exchange behind a single split task — every reduce
+            partition waits on it (measured: an 80 s all-reduce get barrier
+            at 960k rows when content arrived as one block) — while a
+            fragmented side multiplies the exchange's object count
+            (blocks x P return objects, each with fixed object-store cost;
+            the pairs side arrives in hundreds of post-shuffle blocks)."""
+            lo = lo_blocks if lo_blocks is not None else cpus
+            hi = hi_blocks if hi_blocks is not None else cpus * 4
+            m = ds.materialize()
+            if not lo <= m.num_blocks() <= hi:
+                m = m.repartition(cpus * 2).materialize()
+            return m
+
         pair_shards = [
-            split_pairs.remote(r, P) for r in pairs_ds.to_arrow_refs()
+            split_pairs.remote(r, P)
+            for r in _spread(pairs_ds).to_arrow_refs()
         ]
-        content_src = content_ds.materialize()
+        content_src = _spread(content_ds)
         content_shards = [
             split_vals.remote(r, P, req_ref, False, 0)
             for r in content_src.to_arrow_refs()
@@ -940,7 +967,7 @@ def verify_pairs_join(pairs_ds, content_ds, config: DedupConfig, sigs_ds=None):
         sketch_shards = (
             [
                 split_vals.remote(r, P, req_ref, True, num_perm)
-                for r in sigs_ds.materialize().to_arrow_refs()
+                for r in _spread(sigs_ds).to_arrow_refs()
             ]
             if use_sketch
             else []
