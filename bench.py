@@ -130,6 +130,9 @@ def run_bench() -> dict:
     timed("dup_chunk_strip", lambda: Q.q_dup_chunk_strip(SF_DIR))
     timed("text_normalize", lambda: Q.q_text_normalize(SF_DIR))
     timed("dedup_report", lambda: Q.q_dedup_report(SF_DIR))
+    timed("clone1_dedup_groups", lambda: Q.q_clone1_dedup_groups(SF_DIR))
+    timed("secret_scan", lambda: Q.q_secret_scan(SF_DIR))
+    timed("code_line_stats", lambda: Q.q_code_line_stats(SF_DIR))
     timed(
         "fuzzy_search_no_deletions",
         lambda: Q.q_fuzzy_search_no_deletions(SF_DIR),
