@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clone1_dedup_groups": Q.q_clone1_dedup_groups,
         "secret_scan": Q.q_secret_scan,
         "code_line_stats": Q.q_code_line_stats,
+        "clone2_dedup_groups": Q.q_clone2_dedup_groups,
+        "latest_snapshot_files": Q.q_latest_snapshot_files,
+        "vendored_file_groups": Q.q_vendored_file_groups,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -1067,6 +1070,56 @@ def oracle_sql() -> dict[str, str]:
             "AS max_line_len, "
             "CAST(list_sum(list_transform(ls, x -> length(x))) AS BIGINT) "
             "AS sum_line_chars FROM l"
+        ),
+        "clone2_dedup_groups": (
+            # template injection + per-doc renaming (recipes shared with the
+            # engine), then alpha-renaming canonicalization: token -> 'i<k>'
+            # where k is the 1-based first-occurrence order within the doc
+            "WITH s AS (SELECT doc_id, regexp_replace("
+            "CASE WHEN doc_id % 3 = 0 THEN '" + Q._CLONE2_TEMPLATE + "' "
+            "ELSE text END, "
+            "'[A-Za-z]+', 'v' || (doc_id % 97) || '_\\0', 'g') AS synth "
+            "FROM documents), "
+            "ids AS (SELECT doc_id, "
+            "regexp_extract_all(synth, '[A-Za-z0-9_]+') AS l FROM s), "
+            "e AS (SELECT doc_id, unnest(l) AS tok, "
+            "generate_subscripts(l, 1) AS ord FROM ids), "
+            "f AS (SELECT doc_id, ord, "
+            "MIN(ord) OVER (PARTITION BY doc_id, tok) AS fo FROM e), "
+            "r AS (SELECT doc_id, ord, DENSE_RANK() OVER "
+            "(PARTITION BY doc_id ORDER BY fo) AS rk FROM f), "
+            "c AS (SELECT doc_id, string_agg('i' || rk, ' ' ORDER BY ord) "
+            "AS canon FROM r GROUP BY doc_id), "
+            "a AS (SELECT d.doc_id, COALESCE(c.canon, '') AS canon "
+            "FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id) "
+            "SELECT md5(canon) AS h, MIN(doc_id) AS keep_id, "
+            "COUNT(*) AS n_members FROM a GROUP BY md5(canon)"
+        ),
+        "latest_snapshot_files": (
+            # head pick per synthetic (repo, path): highest commit_seq,
+            # ties broken by lowest doc_id (matches the engine's packed max)
+            "WITH m AS (SELECT doc_id, doc_id % 421 AS fk, "
+            "(doc_id * 2654435761) % 1000003 AS cs FROM documents), "
+            "r AS (SELECT fk, cs, doc_id, ROW_NUMBER() OVER "
+            "(PARTITION BY fk ORDER BY cs DESC, doc_id ASC) AS rn FROM m) "
+            "SELECT 'r' || (fk % 7) AS repo, "
+            "'src/f' || fk || '.py' AS path, cs AS head_commit, "
+            "doc_id AS head_doc_id FROM r WHERE rn = 1"
+        ),
+        "vendored_file_groups": (
+            # same vendor-blob injection as the engine; vendored = identical
+            # (path, content) in >= 2 distinct repos
+            "WITH m AS (SELECT doc_id, doc_id % 11 AS rk, "
+            "CASE WHEN doc_id % 4 = 0 THEN 'vendorlib-' || (doc_id % 6) "
+            "|| ':' || lpad(CAST(doc_id % 6 AS VARCHAR), 50, 'x') "
+            "ELSE text END AS content FROM documents), "
+            "h AS (SELECT doc_id, rk, length(content) % 97 AS pk, "
+            "md5(content) AS h FROM m), "
+            "g AS (SELECT h, MIN(pk) AS pk, "
+            "CAST(COUNT(DISTINCT rk) AS BIGINT) AS n_repos, "
+            "COUNT(*) AS n_copies, MIN(doc_id) AS keep_id FROM h GROUP BY h) "
+            "SELECT 'vendor/f' || pk || '.c' AS path, h, n_repos, "
+            "n_copies, keep_id FROM g WHERE n_repos >= 2"
         ),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "simhash_signatures": _simhash_sql(9),

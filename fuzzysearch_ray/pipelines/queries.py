@@ -3761,3 +3761,309 @@ def q_code_line_stats(sf_dir: str):
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Code-payload operators, part 2: type-2 (parameterized) clone dedup via
+# alpha-renaming canonicalization, head-snapshot extraction over a commit
+# history, cross-repo vendored-file detection. Synthesis recipes are shared
+# verbatim with the SQL oracles (q_pii_redaction pattern).
+# --------------------------------------------------------------------------
+
+# Shared code template: docs with doc_id % 3 == 0 become per-doc-renamed
+# copies of this structure (97 distinct raw texts, ONE alpha-rank canon
+# group — the type-2-beyond-type-1 demonstration; a type-1/exact grouping
+# sees 97 groups). No single quotes: the string is embedded in the oracle.
+_CLONE2_TEMPLATE = (
+    "func parse(buffer, limit) { token = buffer; count = 0; "
+    "while (token < limit) { token = token + 1; count = count + token; } "
+    "return count; }"
+)
+# renamed unit (letters-only words) and its per-doc tag modulus
+_CLONE2_WORD_RE = r"[A-Za-z]+"
+_CLONE2_TAGS = 97
+# canonical token = maximal alnum/underscore run (both sides use RE2, so
+# the class is byte-identical between Arrow and DuckDB)
+_CLONE2_NONTOKEN_RE = r"[^A-Za-z0-9_]+"
+
+
+def _clone2_renamed(batch: pa.Table) -> pa.Array:
+    """Template injection + per-doc identifier renaming, vectorized.
+
+    Arrow's replace_substring_regex takes a scalar replacement, so rows are
+    partitioned by tag (doc_id % 97), each subset gets ONE RE2 pass with its
+    'v<tag>_\\0' rewrite, and the subsets are reassembled in original order
+    via a stable argsort over the gathered indices — total regex work is 1x
+    the batch, not tags x batch."""
+    dnp = batch["doc_id"].to_numpy()
+    text = batch["text"].combine_chunks() if isinstance(
+        batch["text"], pa.ChunkedArray) else batch["text"]
+    base = pc.if_else(
+        pa.array(dnp % 3 == 0),
+        pa.scalar(_CLONE2_TEMPLATE, pa.string()),
+        text,
+    )
+    tags = dnp % _CLONE2_TAGS
+    pieces, idx_parts = [], []
+    for tag in np.unique(tags):
+        idx = np.flatnonzero(tags == tag)
+        sub = pc.take(base, pa.array(idx))
+        pieces.append(
+            pc.replace_substring_regex(sub, _CLONE2_WORD_RE, "v%d_\\0" % tag)
+        )
+        idx_parts.append(idx)
+    all_idx = np.concatenate(idx_parts)
+    order = np.argsort(all_idx, kind="stable")
+    merged = pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+         for p in pieces]
+    )
+    return merged.take(pa.array(order))
+
+
+def alpha_canon_column(col: pa.Array) -> pa.Array:
+    """Alpha-renaming canonical form per row: token j -> 'i<k>' where k is
+    the 1-based first-occurrence order of token j's spelling within the row
+    (Baker-style parameterized-match key over alnum tokens), space-joined.
+
+    Fully vectorized over the flattened token stream: dictionary-encode the
+    tokens once, find each (row, token) pair's first flat position with one
+    np.unique, then dense-rank those positions within each row with one
+    lexsort + cumsum — no per-row Python."""
+    t = pc.replace_substring_regex(col, _CLONE2_NONTOKEN_RE, " ")
+    t = pc.utf8_trim_whitespace(t)
+    toks = pc.split_pattern(t, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(toks)
+    # a row with no tokens trims to '' and splits to [''] — mask those out
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    seg = np.repeat(np.arange(len(counts), dtype=np.int64), counts)[keep]
+    n = len(seg)
+    kept_counts = (
+        np.bincount(seg, minlength=len(counts)).astype(np.int64)
+        if n else np.zeros(len(counts), np.int64)
+    )
+    if n:
+        codes = flat.dictionary_encode().indices.to_numpy().astype(np.int64)[keep]
+        pair = seg * (codes.max() + 1) + codes
+        _, first_idx, inv = np.unique(pair, return_index=True, return_inverse=True)
+        fo = first_idx[inv]  # flat position of this token's first occurrence
+        order = np.lexsort((fo, seg))
+        sseg, sfo = seg[order], fo[order]
+        seg_change = np.empty(n, bool)
+        seg_change[0] = True
+        seg_change[1:] = sseg[1:] != sseg[:-1]
+        new_rank = seg_change.copy()
+        new_rank[1:] |= sfo[1:] != sfo[:-1]
+        cum = np.cumsum(new_rank)
+        starts = np.flatnonzero(seg_change)
+        base = np.concatenate([[0], cum[:-1]])[starts]
+        ranks_sorted = cum - base[np.cumsum(seg_change) - 1]
+        ranks = np.empty(n, np.int64)
+        ranks[order] = ranks_sorted
+        parts = pc.binary_join_element_wise(
+            "i", pc.cast(pa.array(ranks), pa.string()), ""
+        )
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+    else:
+        parts = pa.array([], pa.string())
+    offsets = np.concatenate([[0], np.cumsum(kept_counts)])
+    lst = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), parts)
+    return pc.binary_join(lst, " ")
+
+
+def q_clone2_dedup_groups(sf_dir: str):
+    """Type-2 (parameterized) code-clone groups: docs identical after
+    alpha-renaming canonicalization collapse to one md5 group.
+
+    Scale shape mirrors q_clone1_dedup_groups: canonicalization + hashing
+    happen at the read, only (h, doc_id) rides the one groupby shuffle."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        canon = alpha_canon_column(_clone2_renamed(batch))
+        hashes = [md5_hex(t) for t in canon.to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "h": pa.array(hashes, pa.string())}
+        )
+
+    return (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_members"))
+    )
+
+
+# latest-snapshot extraction: synthetic commit history over documents.
+# file key / commit sequence moduli shared verbatim with the SQL oracle.
+_SNAP_FILES = 421          # distinct (repo, path) slots
+_SNAP_REPOS = 7
+_SNAP_HASH = 2654435761    # Knuth multiplicative; commit_seq is NOT monotone
+_SNAP_MOD = 1000003        # in doc_id, so the argmax is genuine
+_SNAP_PACK = 1 << 40       # packs (commit_seq, -doc_id) into one int64
+
+
+def q_latest_snapshot_files(sf_dir: str):
+    """Head-snapshot extraction over a commit history: for every (repo,
+    path) keep the row with the highest commit sequence (ties: lowest
+    doc_id) — the 'checkout HEAD' a training-data run does over a
+    10^12-file commit-history table before any dedup.
+
+    The argmax rides Ray's native Max aggregate: (commit_seq, -doc_id) is
+    packed into one int64 (commit_seq * 2^40 - doc_id), each batch
+    pre-reduces to one row per file key (combiner), the groupby shuffles
+    only (fk, packed) integer pairs, and the final map decodes the winner.
+    No map_groups, no per-group Python."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        fk = d % _SNAP_FILES
+        cs = (d * _SNAP_HASH) % _SNAP_MOD
+        packed = cs * _SNAP_PACK - d
+        order = np.lexsort((-packed, fk))
+        sfk = fk[order]
+        first = np.empty(len(order), bool)
+        if len(order):
+            first[0] = True
+            first[1:] = sfk[1:] != sfk[:-1]
+        sel = order[first] if len(order) else order
+        return pa.table(
+            {"fk": pa.array(fk[sel]), "packed": pa.array(packed[sel])}
+        )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        fk = batch["fk"].to_numpy()
+        packed = batch["packed"].to_numpy()
+        cs = -(-packed // _SNAP_PACK)  # ceil-div recovers commit_seq
+        doc = cs * _SNAP_PACK - packed
+        repo = pc.binary_join_element_wise(
+            "r", pc.cast(pa.array(fk % _SNAP_REPOS), pa.string()), ""
+        )
+        path = pc.binary_join_element_wise(
+            "src/f", pc.cast(pa.array(fk), pa.string()), ".py", ""
+        )
+        return pa.table(
+            {
+                "repo": repo,
+                "path": path,
+                "head_commit": pa.array(cs),
+                "head_doc_id": pa.array(doc),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fk")
+        .aggregate(Max("packed", alias_name="packed"))
+        .map_batches(decode, batch_format="pyarrow")
+    )
+
+
+# vendored-file detection: moduli + blob recipe shared with the SQL oracle
+_VENDOR_REPOS = 11
+_VENDOR_PATHS = 97
+_VENDOR_BLOBS = 6
+
+
+def q_vendored_file_groups(sf_dir: str):
+    """Cross-repo vendored-file detection: identical (path, content) pairs
+    appearing in >= 2 distinct repos (the checked-in copies of the same
+    library file that inflate a code corpus). Docs with doc_id % 4 == 0
+    carry one of six deterministic vendor blobs; the rest keep their text.
+
+    Scale shape: content is hashed at the read; the first shuffle carries
+    per-batch-deduped (h, repo) rows with copy counts (combiner), the
+    second reduces per-repo rows to per-content groups. Both exchanges are
+    tiny (32-byte digest + ints); content never moves."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        blob_id = pc.cast(pa.array(d % _VENDOR_BLOBS), pa.string())
+        blob = pc.binary_join_element_wise(
+            "vendorlib-", blob_id, ":", pc.utf8_lpad(blob_id, 50, "x"), ""
+        )
+        text = batch["text"]
+        content = pc.if_else(pa.array(d % 4 == 0), blob, text)
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        rk = d % _VENDOR_REPOS
+        pk = pc.utf8_length(content).to_numpy().astype(np.int64) % _VENDOR_PATHS
+        hashes = pa.array([md5_hex(t) for t in content.to_pylist()], pa.string())
+        # per-batch combiner: one row per distinct (h, repo)
+        enc = hashes.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        key = codes * _VENDOR_REPOS + rk
+        uniq, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+        mind = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(mind, inv, d)
+        minpk = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(minpk, inv, pk)
+        sel_h = enc.dictionary.take(pa.array(uniq // _VENDOR_REPOS))
+        hk = pc.binary_join_element_wise(
+            sel_h, ":", pc.cast(pa.array(uniq % _VENDOR_REPOS), pa.string()), ""
+        )
+        return pa.table(
+            {
+                "hk": hk,
+                "pk": pa.array(minpk),
+                "n_copies": pa.array(cnt.astype(np.int64)),
+                "mind": pa.array(mind),
+            }
+        )
+
+    def split_hk(batch: pa.Table) -> pa.Table:
+        h = pc.utf8_slice_codeunits(batch["hk"], 0, 32)
+        return pa.table(
+            {
+                "h": h,
+                "pk": batch["pk"],
+                "n_copies": batch["n_copies"],
+                "mind": batch["mind"],
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch["n_repos"], 2)
+        t = batch.filter(mask)
+        path = pc.binary_join_element_wise(
+            "vendor/f", pc.cast(t["pk"], pa.string()), ".c", ""
+        )
+        return pa.table(
+            {
+                "path": path,
+                "h": t["h"],
+                "n_repos": pc.cast(t["n_repos"], pa.int64()),
+                "n_copies": t["n_copies"],
+                "keep_id": t["keep_id"],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hk")
+        .aggregate(
+            Sum("n_copies", alias_name="n_copies"),
+            Min("mind", alias_name="mind"),
+            Min("pk", alias_name="pk"),
+        )
+        .map_batches(split_hk, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(
+            Count(alias_name="n_repos"),
+            Sum("n_copies", alias_name="n_copies"),
+            Min("mind", alias_name="keep_id"),
+            Min("pk", alias_name="pk"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -155,3 +155,165 @@ def test_code_line_stats_brute_force(tmp_path):
         ],
     ).sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Part 2: type-2 clone dedup, latest-snapshot extraction, vendored files
+# ---------------------------------------------------------------------------
+
+from fuzzysearch_ray.pipelines.queries import (  # noqa: E402
+    _CLONE2_TEMPLATE,
+    alpha_canon_column,
+    q_clone2_dedup_groups,
+    q_latest_snapshot_files,
+    q_vendored_file_groups,
+)
+
+
+def _alpha_canon_brute(s: str) -> str:
+    seen: dict = {}
+    out = []
+    for t in re.findall(r"[A-Za-z0-9_]+", s):
+        if t not in seen:
+            seen[t] = len(seen) + 1
+        out.append("i%d" % seen[t])
+    return " ".join(out)
+
+
+def test_alpha_canon_column_brute_force():
+    rows = TEXTS + [
+        "a b a c b a",
+        "42 42 x42 _ _u __",
+        "!!!",
+        "ünïcode ascii ünïcode",  # non-ASCII splits tokens on both sides
+        "v3_foo v3_bar v3_foo",
+    ]
+    got = alpha_canon_column(pa.array(rows, pa.string())).to_pylist()
+    assert got == [_alpha_canon_brute(s) for s in rows]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clone2_dedup_groups_brute_force(tmp_path):
+    tbl = _write_docs(tmp_path)
+    got = (
+        q_clone2_dedup_groups(str(tmp_path))
+        .to_pandas()
+        .sort_values("h", ignore_index=True)
+    )
+
+    groups = {}
+    for did, text in zip(tbl["doc_id"].to_pylist(), TEXTS):
+        base = _CLONE2_TEMPLATE if did % 3 == 0 else text
+        synth = re.sub(r"[A-Za-z]+", lambda m: "v%d_%s" % (did % 97, m.group(0)), base)
+        h = hashlib.md5(_alpha_canon_brute(synth).encode()).hexdigest()
+        groups.setdefault(h, []).append(did)
+    exp = pd.DataFrame(
+        sorted((h, min(ids), len(ids)) for h, ids in groups.items()),
+        columns=["h", "keep_id", "n_members"],
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the template docs collapse to ONE group despite per-doc renaming
+    # (their raw synth strings are pairwise different), and the exact-dup
+    # text pair (rows 0/1) also lands in one group: type-2 covers type-1
+    n_template = sum(1 for d in tbl["doc_id"].to_pylist() if d % 3 == 0)
+    assert n_template >= 2 and (exp["n_members"] == n_template).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_latest_snapshot_files_brute_force(tmp_path):
+    tbl = _write_docs(tmp_path)
+    got = (
+        q_latest_snapshot_files(str(tmp_path))
+        .to_pandas()
+        .sort_values("path", ignore_index=True)
+    )
+
+    best = {}
+    for did in tbl["doc_id"].to_pylist():
+        fk = did % 421
+        cs = (did * 2654435761) % 1000003
+        cur = best.get(fk)
+        if cur is None or (cs, -did) > (cur[0], -cur[1]):
+            best[fk] = (cs, did)
+    exp = pd.DataFrame(
+        sorted(
+            ("r%d" % (fk % 7), "src/f%d.py" % fk, cs, did)
+            for fk, (cs, did) in best.items()
+        ),
+        columns=["repo", "path", "head_commit", "head_doc_id"],
+    ).sort_values("path", ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_latest_snapshot_argmax_is_genuine(tmp_path):
+    """Many commits per file key with non-monotone commit_seq: the winner
+    must be the true (max cs, min doc_id) row, not the max doc_id."""
+    n = 2000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "text": pa.array(["t"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = (
+        q_latest_snapshot_files(str(tmp_path))
+        .to_pandas()
+        .set_index("path")["head_doc_id"]
+        .to_dict()
+    )
+    best = {}
+    for did in range(n):
+        fk = did % 421
+        cs = (did * 2654435761) % 1000003
+        cur = best.get(fk)
+        if cur is None or (cs, -did) > (cur[0], -cur[1]):
+            best[fk] = (cs, did)
+    for fk, (cs, did) in best.items():
+        assert got["src/f%d.py" % fk] == did
+    # at least one file's head is NOT its highest doc_id (argmax is real)
+    last_doc = {fk: max(d for d in range(n) if d % 421 == fk) for fk in best}
+    assert sum(1 for fk in best if best[fk][1] != last_doc[fk]) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vendored_file_groups_brute_force(tmp_path):
+    # widen the corpus so blob injection spans several repos per blob
+    texts = (TEXTS * 8)[:72]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n) * 3 + 1, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = (
+        q_vendored_file_groups(str(tmp_path))
+        .to_pandas()
+        .sort_values("h", ignore_index=True)
+    )
+
+    per_h = {}
+    for did, text in zip(tbl["doc_id"].to_pylist(), texts):
+        if did % 4 == 0:
+            b = did % 6
+            content = "vendorlib-%d:%s%d" % (b, "x" * 49, b)
+        else:
+            content = text
+        h = hashlib.md5(content.encode()).hexdigest()
+        cur = per_h.setdefault(h, {"repos": set(), "n": 0, "mind": did, "pk": len(content) % 97})
+        cur["repos"].add(did % 11)
+        cur["n"] += 1
+        cur["mind"] = min(cur["mind"], did)
+    exp = pd.DataFrame(
+        sorted(
+            ("vendor/f%d.c" % v["pk"], h, len(v["repos"]), v["n"], v["mind"])
+            for h, v in per_h.items()
+            if len(v["repos"]) >= 2
+        ),
+        columns=["path", "h", "n_repos", "n_copies", "keep_id"],
+    ).sort_values("h", ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(exp) >= 1  # vendored groups exist
