@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clone2_dedup_groups": Q.q_clone2_dedup_groups,
         "latest_snapshot_files": Q.q_latest_snapshot_files,
         "vendored_file_groups": Q.q_vendored_file_groups,
+        "commit_delta_stats": Q.q_commit_delta_stats,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -1120,6 +1121,23 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_copies, MIN(doc_id) AS keep_id FROM h GROUP BY h) "
             "SELECT 'vendor/f' || pk || '.c' AS path, h, n_repos, "
             "n_copies, keep_id FROM g WHERE n_repos >= 2"
+        ),
+        "commit_delta_stats": (
+            # consecutive-revision byte edit distance (DuckDB levenshtein is
+            # byte-based, matching the engine's UTF-8-bytes kernel), on the
+            # first 400 chars, capped at 64, aggregated per file key
+            "WITH m AS (SELECT doc_id, doc_id % 421 AS fk, "
+            "(doc_id * 2654435761) % 1000003 AS cs, "
+            "substr(text, 1, 400) AS head FROM documents), "
+            "w AS (SELECT fk, head, LAG(head) OVER "
+            "(PARTITION BY fk ORDER BY cs, doc_id) AS prev FROM m), "
+            "d AS (SELECT fk, CASE WHEN prev IS NULL THEN NULL "
+            "ELSE LEAST(levenshtein(prev, head), 64) END AS delta FROM w) "
+            "SELECT 'r' || (fk % 7) AS repo, 'src/f' || fk || '.py' AS path, "
+            "COUNT(*) AS n_revisions, "
+            "CAST(COALESCE(SUM(delta), 0) AS BIGINT) AS sum_delta, "
+            "CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_delta "
+            "FROM d GROUP BY fk"
         ),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "simhash_signatures": _simhash_sql(9),

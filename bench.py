@@ -136,6 +136,7 @@ def run_bench() -> dict:
     timed("clone2_dedup_groups", lambda: Q.q_clone2_dedup_groups(SF_DIR))
     timed("latest_snapshot_files", lambda: Q.q_latest_snapshot_files(SF_DIR))
     timed("vendored_file_groups", lambda: Q.q_vendored_file_groups(SF_DIR))
+    timed("commit_delta_stats", lambda: Q.q_commit_delta_stats(SF_DIR))
     timed(
         "fuzzy_search_no_deletions",
         lambda: Q.q_fuzzy_search_no_deletions(SF_DIR),

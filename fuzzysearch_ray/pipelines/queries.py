@@ -4067,3 +4067,85 @@ def q_vendored_file_groups(sf_dir: str):
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def q_commit_delta_stats(sf_dir: str, cap: int = 64, prefix: int = 400):
+    """Per-file revision-churn stats over the synthetic commit history
+    (the q_latest_snapshot_files moduli): order each (repo, path)'s
+    revisions by commit, compute the byte edit distance between every
+    consecutive revision pair (on the first ``prefix`` chars, capped at
+    ``cap``), and aggregate (n_revisions, sum_delta, max_delta) per file —
+    the churn signal a code-curation run uses to drop generated /
+    lockfile-style paths.
+
+    Scale shape: contents are truncated AT THE READ, so the one shuffle
+    (hash-partition by file key, q_rolling_user_stats pattern) carries
+    bounded-width strings; every partition then resolves ALL its files'
+    chains with one native batched-Levenshtein call (kernels/batched_lev),
+    and per-file aggregates never leave the partition. Full-content deltas
+    would ride the verify stage's raw-task Arrow exchange instead.
+    Distances are byte-level on both sides: the engine feeds the kernel
+    UTF-8 bytes (latin-1 widening for the non-ASCII path) to match
+    DuckDB's byte-based levenshtein()."""
+    from ..kernels.batched_lev import batched_bounded_levenshtein
+
+    P = 32
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        fk = d % _SNAP_FILES
+        cs = (d * _SNAP_HASH) % _SNAP_MOD
+        return pa.table(
+            {
+                "fk": pa.array(fk),
+                "cs": pa.array(cs),
+                "doc_id": t["doc_id"],
+                "part": pa.array(fk % P),
+                "head": pc.utf8_slice_codeunits(t["text"], 0, prefix),
+            }
+        )
+
+    def deltas(block: pd.DataFrame) -> pd.DataFrame:
+        df = block.sort_values(["fk", "cs", "doc_id"], ignore_index=True)
+        fk = df["fk"].to_numpy()
+        heads = [
+            s.encode("utf-8").decode("latin-1") for s in df["head"].to_numpy()
+        ]
+        same = np.flatnonzero(fk[1:] == fk[:-1]) if len(fk) > 1 else np.array([], np.int64)
+        d = batched_bounded_levenshtein(
+            [heads[i] for i in same],
+            [heads[i + 1] for i in same],
+            np.full(len(same), cap, np.int64),
+        )
+        d = np.where(d < 0, cap, d)
+        # per-fk aggregates; every fk is wholly inside this partition
+        uniq, inv = np.unique(fk, return_inverse=True)
+        n_rev = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        sum_d = np.zeros(len(uniq), np.int64)
+        max_d = np.zeros(len(uniq), np.int64)
+        if len(same):
+            pair_grp = inv[same]  # pair (i, i+1) belongs to fk[i]'s group
+            np.add.at(sum_d, pair_grp, d)
+            np.maximum.at(max_d, pair_grp, d)
+        repo = pc.binary_join_element_wise(
+            "r", pc.cast(pa.array(uniq % _SNAP_REPOS), pa.string()), ""
+        )
+        path = pc.binary_join_element_wise(
+            "src/f", pc.cast(pa.array(uniq), pa.string()), ".py", ""
+        )
+        return pd.DataFrame(
+            {
+                "repo": repo.to_pylist(),
+                "path": path.to_pylist(),
+                "n_revisions": n_rev,
+                "sum_delta": sum_d,
+                "max_delta": max_d,
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(deltas, batch_format="pandas")
+    )

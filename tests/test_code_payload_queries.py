@@ -165,6 +165,7 @@ from fuzzysearch_ray.pipelines.queries import (  # noqa: E402
     _CLONE2_TEMPLATE,
     alpha_canon_column,
     q_clone2_dedup_groups,
+    q_commit_delta_stats,
     q_latest_snapshot_files,
     q_vendored_file_groups,
 )
@@ -317,3 +318,66 @@ def test_vendored_file_groups_brute_force(tmp_path):
     ).sort_values("h", ignore_index=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert len(exp) >= 1  # vendored groups exist
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_commit_delta_stats_brute_force(tmp_path):
+    """Independent Python reimplementation with non-ASCII revisions, >400
+    char texts (truncation) and a pair whose distance saturates the cap."""
+    texts = [
+        "añbé unicode rev",      # non-ASCII: byte distance, not codepoint
+        "añbé unicode rev two",
+        "x" * 500,               # truncated to 400
+        "y" * 500,               # delta vs prev saturates cap -> 64
+        "short",
+        "",                      # empty revision
+    ] + TEXTS
+    n = len(texts)
+    # doc_ids chosen so several docs share a file key (fk = doc_id % 421)
+    doc_ids = [5, 426, 847, 1268, 1689, 2110] + [100 + i for i in range(len(TEXTS))]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = (
+        q_commit_delta_stats(str(tmp_path))
+        .to_pandas()
+        .sort_values("path", ignore_index=True)
+    )
+
+    def lev(a: bytes, b: bytes) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    chains: dict = {}
+    for did, text in zip(doc_ids, texts):
+        fk = did % 421
+        cs = (did * 2654435761) % 1000003
+        chains.setdefault(fk, []).append((cs, did, text[:400].encode()))
+    rows = []
+    for fk, revs in chains.items():
+        revs.sort(key=lambda r: (r[0], r[1]))
+        ds_ = [min(lev(a[2], b[2]), 64) for a, b in zip(revs, revs[1:])]
+        rows.append(
+            (
+                "r%d" % (fk % 7),
+                "src/f%d.py" % fk,
+                len(revs),
+                sum(ds_),
+                max(ds_) if ds_ else 0,
+            )
+        )
+    exp = pd.DataFrame(
+        sorted(rows, key=lambda r: r[1]),
+        columns=["repo", "path", "n_revisions", "sum_delta", "max_delta"],
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (exp["n_revisions"] > 1).any() and (exp["max_delta"] == 64).any()
