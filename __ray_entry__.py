@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_snapshot_files": Q.q_latest_snapshot_files,
         "vendored_file_groups": Q.q_vendored_file_groups,
         "commit_delta_stats": Q.q_commit_delta_stats,
+        "shipping_priority": Q.q_shipping_priority,
+        "funnel_conversion": Q.q_funnel_conversion,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -1138,6 +1140,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(SUM(delta), 0) AS BIGINT) AS sum_delta, "
             "CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_delta "
             "FROM d GROUP BY fk"
+        ),
+        "shipping_priority": (
+            # TPC-H Q3 shape (all groups, no LIMIT: top-k ties are
+            # engine-order-dependent and the driver sorts anyway)
+            "SELECT o_orderkey, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us, "
+            "o_orderpriority "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey "
+            "AND o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY o_orderkey, o_orderdate, o_orderpriority"
+        ),
+        "funnel_conversion": (
+            # earliest strictly-increasing view -> click -> purchase chain
+            "WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 "
+            "FROM events WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 "
+            "FROM events e JOIN s1 ON e.user_id = s1.user_id "
+            "WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 "
+            "GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 "
+            "FROM events e JOIN s2 ON e.user_id = s2.user_id "
+            "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 "
+            "GROUP BY e.user_id), "
+            "u AS (SELECT DISTINCT user_id FROM events) "
+            "SELECT u.user_id, CAST("
+            "(s1.user_id IS NOT NULL)::INT + (s2.user_id IS NOT NULL)::INT "
+            "+ (s3.user_id IS NOT NULL)::INT AS BIGINT) AS funnel_stage "
+            "FROM u LEFT JOIN s1 ON u.user_id = s1.user_id "
+            "LEFT JOIN s2 ON u.user_id = s2.user_id "
+            "LEFT JOIN s3 ON u.user_id = s3.user_id"
         ),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "simhash_signatures": _simhash_sql(9),

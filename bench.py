@@ -137,6 +137,8 @@ def run_bench() -> dict:
     timed("latest_snapshot_files", lambda: Q.q_latest_snapshot_files(SF_DIR))
     timed("vendored_file_groups", lambda: Q.q_vendored_file_groups(SF_DIR))
     timed("commit_delta_stats", lambda: Q.q_commit_delta_stats(SF_DIR))
+    timed("shipping_priority", lambda: Q.q_shipping_priority(SF_DIR))
+    timed("funnel_conversion", lambda: Q.q_funnel_conversion(SF_DIR))
     timed(
         "fuzzy_search_no_deletions",
         lambda: Q.q_fuzzy_search_no_deletions(SF_DIR),

@@ -4149,3 +4149,130 @@ def q_commit_delta_stats(sf_dir: str, cap: int = 64, prefix: int = 400):
         .groupby("part")
         .map_groups(deltas, batch_format="pandas")
     )
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shape multi-way join: customer (filtered to one market
+    segment) ⋈ orders (before the cutoff) ⋈ lineitem (shipped after the
+    cutoff), revenue per open order. Exercises a two-hop distributed hash
+    join where the second hop is big×big (orders × lineitem on orderkey).
+
+    Scale shape: every input is column-pruned and row-filtered AT THE READ
+    (the dimension filter cuts customer before it enters the first join;
+    date filters cut both fact tables), so the shuffles only carry
+    surviving rows; both joins hash-partition on their key, and revenue is
+    pre-multiplied per batch so the final groupby aggregates one double."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cutoff = pa.scalar(pd.Timestamp("1998-06-01"), pa.timestamp("us"))
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(2, min(16, cpus))
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
+        batch_format="pyarrow",
+    )
+
+    def prep_line(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        rev = pc.multiply(
+            keep["l_extendedprice"], pc.subtract(pa.scalar(1.0), keep["l_discount"])
+        )
+        return pa.table({"l_orderkey": keep["l_orderkey"], "rev": rev})
+
+    line = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(prep_line, batch_format="pyarrow")
+
+    open_orders = cust.join(
+        orders,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    joined = open_orders.join(
+        line,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+                "rev": t["rev"],
+            }
+        )
+
+    out = (
+        joined.map_batches(to_us, batch_format="pyarrow")
+        .groupby(["o_orderkey", "o_orderdate_us", "o_orderpriority"])
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = round_half_up(out["revenue"], 2)
+    return out
+
+
+def q_funnel_conversion(sf_dir: str):
+    """Ordered multi-step funnel (view → click → purchase) per user:
+    the earliest strictly-increasing completion chain, reported as the
+    highest stage each user reached (1-3; users with events but no view
+    report 0). The sequential-pattern operator of a product-analytics
+    pipeline.
+
+    Scale shape: q_rolling_user_stats' partitioning invariant (ONE
+    integer-keyed hash shuffle, all of a user's events in one partition);
+    within a partition each funnel step is a C-level grouped min over the
+    masked event set — three vectorized reductions, no per-user Python."""
+    P = 32
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pc.cast(pc.bit_wise_and(t["user_id"], P - 1), pa.int64())
+        )
+
+    def funnel(block: pd.DataFrame) -> pd.DataFrame:
+        users = np.unique(block["user_id"].to_numpy())
+        ts = block["ts"].astype("int64")
+        uid = block["user_id"]
+        et = block["event_type"]
+        # step 1: earliest view per user
+        t1 = ts[et == "view"].groupby(uid[et == "view"]).min()
+        # step 2: earliest click strictly after the user's t1
+        t1_of = uid.map(t1)
+        m2 = (et == "click") & (ts > t1_of)
+        t2 = ts[m2].groupby(uid[m2]).min()
+        # step 3: earliest purchase strictly after t2
+        t2_of = uid.map(t2)
+        m3 = (et == "purchase") & (ts > t2_of)
+        t3 = ts[m3].groupby(uid[m3]).min()
+        stage = (
+            pd.Series(users).isin(t1.index).astype("int64")
+            + pd.Series(users).isin(t2.index).astype("int64")
+            + pd.Series(users).isin(t3.index).astype("int64")
+        )
+        return pd.DataFrame({"user_id": users, "funnel_stage": stage.to_numpy()})
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(funnel, batch_format="pandas")
+    )

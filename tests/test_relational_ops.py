@@ -231,3 +231,127 @@ def test_range_join_orders_matches_bruteforce(tmp_path):
     for k, (n, s) in want.items():
         assert got[k][0] == n
         assert abs(got[k][1] - s) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q3-shape 3-way join and ordered funnel conversion
+# ---------------------------------------------------------------------------
+
+
+def _write_q3_tables(tmp_path, seed=5):
+    rng = np.random.default_rng(seed)
+    n_cust, n_ord, n_line = 50, 300, 1200
+    segs = ["BUILDING", "MACHINERY", "FURNITURE"]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+                "c_name": pa.array(["c%d" % i for i in range(n_cust)]),
+                "c_nationkey": pa.array(rng.integers(0, 5, n_cust), pa.int32()),
+                "c_acctbal": pa.array(rng.uniform(0, 100, n_cust)),
+                "c_mktsegment": pa.array([segs[i % 3] for i in range(n_cust)]),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    odate = np.datetime64("1997-01-01", "us") + rng.integers(
+        0, 86_400_000_000 * 900, n_ord
+    ).astype("timedelta64[us]")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+                "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n_ord),
+                "o_totalprice": pa.array(rng.uniform(10, 5000, n_ord)),
+                "o_orderdate": pa.array(odate, pa.timestamp("us")),
+                "o_orderpriority": pa.array(
+                    ["%d-P" % (i % 5) for i in range(n_ord)]
+                ),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    sdate = np.datetime64("1997-01-01", "us") + rng.integers(
+        0, 86_400_000_000 * 1000, n_line
+    ).astype("timedelta64[us]")
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(rng.integers(0, n_ord, n_line), pa.int64()),
+                "l_extendedprice": pa.array(np.round(rng.uniform(1, 900, n_line), 2)),
+                "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_line), 2)),
+                "l_shipdate": pa.array(sdate, pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shipping_priority_brute_force(tmp_path):
+    _write_q3_tables(tmp_path)
+    from fuzzysearch_ray.pipelines.queries import q_shipping_priority
+
+    got = (
+        q_shipping_priority(str(tmp_path))
+        .sort_values("o_orderkey", ignore_index=True)
+    )
+
+    cust = pq.read_table(str(tmp_path / "customer.parquet")).to_pandas()
+    orders = pq.read_table(str(tmp_path / "orders.parquet")).to_pandas()
+    line = pq.read_table(str(tmp_path / "lineitem.parquet")).to_pandas()
+    cutoff = pd.Timestamp("1998-06-01")
+    keys = set(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"])
+    o = orders[(orders.o_orderdate < cutoff) & orders.o_custkey.isin(keys)]
+    l = line[line.l_shipdate > cutoff].copy()
+    l["rev"] = l.l_extendedprice * (1 - l.l_discount)
+    m = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    exp = (
+        m.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"], as_index=False)
+        .agg(revenue=("rev", "sum"))
+    )
+    exp["o_orderdate_us"] = exp.o_orderdate.astype("int64")
+    exp["revenue"] = np.floor(exp.revenue * 100 + 0.5) / 100
+    exp = exp[["o_orderkey", "o_orderdate_us", "o_orderpriority", "revenue"]]
+    exp = exp.sort_values("o_orderkey", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[exp.columns.tolist()], exp, check_dtype=False
+    )
+    assert len(exp) > 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_conversion_brute_force(tmp_path):
+    tbl = _write_events(tmp_path, n=2500, n_users=60, seed=23)
+    from fuzzysearch_ray.pipelines.queries import q_funnel_conversion
+
+    got = (
+        q_funnel_conversion(str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+
+    df = tbl.to_pandas()
+    df["ts_us"] = df.ts.astype("int64")
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        stage = 0
+        t_prev = None
+        for step in ("view", "click", "purchase"):
+            if t_prev is None:
+                cand = g[g.event_type == step]
+            else:
+                cand = g[(g.event_type == step) & (g.ts_us > t_prev)]
+            if cand.empty:
+                break
+            t_prev = cand.ts_us.min()
+            stage += 1
+        rows.append((uid, stage))
+    exp = pd.DataFrame(rows, columns=["user_id", "funnel_stage"]).sort_values(
+        "user_id", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # all stages represented
+    assert set(exp.funnel_stage) >= {0, 1, 2, 3} or set(exp.funnel_stage) >= {1, 2, 3}
