@@ -323,7 +323,7 @@ def test_shipping_priority_brute_force(tmp_path):
 
 @pytest.mark.usefixtures("ray_session")
 def test_funnel_conversion_brute_force(tmp_path):
-    tbl = _write_events(tmp_path, n=2500, n_users=60, seed=23)
+    tbl = _write_events(tmp_path, n=260, n_users=80, seed=23)
     from fuzzysearch_ray.pipelines.queries import q_funnel_conversion
 
     got = (
