@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "commit_delta_stats": Q.q_commit_delta_stats,
         "shipping_priority": Q.q_shipping_priority,
         "funnel_conversion": Q.q_funnel_conversion,
+        "skew_salted_join": Q.q_skew_salted_join,
+        "docs_pivot_lang_source": Q.q_docs_pivot_lang_source,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -1174,6 +1176,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM u LEFT JOIN s1 ON u.user_id = s1.user_id "
             "LEFT JOIN s2 ON u.user_id = s2.user_id "
             "LEFT JOIN s3 ON u.user_id = s3.user_id"
+        ),
+        "skew_salted_join": (
+            # the salt is engine-internal; the oracle is the plain skewed
+            # join (~30% of docs on nation key 0) + per-name aggregate
+            "SELECT n_name, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents JOIN nation ON "
+            "(CASE WHEN doc_id % 10 < 3 THEN 0 ELSE doc_id % 25 END) "
+            "= n_nationkey GROUP BY n_name"
+        ),
+        "docs_pivot_lang_source": (
+            "SELECT source, "
+            "CAST(COUNT(*) FILTER (lang = 'de') AS BIGINT) AS n_de, "
+            "CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS n_en, "
+            "CAST(COUNT(*) FILTER (lang = 'es') AS BIGINT) AS n_es, "
+            "CAST(COUNT(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr, "
+            "CAST(COUNT(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh "
+            "FROM documents GROUP BY source"
         ),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "simhash_signatures": _simhash_sql(9),

@@ -4276,3 +4276,118 @@ def q_funnel_conversion(sf_dir: str):
         .groupby("part")
         .map_groups(funnel, batch_format="pandas")
     )
+
+
+# skew-salted join knobs (shared with the oracle's key recipe)
+_SKEW_SALT = 8          # hot key spread over this many shuffle partitions
+_SKEW_HOT_FRAC = 10     # doc_id % 10 < 3 -> hot key 0 (~30% of all rows)
+
+
+def q_skew_salted_join(sf_dir: str):
+    """Hot-key-salted distributed join: ~30% of documents map to ONE
+    nation key (the skew that turns a hash join's hot partition into the
+    straggler), so the engine salts — each fact row carries salt =
+    doc_id % 8, the 25-row dimension side is replicated 8x with every
+    salt value, and the join runs on the fused (key * 8 + salt) column,
+    spreading the hot key over 8 partitions. Per-(key, salt) partial
+    aggregates are computed BEFORE the join, so the shuffle carries ~200
+    fused-key rows per batch instead of per-doc rows, and the join output
+    is the final per-key aggregate (salting is invisible in the result).
+
+    This is the relational face of the LSH stage's skew-capped band
+    buckets (stages/lsh.py): same disease, same cure, with a SQL oracle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        k = np.where(d % _SKEW_HOT_FRAC < 3, 0, d % 25).astype(np.int64)
+        fused = k * _SKEW_SALT + (d % _SKEW_SALT)
+        chars = t["n_chars"].to_numpy()
+        uk, inv, cnt = np.unique(fused, return_inverse=True, return_counts=True)
+        return pa.table(
+            {
+                "fused": pa.array(uk),
+                "n_docs": pa.array(cnt.astype(np.int64)),
+                "sum_chars": pa.array(
+                    np.bincount(inv, weights=chars, minlength=len(uk)).astype(np.int64)
+                ),
+            }
+        )
+
+    def replicate(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = t["n_nationkey"].to_numpy().astype(np.int64)
+        rep_keys = np.repeat(keys, _SKEW_SALT)
+        salts = np.tile(np.arange(_SKEW_SALT, dtype=np.int64), n)
+        names = t["n_name"].take(pa.array(np.repeat(np.arange(n), _SKEW_SALT)))
+        return pa.table(
+            {
+                "fused": pa.array(rep_keys * _SKEW_SALT + salts),
+                "n_name": names,
+            }
+        )
+
+    facts = docs.map_batches(partial, batch_format="pyarrow")
+    dim = nation.map_batches(replicate, batch_format="pyarrow")
+    joined = facts.join(
+        dim,
+        join_type="inner",
+        num_partitions=max(2, min(16, cpus)),
+        on=("fused",),
+    )
+    return (
+        joined.groupby("n_name")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+def q_docs_pivot_lang_source(sf_dir: str):
+    """Pivot: documents counted per source (rows) x language (columns) —
+    the reshape a curation dashboard renders. One small integer-keyed
+    aggregate (per-batch (source, lang) count partials), then the pivot
+    happens on the tiny aggregate, never on the raw table. Language
+    columns are the fixed testdata set; unseen combinations emit 0."""
+    from ray.data.aggregate import Sum
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t["source"].combine_chunks().dictionary_encode()
+        lg = t["lang"].combine_chunks().dictionary_encode()
+        si = src.indices.to_numpy().astype(np.int64)
+        li = lg.indices.to_numpy().astype(np.int64)
+        ns = len(src.dictionary)
+        key = si * len(lg.dictionary) + li
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "source": src.dictionary.take(pa.array(uk // len(lg.dictionary))),
+                "lang": lg.dictionary.take(pa.array(uk % len(lg.dictionary))),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    pt = agg.pivot_table(
+        index="source", columns="lang", values="cnt", aggfunc="sum", fill_value=0
+    )
+    out = pd.DataFrame({"source": pt.index})
+    for lg in langs:
+        out["n_" + lg] = (
+            pt[lg].to_numpy().astype(np.int64) if lg in pt.columns else np.int64(0)
+        )
+    return out.reset_index(drop=True)

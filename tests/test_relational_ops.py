@@ -355,3 +355,81 @@ def test_funnel_conversion_brute_force(tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # all stages represented
     assert set(exp.funnel_stage) >= {0, 1, 2, 3} or set(exp.funnel_stage) >= {1, 2, 3}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skew_salted_join_brute_force(tmp_path):
+    rng = np.random.default_rng(3)
+    n = 1500
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n) * 7 + 1, pa.int64()),
+                "n_chars": pa.array(rng.integers(1, 500, n), pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(np.arange(25), pa.int32()),
+                "n_name": pa.array(["NATION_%02d" % i for i in range(25)]),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    from fuzzysearch_ray.pipelines.queries import q_skew_salted_join
+
+    got = (
+        q_skew_salted_join(str(tmp_path))
+        .to_pandas()
+        .sort_values("n_name", ignore_index=True)
+    )
+    docs = pq.read_table(str(tmp_path / "documents.parquet")).to_pandas()
+    k = np.where(docs.doc_id % 10 < 3, 0, docs.doc_id % 25)
+    exp = (
+        pd.DataFrame(
+            {"n_name": ["NATION_%02d" % v for v in k], "n_chars": docs.n_chars}
+        )
+        .groupby("n_name", as_index=False)
+        .agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        .sort_values("n_name", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the skew is real: the hot key holds ~30% of all rows
+    hot = exp.loc[exp.n_name == "NATION_00", "n_docs"].iloc[0]
+    assert hot > 0.25 * n
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_docs_pivot_lang_source_brute_force(tmp_path):
+    rng = np.random.default_rng(9)
+    n = 400
+    langs = rng.choice(["en", "de", "fr", "es", "zh"], n)
+    srcs = rng.choice(["web", "books", "code"], n)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "source": pa.array(srcs),
+                "lang": pa.array(langs),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from fuzzysearch_ray.pipelines.queries import q_docs_pivot_lang_source
+
+    got = (
+        q_docs_pivot_lang_source(str(tmp_path))
+        .sort_values("source", ignore_index=True)
+    )
+    exp_rows = []
+    for s in sorted(set(srcs)):
+        counts = {
+            "n_" + lg: int(((srcs == s) & (langs == lg)).sum())
+            for lg in ("de", "en", "es", "fr", "zh")
+        }
+        exp_rows.append({"source": s, **counts})
+    exp = pd.DataFrame(exp_rows)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
