@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": Q.q_funnel_conversion,
         "skew_salted_join": Q.q_skew_salted_join,
         "docs_pivot_lang_source": Q.q_docs_pivot_lang_source,
+        "props_json_stats": Q.q_props_json_stats,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -1194,6 +1195,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr, "
             "CAST(COUNT(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh "
             "FROM documents GROUP BY source"
+        ),
+        "props_json_stats": (
+            # the oracle parses with DuckDB's REAL JSON parser; the engine
+            # extracts with Arrow RE2 — the gate checks they agree
+            "WITH e AS (SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events) "
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, "
+            "MAX(k) AS max_k, "
+            "CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k "
+            "FROM e GROUP BY event_type"
         ),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "simhash_signatures": _simhash_sql(9),

@@ -4391,3 +4391,98 @@ def q_docs_pivot_lang_source(sf_dir: str):
             pt[lg].to_numpy().astype(np.int64) if lg in pt.columns else np.int64(0)
         )
     return out.reset_index(drop=True)
+
+
+# JSON property extraction: RE2 spelling for the engine side; the oracle
+# uses DuckDB's real JSON parser on the same strings, so the gate checks
+# that the vectorized regex agrees with a JSON parser on this shape
+_PROPS_K_RE = r'"k"\s*:\s*(?P<k>-?\d+)'
+
+
+def q_props_json_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer property ``k`` out of
+    the events table's JSON ``props`` column (vectorized Arrow RE2 — no
+    per-row json.loads) and aggregate per event type, including an exact
+    distinct-k count. Rows without a ``k`` key count toward n_events but
+    no other aggregate (SQL NULL semantics).
+
+    Scale shape: extraction happens at the read; per-batch partials are
+    one row per (event_type, k) — the k domain is small, so the shuffle
+    carries ~types x distinct-k rows per batch and the distinct count
+    falls out of the final groupby without COUNT DISTINCT machinery."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], _PROPS_K_RE)
+        ks = pc.struct_field(ext, "k")
+        has_k = pc.is_valid(ks).to_numpy(zero_copy_only=False)
+        k = np.where(has_k, pc.cast(ks, pa.int64(), safe=False).fill_null(0).to_numpy(), 0)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        ei = et.indices.to_numpy().astype(np.int64)
+        # fused (event_type, k_or_missing) partial counts
+        kk = np.where(has_k, k, -(1 << 40))  # sentinel bucket for missing k
+        order = np.lexsort((kk, ei))
+        se, sk = ei[order], kk[order]
+        new = np.empty(len(order), bool)
+        if len(order):
+            new[0] = True
+            new[1:] = (se[1:] != se[:-1]) | (sk[1:] != sk[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(order)))
+        ge, gk = se[starts], sk[starts]
+        missing = gk == -(1 << 40)
+        return pa.table(
+            {
+                "event_type": et.dictionary.take(pa.array(ge)),
+                "k": pa.array(np.where(missing, 0, gk)),
+                "has_k": pa.array(~missing),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        ei = et.indices.to_numpy().astype(np.int64)
+        k = t["k"].to_numpy()
+        has = t["has_k"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy()
+        ng = len(et.dictionary)
+        n_events = np.bincount(ei, weights=cnt, minlength=ng).astype(np.int64)
+        sum_k = np.bincount(
+            ei[has], weights=(k * cnt)[has], minlength=ng
+        ).astype(np.int64)
+        min_k = np.full(ng, np.iinfo(np.int64).max)
+        max_k = np.full(ng, np.iinfo(np.int64).min)
+        if has.any():
+            np.minimum.at(min_k, ei[has], k[has])
+            np.maximum.at(max_k, ei[has], k[has])
+        n_distinct = np.bincount(ei[has], minlength=ng).astype(np.int64)
+        any_k = n_distinct > 0
+        # a type with no k rows reports NULL min/max/sum (SQL semantics)
+        def opt(arr):
+            return pa.array(
+                [int(v) if ok else None for v, ok in zip(arr, any_k)], pa.int64()
+            )
+        return pa.table(
+            {
+                "event_type": et.dictionary,
+                "n_events": pa.array(n_events),
+                "sum_k": opt(sum_k),
+                "min_k": opt(min_k),
+                "max_k": opt(max_k),
+                "n_distinct_k": pa.array(n_distinct),
+            }
+        )
+
+    # level 1: global per-(event_type, k) counts; level 2: per-type finish.
+    # Both exchanges carry ~types x distinct-k integer rows.
+    lvl1 = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "k", "has_k"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    # the per-type finish needs every k of a type together: types are few,
+    # so one more tiny groupby co-locates them
+    return lvl1.groupby("event_type").map_groups(finish, batch_format="pyarrow")

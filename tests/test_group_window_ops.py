@@ -139,3 +139,68 @@ def test_bm25_scores_brute_force(tmp_path):
         s, nq = expect[int(row["doc_id"])]
         assert row["n_query_terms"] == nq
         assert abs(row["bm25_micros"] - s) <= 1  # per-term grid rounding slack
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_props_json_stats_brute_force(tmp_path):
+    """Adversarial flat-JSON props: missing k, negative k, extra keys,
+    whitespace variants, and a type with no k at all (NULL aggregates)."""
+    import json as _json
+
+    props = [
+        '{"k": 26}',
+        '{"k":26}',
+        '{ "k" : -7 , "z": 1}',
+        '{"z": 5}',          # no k
+        '{}',
+        '{"k": 0}',
+        '{"a": 2, "k": 26}',
+    ]
+    types = ["view", "view", "view", "click", "click", "purchase", "view"]
+    n = len(props)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(
+                np.int64(1_700_000_000_000_000) + np.arange(n), pa.timestamp("us")
+            ),
+            "user_id": pa.array(np.zeros(n, np.int64)),
+            "event_type": pa.array(types),
+            "value": pa.array(np.zeros(n)),
+            "props": pa.array(props),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    from fuzzysearch_ray.pipelines.queries import q_props_json_stats
+
+    got = (
+        q_props_json_stats(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    agg = {}
+    for t, p in zip(types, props):
+        k = _json.loads(p).get("k")
+        cur = agg.setdefault(t, {"n": 0, "ks": []})
+        cur["n"] += 1
+        if k is not None:
+            cur["ks"].append(k)
+    exp = pd.DataFrame(
+        [
+            (
+                t,
+                v["n"],
+                sum(v["ks"]) if v["ks"] else None,
+                min(v["ks"]) if v["ks"] else None,
+                max(v["ks"]) if v["ks"] else None,
+                len(set(v["ks"])),
+            )
+            for t, v in sorted(agg.items())
+        ],
+        columns=["event_type", "n_events", "sum_k", "min_k", "max_k", "n_distinct_k"],
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the no-k type reports NULL sum/min/max but counts its events
+    click = exp[exp.event_type == "click"].iloc[0]
+    assert click.n_events == 2 and pd.isna(click.sum_k)
