@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_salted_join": Q.q_skew_salted_join,
         "docs_pivot_lang_source": Q.q_docs_pivot_lang_source,
         "props_json_stats": Q.q_props_json_stats,
+        "pagerank_near_dup": Q.q_pagerank_near_dup,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -1207,6 +1208,39 @@ def oracle_sql() -> dict[str, str]:
             "MAX(k) AS max_k, "
             "CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k "
             "FROM e GROUP BY event_type"
+        ),
+        "pagerank_near_dup": (
+            # 3-iteration fixed-point PageRank over the ground-truth pair
+            # set (int64 floor-division arithmetic on both sides, so the
+            # distributed Sum and SQL SUM agree bit-for-bit)
+            "WITH " + _REP_GRAM_PAIRS_CTE + ", "
+            "sym AS (SELECT a AS src, b AS dst FROM pairs "
+            "UNION ALL SELECT b AS src, a AS dst FROM pairs), "
+            "deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src), "
+            "nn AS (SELECT COUNT(*) AS n FROM documents), "
+            "r0 AS (SELECT doc_id, CAST(1000000000000 // nn.n AS BIGINT) AS r "
+            "FROM documents, nn), "
+            "bb AS (SELECT CAST((15 * (1000000000000 // nn.n)) // 100 AS BIGINT) "
+            "AS base FROM nn), "
+            "s1 AS (SELECT s.dst AS doc_id, SUM(r0.r // deg.d) AS s FROM sym s "
+            "JOIN deg ON deg.src = s.src JOIN r0 ON r0.doc_id = s.src "
+            "GROUP BY s.dst), "
+            "r1 AS (SELECT d.doc_id, CAST(bb.base + "
+            "(85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS r "
+            "FROM documents d LEFT JOIN s1 ON d.doc_id = s1.doc_id, bb), "
+            "s2 AS (SELECT s.dst AS doc_id, SUM(r1.r // deg.d) AS s FROM sym s "
+            "JOIN deg ON deg.src = s.src JOIN r1 ON r1.doc_id = s.src "
+            "GROUP BY s.dst), "
+            "r2 AS (SELECT d.doc_id, CAST(bb.base + "
+            "(85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS r "
+            "FROM documents d LEFT JOIN s2 ON d.doc_id = s2.doc_id, bb), "
+            "s3 AS (SELECT s.dst AS doc_id, SUM(r2.r // deg.d) AS s FROM sym s "
+            "JOIN deg ON deg.src = s.src JOIN r2 ON r2.doc_id = s.src "
+            "GROUP BY s.dst), "
+            "r3 AS (SELECT d.doc_id, CAST(bb.base + "
+            "(85 * COALESCE(s3.s, 0)) // 100 AS BIGINT) AS r "
+            "FROM documents d LEFT JOIN s3 ON d.doc_id = s3.doc_id, bb) "
+            "SELECT doc_id, r AS pr_scaled FROM r3"
         ),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "simhash_signatures": _simhash_sql(9),

@@ -141,6 +141,7 @@ def run_bench() -> dict:
     timed("funnel_conversion", lambda: Q.q_funnel_conversion(SF_DIR))
     timed("skew_salted_join", lambda: Q.q_skew_salted_join(SF_DIR))
     timed("props_json_stats", lambda: Q.q_props_json_stats(SF_DIR))
+    timed("pagerank_near_dup", lambda: Q.q_pagerank_near_dup(SF_DIR))
     timed(
         "fuzzy_search_no_deletions",
         lambda: Q.q_fuzzy_search_no_deletions(SF_DIR),

@@ -4486,3 +4486,109 @@ def q_props_json_stats(sf_dir: str):
     # the per-type finish needs every k of a type together: types are few,
     # so one more tiny groupby co-locates them
     return lvl1.groupby("event_type").map_groups(finish, batch_format="pyarrow")
+
+
+# fixed-point PageRank constants (shared with the oracle: all arithmetic
+# is int64 floor division, so distributed summation order cannot move a ulp)
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def q_pagerank_near_dup(sf_dir: str):
+    """Distributed fixed-point PageRank over the verified near-dup graph
+    (3 damped iterations, d=0.85): the iterative-graph-algorithm operator
+    beyond connected components — rank mass concentrates on boilerplate
+    hubs, the docs a curation run inspects first.
+
+    All arithmetic is int64 fixed-point (rank // degree contributions,
+    85/100 damping via floor division), so the engine's order-free
+    distributed Sum and the oracle's SQL SUM are bit-identical — the
+    q_bm25_scores determinism pattern. Each iteration is one hash join
+    (ranks onto out-edges), one integer groupby Sum, and one left-outer
+    join back onto the node set; edges and ranks are (int, int) rows,
+    content never moves."""
+    from ray.data.aggregate import Count, Sum
+
+    corpus = read_documents_as_corpus(sf_dir)
+    res = near_dup_pipeline(corpus, DedupConfig())
+    edges = res["edges"].select_columns(["a", "b"])
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow")
+    deg = sym.groupby("src").aggregate(Count(alias_name="d"))
+    edges_deg = sym.join(
+        deg, join_type="inner", num_partitions=8, on=("src",), right_suffix="_r"
+    ).materialize()
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).materialize()
+    n_docs = docs.count()
+    r0 = _PR_SCALE // n_docs
+    base = (15 * r0) // 100
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch["doc_id"].cast(pa.int64()),
+                "r": pa.array(np.full(batch.num_rows, r0, np.int64)),
+            }
+        )
+
+    ranks = docs.map_batches(init_ranks, batch_format="pyarrow")
+    for _ in range(_PR_ITERS):
+        joined = edges_deg.join(
+            ranks, join_type="inner", num_partitions=8, on=("src",), right_suffix="_rr"
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            r = batch["r"].to_numpy().astype(np.int64)
+            d = batch["d"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "dst": batch["dst"].cast(pa.int64()),
+                    "c": pa.array(r // d),
+                }
+            )
+
+        sums = (
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="s"))
+        )
+        nxt = docs.join(
+            sums,
+            join_type="left_outer",
+            num_partitions=8,
+            on=("doc_id",),
+            right_on=("dst",),
+            right_suffix="_r",
+        )
+
+        def update(batch: pa.Table) -> pa.Table:
+            if "s" not in batch.column_names:
+                raise RuntimeError(
+                    "pagerank: left_outer join lost the sum column (got %s)"
+                    % (batch.column_names,)
+                )
+            s = batch["s"].fill_null(0).cast(pa.int64()).to_numpy()
+            return pa.table(
+                {
+                    "src": batch["doc_id"].cast(pa.int64()),
+                    "r": pa.array(base + (85 * s) // 100),
+                }
+            )
+
+        ranks = nxt.map_batches(update, batch_format="pyarrow").materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["src"], "pr_scaled": batch["r"]})
+
+    return ranks.map_batches(finish, batch_format="pyarrow")

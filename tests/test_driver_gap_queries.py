@@ -187,3 +187,63 @@ def test_dedup_report_brute_force(tmp_path):
     )
     exp["dup_bps"] = (10000 * exp["n_dup_docs"]) // exp["n_docs"]
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_near_dup_brute_force(tmp_path):
+    """Fixed-point PageRank vs a plain-Python reimplementation over the
+    independently discovered exact-Jaccard pair graph (same independence
+    contract as test_near_dup_degree_brute_force)."""
+    from fuzzysearch_ray.config import DedupConfig
+    from fuzzysearch_ray.functions.hashing import exact_jaccard, shingle_hashes
+    from fuzzysearch_ray.pipelines.queries import (
+        _PR_ITERS,
+        _PR_SCALE,
+        q_pagerank_near_dup,
+    )
+
+    rng = np.random.default_rng(24)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    texts = []
+    for fam in range(5):
+        base_words = list(rng.choice(vocab, size=120))
+        for v in range(3):
+            words = list(base_words)
+            words[-1] = f"fam{fam}var{v}"
+            texts.append(" ".join(words))
+    for _ in range(15):
+        texts.append(" ".join(rng.choice(vocab, size=60)))
+    _write_docs(tmp_path, texts)
+
+    got = (
+        q_pagerank_near_dup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    cfg = DedupConfig()
+    sh = [
+        shingle_hashes(t[: cfg.max_content_bytes_for_lsh], cfg.shingle_k)
+        for t in texts
+    ]
+    n = len(texts)
+    adj = [[] for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if exact_jaccard(sh[i], sh[j]) >= cfg.jaccard_threshold:
+                adj[i].append(j)
+                adj[j].append(i)
+    r = [_PR_SCALE // n] * n
+    base = (15 * (_PR_SCALE // n)) // 100
+    for _ in range(_PR_ITERS):
+        s = [0] * n
+        for j in range(n):
+            if adj[j]:
+                c = r[j] // len(adj[j])
+                for i in adj[j]:
+                    s[i] += c
+        r = [base + (85 * si) // 100 for si in s]
+    exp = pd.DataFrame({"doc_id": np.arange(n), "pr_scaled": np.array(r, np.int64)})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # hub members (degree 2) outrank singletons (base) and rank is exact
+    assert got.pr_scaled.max() > base and (got.pr_scaled == base).sum() == 15
