@@ -1106,7 +1106,8 @@ def oracle_sql() -> dict[str, str]:
             # head pick per synthetic (repo, path): highest commit_seq,
             # ties broken by lowest doc_id (matches the engine's packed max)
             "WITH m AS (SELECT doc_id, doc_id % 421 AS fk, "
-            "(doc_id * 2654435761) % 1000003 AS cs FROM documents), "
+            "((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003 AS cs "
+            "FROM documents), "
             "r AS (SELECT fk, cs, doc_id, ROW_NUMBER() OVER "
             "(PARTITION BY fk ORDER BY cs DESC, doc_id ASC) AS rn FROM m) "
             "SELECT 'r' || (fk % 7) AS repo, "
@@ -1133,7 +1134,7 @@ def oracle_sql() -> dict[str, str]:
             # byte-based, matching the engine's UTF-8-bytes kernel), on the
             # first 400 chars, capped at 64, aggregated per file key
             "WITH m AS (SELECT doc_id, doc_id % 421 AS fk, "
-            "(doc_id * 2654435761) % 1000003 AS cs, "
+            "((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003 AS cs, "
             "substr(text, 1, 400) AS head FROM documents), "
             "w AS (SELECT fk, head, LAG(head) OVER "
             "(PARTITION BY fk ORDER BY cs, doc_id) AS prev FROM m), "

@@ -140,6 +140,7 @@ def run_bench() -> dict:
     timed("shipping_priority", lambda: Q.q_shipping_priority(SF_DIR))
     timed("funnel_conversion", lambda: Q.q_funnel_conversion(SF_DIR))
     timed("skew_salted_join", lambda: Q.q_skew_salted_join(SF_DIR))
+    timed("docs_pivot_lang_source", lambda: Q.q_docs_pivot_lang_source(SF_DIR))
     timed("props_json_stats", lambda: Q.q_props_json_stats(SF_DIR))
     timed("pagerank_near_dup", lambda: Q.q_pagerank_near_dup(SF_DIR))
     timed(

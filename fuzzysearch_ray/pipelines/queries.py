@@ -3905,7 +3905,31 @@ _SNAP_FILES = 421          # distinct (repo, path) slots
 _SNAP_REPOS = 7
 _SNAP_HASH = 2654435761    # Knuth multiplicative; commit_seq is NOT monotone
 _SNAP_MOD = 1000003        # in doc_id, so the argmax is genuine
-_SNAP_PACK = 1 << 40       # packs (commit_seq, -doc_id) into one int64
+# packs (commit_seq, -doc_id) into one int64: cs < 2^20, so doc_id has
+# 2^42 headroom (covers the 10^12-file scale; guarded loudly below)
+_SNAP_PACK = 1 << 42
+
+
+def _snap_fk_cs(d: np.ndarray):
+    """Shared synthetic-commit recipe: file key + commit sequence.
+
+    The multiply is REDUCED first ((d % m) * (h % m) % m == (d * h) % m),
+    so the engine never wraps int64 where the SQL oracle's unreduced
+    BIGINT product would overflow — both sides use the reduced spelling."""
+    fk = d % _SNAP_FILES
+    cs = ((d % _SNAP_MOD) * (_SNAP_HASH % _SNAP_MOD)) % _SNAP_MOD
+    return fk, cs
+
+
+def _snap_repo_path(fk: np.ndarray):
+    """Shared (repo, path) string formatting for a file key array."""
+    repo = pc.binary_join_element_wise(
+        "r", pc.cast(pa.array(fk % _SNAP_REPOS), pa.string()), ""
+    )
+    path = pc.binary_join_element_wise(
+        "src/f", pc.cast(pa.array(fk), pa.string()), ".py", ""
+    )
+    return repo, path
 
 
 def q_latest_snapshot_files(sf_dir: str):
@@ -3925,8 +3949,12 @@ def q_latest_snapshot_files(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy()
-        fk = d % _SNAP_FILES
-        cs = (d * _SNAP_HASH) % _SNAP_MOD
+        if len(d) and d.max() >= _SNAP_PACK:
+            raise ValueError(
+                "latest_snapshot_files: doc_id %d exceeds the packed-argmax "
+                "headroom (2^42); widen _SNAP_PACK" % d.max()
+            )
+        fk, cs = _snap_fk_cs(d)
         packed = cs * _SNAP_PACK - d
         order = np.lexsort((-packed, fk))
         sfk = fk[order]
@@ -3944,12 +3972,7 @@ def q_latest_snapshot_files(sf_dir: str):
         packed = batch["packed"].to_numpy()
         cs = -(-packed // _SNAP_PACK)  # ceil-div recovers commit_seq
         doc = cs * _SNAP_PACK - packed
-        repo = pc.binary_join_element_wise(
-            "r", pc.cast(pa.array(fk % _SNAP_REPOS), pa.string()), ""
-        )
-        path = pc.binary_join_element_wise(
-            "src/f", pc.cast(pa.array(fk), pa.string()), ".py", ""
-        )
+        repo, path = _snap_repo_path(fk)
         return pa.table(
             {
                 "repo": repo,
@@ -4010,28 +4033,18 @@ def q_vendored_file_groups(sf_dir: str):
         minpk = np.full(len(uniq), np.iinfo(np.int64).max)
         np.minimum.at(minpk, inv, pk)
         sel_h = enc.dictionary.take(pa.array(uniq // _VENDOR_REPOS))
-        hk = pc.binary_join_element_wise(
-            sel_h, ":", pc.cast(pa.array(uniq % _VENDOR_REPOS), pa.string()), ""
-        )
         return pa.table(
             {
-                "hk": hk,
+                "h": sel_h,
+                "rk": pa.array(uniq % _VENDOR_REPOS),
                 "pk": pa.array(minpk),
                 "n_copies": pa.array(cnt.astype(np.int64)),
                 "mind": pa.array(mind),
             }
         )
 
-    def split_hk(batch: pa.Table) -> pa.Table:
-        h = pc.utf8_slice_codeunits(batch["hk"], 0, 32)
-        return pa.table(
-            {
-                "h": h,
-                "pk": batch["pk"],
-                "n_copies": batch["n_copies"],
-                "mind": batch["mind"],
-            }
-        )
+    def drop_rk(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["rk"])
 
     def finish(batch: pa.Table) -> pa.Table:
         mask = pc.greater_equal(batch["n_repos"], 2)
@@ -4051,13 +4064,13 @@ def q_vendored_file_groups(sf_dir: str):
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("hk")
+        .groupby(["h", "rk"])
         .aggregate(
             Sum("n_copies", alias_name="n_copies"),
             Min("mind", alias_name="mind"),
             Min("pk", alias_name="pk"),
         )
-        .map_batches(split_hk, batch_format="pyarrow")
+        .map_batches(drop_rk, batch_format="pyarrow")
         .groupby("h")
         .aggregate(
             Count(alias_name="n_repos"),
@@ -4094,8 +4107,7 @@ def q_commit_delta_stats(sf_dir: str, cap: int = 64, prefix: int = 400):
 
     def prep(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy()
-        fk = d % _SNAP_FILES
-        cs = (d * _SNAP_HASH) % _SNAP_MOD
+        fk, cs = _snap_fk_cs(d)
         return pa.table(
             {
                 "fk": pa.array(fk),
@@ -4109,8 +4121,11 @@ def q_commit_delta_stats(sf_dir: str, cap: int = 64, prefix: int = 400):
     def deltas(block: pd.DataFrame) -> pd.DataFrame:
         df = block.sort_values(["fk", "cs", "doc_id"], ignore_index=True)
         fk = df["fk"].to_numpy()
+        # latin-1 widening only where needed: ASCII (the bulk of a code
+        # corpus) is already byte==codepoint, so skip the round-trip copy
         heads = [
-            s.encode("utf-8").decode("latin-1") for s in df["head"].to_numpy()
+            s if s.isascii() else s.encode("utf-8").decode("latin-1")
+            for s in df["head"].to_numpy()
         ]
         same = np.flatnonzero(fk[1:] == fk[:-1]) if len(fk) > 1 else np.array([], np.int64)
         d = batched_bounded_levenshtein(
@@ -4128,12 +4143,7 @@ def q_commit_delta_stats(sf_dir: str, cap: int = 64, prefix: int = 400):
             pair_grp = inv[same]  # pair (i, i+1) belongs to fk[i]'s group
             np.add.at(sum_d, pair_grp, d)
             np.maximum.at(max_d, pair_grp, d)
-        repo = pc.binary_join_element_wise(
-            "r", pc.cast(pa.array(uniq % _SNAP_REPOS), pa.string()), ""
-        )
-        path = pc.binary_join_element_wise(
-            "src/f", pc.cast(pa.array(uniq), pa.string()), ".py", ""
-        )
+        repo, path = _snap_repo_path(uniq)
         return pd.DataFrame(
             {
                 "repo": repo.to_pylist(),
@@ -4416,6 +4426,12 @@ def q_props_json_stats(sf_dir: str):
     per-row json.loads) and aggregate per event type, including an exact
     distinct-k count. Rows without a ``k`` key count toward n_events but
     no other aggregate (SQL NULL semantics).
+
+    CONTRACT: the RE2 extraction assumes ``props`` is FLAT single-level
+    JSON with integer values (the events-table shape). On nested objects,
+    string-embedded '"k":' sequences, or non-integer k it diverges from a
+    real JSON parser — the oracle parses with DuckDB's JSON functions, so
+    the gate enforces the contract on the actual data every round.
 
     Scale shape: extraction happens at the read; per-batch partials are
     one row per (event_type, k) — the k domain is small, so the shuffle
