@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pivot_lang_source": Q.q_docs_pivot_lang_source,
         "props_json_stats": Q.q_props_json_stats,
         "pagerank_near_dup": Q.q_pagerank_near_dup,
+        "jsonl_gz_ingest_stats": Q.q_jsonl_gz_ingest_stats,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -793,6 +794,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts, "
             "CAST((10000 * SUM(is_dup)) // COUNT(*) AS BIGINT) AS dup_bps "
             "FROM g GROUP BY source"
+        ),
+        "jsonl_gz_ingest_stats": (
+            # same invariant as jsonl_ingest_stats, through the gzip sink
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids, "
+            "CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang"
         ),
         "jsonl_ingest_stats": (
             # engine side re-derives ids from the JSONL round-trip; distinct

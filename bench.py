@@ -143,6 +143,7 @@ def run_bench() -> dict:
     timed("docs_pivot_lang_source", lambda: Q.q_docs_pivot_lang_source(SF_DIR))
     timed("props_json_stats", lambda: Q.q_props_json_stats(SF_DIR))
     timed("pagerank_near_dup", lambda: Q.q_pagerank_near_dup(SF_DIR))
+    timed("jsonl_gz_ingest_stats", lambda: Q.q_jsonl_gz_ingest_stats(SF_DIR))
     timed(
         "fuzzy_search_no_deletions",
         lambda: Q.q_fuzzy_search_no_deletions(SF_DIR),

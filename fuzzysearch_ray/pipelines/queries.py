@@ -4619,3 +4619,66 @@ def q_pagerank_near_dup(sf_dir: str):
         return pa.table({"doc_id": batch["src"], "pr_scaled": batch["r"]})
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def q_jsonl_gz_ingest_stats(sf_dir: str):
+    """documents → distributed GZIP-compressed JSONL sink
+    (``write_corpus_jsonl_gz``: one content-addressed .jsonl.gz shard per
+    task, mtime-pinned for retry determinism) → ``read_corpus_jsonl``
+    (Ray/Arrow auto-detect gzip from the extension) → the same
+    per-language stats as q_jsonl_ingest_stats. Exercises the compressed
+    interchange path a raw text corpus actually ships in."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.io import read_corpus_jsonl, write_corpus_jsonl_gz
+
+    def write(tmp: str) -> None:
+        ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+
+        def to_corpus(batch: pa.Table) -> pa.Table:
+            did = pc.cast(batch["doc_id"], pa.string())
+            return pa.table(
+                {
+                    "repo": batch["source"],
+                    "path": pc.binary_join_element_wise("doc", did, "/"),
+                    "commit": pc.cast(batch["n_chars"], pa.string()),
+                    "lang": batch["lang"],
+                    "content": batch["text"],
+                }
+            )
+
+        write_corpus_jsonl_gz(
+            ds.map_batches(to_corpus, batch_format="pyarrow"), tmp
+        )
+
+    path = _materialize_once(_ingest_scratch(sf_dir, "jsonlgz"), write)
+    ds = read_corpus_jsonl(path)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "id": batch["id"],
+                "nchars": pc.cast(pc.utf8_length(batch["content"]), pa.int64()),
+            }
+        )
+
+    per_id = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["lang", "id"])
+        .aggregate(Count(alias_name="k"), Sum("nchars", alias_name="s"))
+    )
+    out = (
+        per_id.groupby("lang")
+        .aggregate(
+            Sum("k", alias_name="n_docs"),
+            Count(alias_name="n_distinct_ids"),
+            Sum("s", alias_name="sum_chars"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_docs", "n_distinct_ids", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang", ignore_index=True)[
+        ["lang", "n_docs", "n_distinct_ids", "sum_chars"]
+    ]

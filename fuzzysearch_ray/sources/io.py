@@ -129,3 +129,36 @@ def read_documents_as_corpus(sf_dir: str):
         return batch.rename_columns(["id", "content", "lang"])
 
     return ds.map_batches(rename, batch_format="pyarrow")
+
+
+def write_corpus_jsonl_gz(ds, out_dir: str) -> None:
+    """Distributed gzip-JSONL sink: each task serializes its batch with
+    pandas' C-level ``to_json(lines=True)`` and writes one
+    content-addressed ``.jsonl.gz`` shard (gzip mtime pinned to 0, so
+    identical batches produce byte-identical shards on retry). Readers
+    need no special handling — Ray/Arrow auto-detect gzip from the
+    extension, so ``read_corpus_jsonl`` works unchanged."""
+    import gzip
+    import hashlib
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        payload = df.to_json(None, orient="records", lines=True, force_ascii=False)
+        data = payload.encode("utf-8")
+        name = hashlib.md5(data).hexdigest()[:16]
+        tmp = os.path.join(out_dir, ".tmp-%s" % name)
+        dst = os.path.join(out_dir, "part-%s.jsonl.gz" % name)
+        if not os.path.exists(dst):
+            with gzip.GzipFile(tmp, "wb", mtime=0) as f:
+                f.write(data)
+            os.replace(tmp, dst)  # atomic: concurrent retries converge
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    # consume the sink tasks (count() drives the pipeline without
+    # collecting anything but one int per shard)
+    ds.map_batches(dump, batch_format="pyarrow").count()

@@ -99,3 +99,47 @@ def test_csv_ingest_event_stats_brute_force(tmp_path):
         .sort_values("event_type", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jsonl_gz_roundtrip_brute_force(tmp_path):
+    """Gzip sink → auto-detected gzip read: unicode, embedded quotes and
+    newline-escapes survive the compressed round-trip byte-exactly."""
+    import gzip
+    import os
+
+    from fuzzysearch_ray.sources.io import (
+        read_corpus_jsonl,
+        write_corpus_jsonl_gz,
+    )
+
+    texts = [
+        "plain",
+        'quotes "inside" here',
+        "new\nline and tab\t.",
+        "ünïcode ↯ 中文",
+        "",
+    ]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "repo": pa.array(["r%d" % (i % 2) for i in range(n)]),
+            "path": pa.array(["p%d" % i for i in range(n)]),
+            "commit": pa.array(["c"] * n),
+            "lang": pa.array(["py"] * n),
+            "content": pa.array(texts),
+        }
+    )
+    import ray.data as rd
+
+    out = str(tmp_path / "gz")
+    write_corpus_jsonl_gz(rd.from_arrow(tbl), out)
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".jsonl.gz") for f in files)
+    # shards are really gzip (magic bytes) with pinned mtime
+    raw = open(os.path.join(out, files[0]), "rb").read()
+    assert raw[:2] == b"\x1f\x8b" and raw[4:8] == b"\x00\x00\x00\x00"
+
+    back = read_corpus_jsonl(out).to_pandas().sort_values("path", ignore_index=True)
+    assert back["content"].tolist() == texts
+    assert back["id"].nunique() == n
