@@ -1,0 +1,27 @@
+#!/bin/bash
+# Like quiet_scaling_watch.sh but admits only when BOTH the CPU control and
+# the DRAM-bandwidth control are quiet (the w11-class hours where the
+# pipeline measured raw >= 0.8). Usage: [CPU_THRESH] [MEM_THRESH] [MAX_TRIES] [ROWS] [TAG]
+set -u
+CPUT=${1:-0.90}
+MEMT=${2:-0.80}
+MAX_TRIES=${3:-20}
+ROWS=${4:-480000}
+TAG=${5:-wmem_480k}
+for i in $(seq 1 "$MAX_TRIES"); do
+  GRAFT_CONTROL_TASKS=2048 python scripts/hw_control.py 2>/dev/null | tail -1 > "/tmp/ctl_pre_$TAG.json"
+  cpu=$(python -c "import json;print(json.load(open('/tmp/ctl_pre_$TAG.json'))['value'])")
+  GRAFT_CONTROL_TASKS=2048 GRAFT_CONTROL_MODE=mem python scripts/hw_control.py 2>/dev/null | tail -1 > "/tmp/ctl_mem_$TAG.json"
+  mem=$(python -c "import json;print(json.load(open('/tmp/ctl_mem_$TAG.json'))['value'])")
+  echo "[watch:$TAG] try $i cpu=$cpu mem=$mem" >> /tmp/quiet_watch.log
+  ok=$(python -c "print(1 if $cpu >= $CPUT and $mem >= $MEMT else 0)")
+  if [ "$ok" = "1" ]; then
+    GRAFT_SCALING_ROWS=$ROWS python bench.py --scaling 2>/dev/null | tail -1 > "/tmp/scaling_$TAG.json"
+    GRAFT_CONTROL_TASKS=2048 python scripts/hw_control.py 2>/dev/null | tail -1 > "/tmp/ctl_post_$TAG.json"
+    echo "[watch:$TAG] done after try $i" >> /tmp/quiet_watch.log
+    exit 0
+  fi
+  sleep 540
+done
+echo "[watch:$TAG] gave up after $MAX_TRIES tries" >> /tmp/quiet_watch.log
+exit 1
