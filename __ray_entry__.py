@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_json_stats": Q.q_props_json_stats,
         "pagerank_near_dup": Q.q_pagerank_near_dup,
         "jsonl_gz_ingest_stats": Q.q_jsonl_gz_ingest_stats,
+        "threshold_sweep_clusters": Q.q_threshold_sweep_clusters,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -794,6 +795,54 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts, "
             "CAST((10000 * SUM(is_dup)) // COUNT(*) AS BIGINT) AS dup_bps "
             "FROM g GROUP BY source"
+        ),
+        "threshold_sweep_clusters": (
+            # three recursive closures over the pair enumeration, one per
+            # threshold (cast to BIGINT to match the engine's int64 frame)
+            "WITH RECURSIVE " + _REP_GRAM_PAIRS_CTE + ", "
+            "e80 AS (SELECT a, b FROM pairs WHERE jacc >= 0.8), "
+            "s80 AS (SELECT a, b FROM e80 UNION ALL SELECT b, a FROM e80), "
+            "w80(node, label) AS ("
+            "SELECT a, a FROM s80 UNION "
+            "SELECT s.b, w.label FROM w80 w JOIN s80 s(a, b) ON s.a = w.node), "
+            "c80 AS (SELECT node, MIN(label) AS lbl FROM w80 GROUP BY node), "
+            "g80 AS (SELECT lbl, COUNT(*) AS cnt FROM c80 GROUP BY lbl), "
+            "r80 AS (SELECT 80 AS threshold_pct, "
+            "(SELECT COUNT(*) FROM e80) AS n_edges, "
+            "(SELECT COUNT(*) FROM g80) AS n_components, "
+            "COALESCE((SELECT SUM(cnt) FROM g80), 0) AS n_reps, "
+            "COALESCE((SELECT MAX(cnt) FROM g80), 0) AS max_component), "
+            "e90 AS (SELECT a, b FROM pairs WHERE jacc >= 0.9), "
+            "s90 AS (SELECT a, b FROM e90 UNION ALL SELECT b, a FROM e90), "
+            "w90(node, label) AS ("
+            "SELECT a, a FROM s90 UNION "
+            "SELECT s.b, w.label FROM w90 w JOIN s90 s(a, b) ON s.a = w.node), "
+            "c90 AS (SELECT node, MIN(label) AS lbl FROM w90 GROUP BY node), "
+            "g90 AS (SELECT lbl, COUNT(*) AS cnt FROM c90 GROUP BY lbl), "
+            "r90 AS (SELECT 90 AS threshold_pct, "
+            "(SELECT COUNT(*) FROM e90) AS n_edges, "
+            "(SELECT COUNT(*) FROM g90) AS n_components, "
+            "COALESCE((SELECT SUM(cnt) FROM g90), 0) AS n_reps, "
+            "COALESCE((SELECT MAX(cnt) FROM g90), 0) AS max_component), "
+            "e95 AS (SELECT a, b FROM pairs WHERE jacc >= 0.95), "
+            "s95 AS (SELECT a, b FROM e95 UNION ALL SELECT b, a FROM e95), "
+            "w95(node, label) AS ("
+            "SELECT a, a FROM s95 UNION "
+            "SELECT s.b, w.label FROM w95 w JOIN s95 s(a, b) ON s.a = w.node), "
+            "c95 AS (SELECT node, MIN(label) AS lbl FROM w95 GROUP BY node), "
+            "g95 AS (SELECT lbl, COUNT(*) AS cnt FROM c95 GROUP BY lbl), "
+            "r95 AS (SELECT 95 AS threshold_pct, "
+            "(SELECT COUNT(*) FROM e95) AS n_edges, "
+            "(SELECT COUNT(*) FROM g95) AS n_components, "
+            "COALESCE((SELECT SUM(cnt) FROM g95), 0) AS n_reps, "
+            "COALESCE((SELECT MAX(cnt) FROM g95), 0) AS max_component) "
+            "SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct, "
+            "CAST(n_edges AS BIGINT) AS n_edges, "
+            "CAST(n_components AS BIGINT) AS n_components, "
+            "CAST(n_reps AS BIGINT) AS n_reps, "
+            "CAST(max_component AS BIGINT) AS max_component FROM "
+            "(SELECT * FROM r80 UNION ALL SELECT * FROM r90 "
+            "UNION ALL SELECT * FROM r95)"
         ),
         "jsonl_gz_ingest_stats": (
             # same invariant as jsonl_ingest_stats, through the gzip sink

@@ -4682,3 +4682,61 @@ def q_jsonl_gz_ingest_stats(sf_dir: str):
     return out.sort_values("lang", ignore_index=True)[
         ["lang", "n_docs", "n_distinct_ids", "sum_chars"]
     ]
+
+
+_SWEEP_THRESHOLDS = (80, 90, 95)  # percent; all >= the pipeline's 0.8 floor
+
+
+def q_threshold_sweep_clusters(sf_dir: str):
+    """Dedup-policy threshold sweep: ONE flagship verify pass (exact
+    Jaccard rides every verified edge), then the near-dup rep graph is
+    re-clustered at 0.80 / 0.90 / 0.95 by filtering edges — the sweep a
+    curation run does to pick its dedup aggressiveness without recomputing
+    signatures or re-verifying candidates. Per threshold: edge count,
+    component count, reps in components, largest component.
+
+    Thresholds stay >= the pipeline floor (0.8), where LSH recall is full
+    on the gated corpora (see the _REP_GRAM_PAIRS_CTE recall note), so the
+    edge subsets equal the oracle's exhaustive enumerations. Edge lists
+    are tiny relative to the corpus (pairs, not docs); the union-find runs
+    on the driver like the flagship's gated small-edge path, with
+    stages/cluster.components_distributed as the scale fallback."""
+    from ..stages.cluster import components_driver
+
+    corpus = read_documents_as_corpus(sf_dir)
+    res = near_dup_pipeline(corpus, DedupConfig())
+    edges = (
+        res["edges"]
+        .select_columns(["a", "b", "jaccard"])
+        .to_pandas()
+    )
+    rows = []
+    for pct in _SWEEP_THRESHOLDS:
+        sub = edges[edges.jaccard >= pct / 100.0]
+        a = sub.a.to_numpy().astype(np.int64)
+        b = sub.b.to_numpy().astype(np.int64)
+        labels = components_driver(a, b)
+        roots: dict = {}
+        for node, lbl in labels.items():
+            roots.setdefault(lbl, 0)
+            roots[lbl] += 1
+        sizes = list(roots.values())
+        rows.append(
+            (
+                pct,
+                int(len(sub)),
+                int(len(sizes)),
+                int(sum(sizes)),
+                int(max(sizes)) if sizes else 0,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "threshold_pct",
+            "n_edges",
+            "n_components",
+            "n_reps",
+            "max_component",
+        ],
+    )

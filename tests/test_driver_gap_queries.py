@@ -247,3 +247,80 @@ def test_pagerank_near_dup_brute_force(tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # hub members (degree 2) outrank singletons (base) and rank is exact
     assert got.pr_scaled.max() > base and (got.pr_scaled == base).sum() == 15
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_threshold_sweep_clusters_brute_force(tmp_path):
+    """Sweep counts vs an exhaustive exact-Jaccard graph clustered at each
+    threshold with a plain union-find (variant families at two distinct
+    similarity levels so the sweep actually separates them)."""
+    from fuzzysearch_ray.config import DedupConfig
+    from fuzzysearch_ray.functions.hashing import exact_jaccard, shingle_hashes
+    from fuzzysearch_ray.pipelines.queries import (
+        _SWEEP_THRESHOLDS,
+        q_threshold_sweep_clusters,
+    )
+
+    rng = np.random.default_rng(77)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    texts = []
+    for fam in range(4):
+        base_words = list(rng.choice(vocab, size=120))
+        for v in range(3):
+            words = list(base_words)
+            # fam 0-1: one-word variants (very high J); fam 2-3: six-word
+            # variants (J above 0.8 but below the 0.95 band)
+            n_edit = 1 if fam < 2 else 6
+            for e in range(n_edit):
+                words[-(1 + e)] = f"f{fam}v{v}e{e}"
+            texts.append(" ".join(words))
+    for _ in range(10):
+        texts.append(" ".join(rng.choice(vocab, size=60)))
+    _write_docs(tmp_path, texts)
+
+    got = q_threshold_sweep_clusters(str(tmp_path)).sort_values(
+        "threshold_pct", ignore_index=True
+    )
+
+    cfg = DedupConfig()
+    sh = [
+        shingle_hashes(t[: cfg.max_content_bytes_for_lsh], cfg.shingle_k)
+        for t in texts
+    ]
+    n = len(texts)
+    jpairs = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            jac = exact_jaccard(sh[i], sh[j])
+            if jac >= cfg.jaccard_threshold:
+                jpairs.append((i, j, jac))
+    rows = []
+    for pct in _SWEEP_THRESHOLDS:
+        sel = [(a, b) for a, b, jac in jpairs if jac >= pct / 100.0]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
+        for a, b in sel:
+            ra, rb = find(a), find(b)
+            parent[max(ra, rb)] = min(ra, rb)
+            touched.update((a, b))
+        comp = {}
+        for t in touched:
+            comp.setdefault(find(t), []).append(t)
+        sizes = [len(v) for v in comp.values()]
+        rows.append(
+            (pct, len(sel), len(sizes), sum(sizes), max(sizes) if sizes else 0)
+        )
+    exp = pd.DataFrame(
+        rows,
+        columns=["threshold_pct", "n_edges", "n_components", "n_reps", "max_component"],
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the sweep separates the two similarity regimes
+    assert exp.n_edges.iloc[0] > exp.n_edges.iloc[-1] > 0
