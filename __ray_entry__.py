@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_near_dup": Q.q_pagerank_near_dup,
         "jsonl_gz_ingest_stats": Q.q_jsonl_gz_ingest_stats,
         "threshold_sweep_clusters": Q.q_threshold_sweep_clusters,
+        "orc_ingest_stats": Q.q_orc_ingest_stats,
         # --- r03-green, code paths touched this round ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
@@ -843,6 +844,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max_component AS BIGINT) AS max_component FROM "
             "(SELECT * FROM r80 UNION ALL SELECT * FROM r90 "
             "UNION ALL SELECT * FROM r95)"
+        ),
+        "orc_ingest_stats": (
+            # same invariant as the JSONL round-trips, through the custom
+            # ORC connector pair
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids, "
+            "CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang"
         ),
         "jsonl_gz_ingest_stats": (
             # same invariant as jsonl_ingest_stats, through the gzip sink

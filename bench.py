@@ -145,6 +145,7 @@ def run_bench() -> dict:
     timed("pagerank_near_dup", lambda: Q.q_pagerank_near_dup(SF_DIR))
     timed("jsonl_gz_ingest_stats", lambda: Q.q_jsonl_gz_ingest_stats(SF_DIR))
     timed("threshold_sweep_clusters", lambda: Q.q_threshold_sweep_clusters(SF_DIR))
+    timed("orc_ingest_stats", lambda: Q.q_orc_ingest_stats(SF_DIR))
     timed(
         "fuzzy_search_no_deletions",
         lambda: Q.q_fuzzy_search_no_deletions(SF_DIR),

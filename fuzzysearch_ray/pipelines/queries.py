@@ -4740,3 +4740,63 @@ def q_threshold_sweep_clusters(sf_dir: str):
             "max_component",
         ],
     )
+
+
+def q_orc_ingest_stats(sf_dir: str):
+    """documents → custom distributed ORC sink → custom ORC source (Ray
+    ships neither; both are map_batches-built connectors in sources/io) →
+    the same per-language stats invariant as the JSONL round-trips.
+    Demonstrates the source/sink extension path for a columnar format the
+    engine does not natively speak."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.io import read_corpus_orc, write_corpus_orc
+
+    def write(tmp: str) -> None:
+        ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+
+        def to_corpus(batch: pa.Table) -> pa.Table:
+            did = pc.cast(batch["doc_id"], pa.string())
+            return pa.table(
+                {
+                    "repo": batch["source"],
+                    "path": pc.binary_join_element_wise("doc", did, "/"),
+                    "commit": pc.cast(batch["n_chars"], pa.string()),
+                    "lang": batch["lang"],
+                    "content": batch["text"],
+                }
+            )
+
+        write_corpus_orc(ds.map_batches(to_corpus, batch_format="pyarrow"), tmp)
+
+    path = _materialize_once(_ingest_scratch(sf_dir, "orc"), write)
+    ds = read_corpus_orc(path)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "id": batch["id"],
+                "nchars": pc.cast(pc.utf8_length(batch["content"]), pa.int64()),
+            }
+        )
+
+    per_id = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["lang", "id"])
+        .aggregate(Count(alias_name="k"), Sum("nchars", alias_name="s"))
+    )
+    out = (
+        per_id.groupby("lang")
+        .aggregate(
+            Sum("k", alias_name="n_docs"),
+            Count(alias_name="n_distinct_ids"),
+            Sum("s", alias_name="sum_chars"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_docs", "n_distinct_ids", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang", ignore_index=True)[
+        ["lang", "n_docs", "n_distinct_ids", "sum_chars"]
+    ]

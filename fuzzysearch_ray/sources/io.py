@@ -162,3 +162,65 @@ def write_corpus_jsonl_gz(ds, out_dir: str) -> None:
     # consume the sink tasks (count() drives the pipeline without
     # collecting anything but one int per shard)
     ds.map_batches(dump, batch_format="pyarrow").count()
+
+
+def write_corpus_orc(ds, out_dir: str) -> None:
+    """Distributed ORC sink for a format Ray Data has no native writer
+    for: each task serializes its batch with pyarrow.orc into one
+    content-addressed shard (atomic rename, so task retries converge on
+    the same file). The custom-connector counterpart of the gzip sink."""
+    import hashlib
+    import io as _io
+    import os
+
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(batch: pa.Table) -> pa.Table:
+        buf = _io.BytesIO()
+        pa_orc.write_table(batch, buf)
+        data = buf.getvalue()
+        name = hashlib.md5(data).hexdigest()[:16]
+        tmp = os.path.join(out_dir, ".tmp-%s" % name)
+        dst = os.path.join(out_dir, "part-%s.orc" % name)
+        if not os.path.exists(dst):
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, dst)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    ds.map_batches(dump, batch_format="pyarrow").count()
+
+
+def read_corpus_orc(path: str, columns: Optional[Sequence[str]] = None):
+    """Distributed ORC source built from map_batches (Ray Data ships no
+    read_orc): the shard list fans out as items, each task decodes its
+    file with pyarrow.orc — column pruning pushes into the ORC reader
+    (columnar, unlike the JSONL path). Same logical schema and id rule as
+    ``read_corpus``."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(path, "*.orc")))
+    if not files:
+        raise FileNotFoundError("no .orc shards under %s" % path)
+
+    cols = list(columns) if columns else None
+
+    def load(batch: pa.Table) -> pa.Table:
+        from pyarrow import orc as pa_orc
+
+        tables = [
+            pa_orc.read_table(f, columns=cols) for f in batch["p"].to_pylist()
+        ]
+        return pa.concat_tables(tables)
+
+    ds = rd.from_arrow(pa.table({"p": pa.array(files, pa.string())}))
+    # one shard per task: repartition the path list so decode parallelizes
+    ds = ds.repartition(len(files)).map_batches(load, batch_format="pyarrow")
+    return _ensure_id(ds)

@@ -143,3 +143,37 @@ def test_jsonl_gz_roundtrip_brute_force(tmp_path):
     back = read_corpus_jsonl(out).to_pandas().sort_values("path", ignore_index=True)
     assert back["content"].tolist() == texts
     assert back["id"].nunique() == n
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orc_roundtrip_brute_force(tmp_path):
+    """Custom ORC sink → custom ORC source: content round-trips exactly
+    and column pruning pushes into the ORC reader."""
+    import os
+
+    from fuzzysearch_ray.sources.io import read_corpus_orc, write_corpus_orc
+
+    texts = ["alpha", 'with "quotes"', "uni ↯ 中", "", "line\nbreak"]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "repo": pa.array(["r%d" % (i % 2) for i in range(n)]),
+            "path": pa.array(["p%d" % i for i in range(n)]),
+            "commit": pa.array(["c"] * n),
+            "lang": pa.array(["py"] * n),
+            "content": pa.array(texts),
+        }
+    )
+    import ray.data as rd
+
+    out = str(tmp_path / "orc")
+    write_corpus_orc(rd.from_arrow(tbl), out)
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".orc") for f in files)
+
+    back = read_corpus_orc(out).to_pandas().sort_values("path", ignore_index=True)
+    assert back["content"].tolist() == texts
+    assert back["id"].nunique() == n
+
+    pruned = read_corpus_orc(out, columns=["path", "lang", "content", "repo", "commit"])
+    assert set(pruned.schema().names) >= {"path", "lang", "content", "id"}
