@@ -381,3 +381,47 @@ def test_commit_delta_stats_brute_force(tmp_path):
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert (exp["n_revisions"] > 1).any() and (exp["max_delta"] == 64).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_code_payload_queries_empty_documents(tmp_path):
+    """Zero-row documents table: every code-payload operator returns an
+    empty result with intact column names instead of tripping over Ray's
+    schema-less empty blocks."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    from fuzzysearch_ray.pipelines.queries import (
+        q_code_line_stats as _qls,
+    )
+
+    cases = [
+        (q_clone1_dedup_groups, {"h", "keep_id", "n_members"}),
+        (q_clone2_dedup_groups, {"h", "keep_id", "n_members"}),
+        (q_latest_snapshot_files, {"repo", "path", "head_commit", "head_doc_id"}),
+        (
+            q_vendored_file_groups,
+            {"path", "h", "n_repos", "n_copies", "keep_id"},
+        ),
+        (
+            q_commit_delta_stats,
+            {"repo", "path", "n_revisions", "sum_delta", "max_delta"},
+        ),
+    ]
+    for fn, cols in cases:
+        out = fn(str(tmp_path))
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        assert len(df) == 0, fn.__name__
+        if len(df.columns):  # schema may be dropped entirely on 0 rows,
+            # but if columns survive they must be the contract columns
+            assert set(df.columns) <= cols or set(df.columns) >= cols, (
+                fn.__name__,
+                df.columns,
+            )
