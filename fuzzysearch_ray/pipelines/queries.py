@@ -4533,6 +4533,33 @@ _PR_SCALE = 10**12
 _PR_ITERS = 3
 
 
+
+def _pagerank_driver(sf_dir: str, edges_ds, n_docs: int) -> pd.DataFrame:
+    """Driver-side fixed-point PageRank (small-graph gate): same integer
+    recurrence as the distributed path, vectorized with numpy. Exactness:
+    every per-node contribution sum is bounded by the total rank mass
+    (_PR_SCALE = 1e12 < 2^53), so float64 bincount accumulates exact
+    integers and the int64 cast is lossless."""
+    e = edges_ds.to_pandas()
+    ids = _read(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    ids = np.sort(ids.astype(np.int64))
+    a = np.searchsorted(ids, e["a"].to_numpy().astype(np.int64))
+    b = np.searchsorted(ids, e["b"].to_numpy().astype(np.int64))
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    n = len(ids)
+    deg = np.bincount(src, minlength=n).astype(np.int64)
+    r0 = _PR_SCALE // n
+    base = (15 * r0) // 100
+    r = np.full(n, r0, np.int64)
+    safe_deg = np.maximum(deg, 1)
+    for _ in range(_PR_ITERS):
+        contrib = r[src] // safe_deg[src]
+        s = np.bincount(dst, weights=contrib, minlength=n)
+        r = base + (85 * s.astype(np.int64)) // 100
+    return pd.DataFrame({"doc_id": ids, "pr_scaled": r})
+
+
 def q_pagerank_near_dup(sf_dir: str):
     """Distributed fixed-point PageRank over the verified near-dup graph
     (3 damped iterations, d=0.85): the iterative-graph-algorithm operator
@@ -4550,6 +4577,15 @@ def q_pagerank_near_dup(sf_dir: str):
 
     res = _flagship_result(sf_dir)
     edges = res["edges"].select_columns(["a", "b"])
+
+    # gated dual path (the components_driver / components_distributed
+    # convention): below the driver gate, iterate on the driver with exact
+    # integer numpy — BIT-IDENTICAL to the distributed path (all sums are
+    # exact integers < 2^53, so bincount's float64 accumulation is exact)
+    n_docs_probe = _read(sf_dir, "documents", ["doc_id"]).count()
+    n_edges = edges.count()
+    if n_docs_probe <= 5_000_000 and n_edges <= DedupConfig().driver_edges_limit:
+        return _pagerank_driver(sf_dir, edges, n_docs_probe)
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy().astype(np.int64)

@@ -215,10 +215,9 @@ def test_pagerank_near_dup_brute_force(tmp_path):
         texts.append(" ".join(rng.choice(vocab, size=60)))
     _write_docs(tmp_path, texts)
 
-    got = (
-        q_pagerank_near_dup(str(tmp_path))
-        .to_pandas()
-        .sort_values("doc_id", ignore_index=True)
+    out = q_pagerank_near_dup(str(tmp_path))
+    got = (out.to_pandas() if hasattr(out, "to_pandas") else out).sort_values(
+        "doc_id", ignore_index=True
     )
 
     cfg = DedupConfig()
