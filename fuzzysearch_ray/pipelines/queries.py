@@ -4176,14 +4176,15 @@ def q_commit_delta_stats(sf_dir: str, cap: int = 64, prefix: int = 400):
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3-shape multi-way join: customer (filtered to one market
     segment) ⋈ orders (before the cutoff) ⋈ lineitem (shipped after the
-    cutoff), revenue per open order. Exercises a two-hop distributed hash
-    join where the second hop is big×big (orders × lineitem on orderkey).
+    cutoff), revenue per open order: a broadcast dimension probe feeding a
+    big×big distributed hash join (orders × lineitem on orderkey).
 
-    Scale shape: every input is column-pruned and row-filtered AT THE READ
-    (the dimension filter cuts customer before it enters the first join;
-    date filters cut both fact tables), so the shuffles only carry
-    surviving rows; both joins hash-partition on their key, and revenue is
-    pre-multiplied per batch so the final groupby aggregates one double."""
+    Scale shape: every input is column-pruned and row-filtered AT THE READ;
+    the filtered customer keys are broadcast once (ray.put) and probed with
+    a vectorized searchsorted inside the orders scan — the classic
+    dimension-side broadcast that removes a whole join hop — while the
+    fact×fact hop hash-partitions on orderkey with per-batch revenue
+    partials (combiner) riding the shuffle instead of per-line rows."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -4191,17 +4192,36 @@ def q_shipping_priority(sf_dir: str):
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     nparts = max(2, min(16, cpus))
 
-    cust = (
+    # dimension side: the filtered customer keys are tiny, so broadcast
+    # them once (ray.put) and probe with a vectorized searchsorted inside
+    # the orders scan — no first join hop, no customer shuffle. The
+    # big×big orders×lineitem hop below stays a hash-partitioned join.
+    import ray as _ray
+
+    cust_keys = np.sort(
         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
         .filter(expr="c_mktsegment == 'BUILDING'")
         .select_columns(["c_custkey"])
+        .to_pandas()["c_custkey"]
+        .to_numpy()
+        .astype(np.int64)
     )
+    keys_ref = _ray.put(cust_keys)
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], cutoff))
+        keys = _ray.get(keys_ref)
+        ck = t["o_custkey"].to_numpy()
+        if len(keys) == 0 or len(ck) == 0:
+            mask = np.zeros(len(ck), bool)
+        else:
+            pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+            mask = keys[pos] == ck
+        return t.filter(pa.array(mask)).drop_columns(["o_custkey"])
+
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
-    ).map_batches(
-        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
-        batch_format="pyarrow",
-    )
+    ).map_batches(prep_orders, batch_format="pyarrow")
 
     def prep_line(t: pa.Table) -> pa.Table:
         keep = t.filter(pc.greater(t["l_shipdate"], cutoff))
@@ -4227,13 +4247,9 @@ def q_shipping_priority(sf_dir: str):
         ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(prep_line, batch_format="pyarrow")
 
-    open_orders = cust.join(
-        orders,
-        join_type="inner",
-        num_partitions=nparts,
-        on=("c_custkey",),
-        right_on=("o_custkey",),
-    ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+    open_orders = orders.select_columns(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
 
     joined = open_orders.join(
         line,
