@@ -37,6 +37,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   4. r03-green queries whose code paths THIS round's changes touch,
     #   5. (past entry 50) stable r03-green queries untouched this round.
     # New queries MUST be inserted before the "window tail" marker below.
+    # ROUND-5 NOTE: the r03-green queries that fell outside the r04 window
+    # (exact_dedup_*, substring_count, simhash_*, long_run_pairs,
+    # embedding_cosine/semantic, incremental, ann_*, embedding_kmeans and
+    # the stable tail) have now been unchecked for ONE round — round 5
+    # must move them to the front of the window per the contract.
     return {
         # --- never driver-checked (in-repo DuckDB gate green only) ---
         "decontaminate_docs_join": Q.q_decontaminate_docs_join,
