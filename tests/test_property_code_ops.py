@@ -1,0 +1,65 @@
+"""Hypothesis property tests for the round-4 code-payload kernels:
+alpha-renaming canonicalization and the capped byte-Levenshtein used by
+commit_delta_stats. No Ray session needed (pure kernels)."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fuzzysearch_ray.kernels.batched_lev import batched_bounded_levenshtein
+from fuzzysearch_ray.pipelines.queries import alpha_canon_column
+
+
+def _alpha_brute(s: str) -> str:
+    seen: dict = {}
+    out = []
+    for t in re.findall(r"[A-Za-z0-9_]+", s):
+        if t not in seen:
+            seen[t] = len(seen) + 1
+        out.append("i%d" % seen[t])
+    return " ".join(out)
+
+
+# printable-ish text incl. unicode, punctuation runs, underscores, digits
+_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF
+    ),
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=20))
+def test_alpha_canon_column_matches_brute(rows):
+    got = alpha_canon_column(pa.array(rows, pa.string())).to_pylist()
+    assert got == [_alpha_brute(s) for s in rows]
+
+
+def _lev(a: bytes, b: bytes) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=150, deadline=None)
+@given(_text, _text, st.integers(min_value=0, max_value=12))
+def test_capped_byte_lev_matches_dp(a, b, cap):
+    """min(lev, cap) semantics of the commit-delta kernel path: exact when
+    <= cap, -1 (mapped to cap) beyond — against a plain DP over the UTF-8
+    bytes (the latin-1 widening contract)."""
+    wa = a if a.isascii() else a.encode("utf-8").decode("latin-1")
+    wb = b if b.isascii() else b.encode("utf-8").decode("latin-1")
+    d = batched_bounded_levenshtein([wa], [wb], np.array([cap], np.int64))[0]
+    true = _lev(a.encode("utf-8"), b.encode("utf-8"))
+    if true <= cap:
+        assert d == true
+    else:
+        assert d == -1
