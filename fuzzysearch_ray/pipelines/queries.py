@@ -4764,34 +4764,56 @@ def q_threshold_sweep_clusters(sf_dir: str):
     are tiny relative to the corpus (pairs, not docs); the union-find runs
     on the driver like the flagship's gated small-edge path, with
     stages/cluster.components_distributed as the scale fallback."""
-    from ..stages.cluster import components_driver
+    from ray.data.aggregate import Count, Max
+
+    from ..stages.cluster import components_distributed, components_driver
 
     res = _flagship_result(sf_dir)
-    edges = (
-        res["edges"]
-        .select_columns(["a", "b", "jaccard"])
-        .to_pandas()
-    )
+    edges_ds = res["edges"].select_columns(["a", "b", "jaccard"])
+    n_edges_total = edges_ds.count()
     rows = []
-    for pct in _SWEEP_THRESHOLDS:
-        sub = edges[edges.jaccard >= pct / 100.0]
-        a = sub.a.to_numpy().astype(np.int64)
-        b = sub.b.to_numpy().astype(np.int64)
-        labels = components_driver(a, b)
-        roots: dict = {}
-        for node, lbl in labels.items():
-            roots.setdefault(lbl, 0)
-            roots[lbl] += 1
-        sizes = list(roots.values())
-        rows.append(
-            (
-                pct,
-                int(len(sub)),
-                int(len(sizes)),
-                int(sum(sizes)),
-                int(max(sizes)) if sizes else 0,
+    if n_edges_total <= DedupConfig().driver_edges_limit:
+        edges = edges_ds.to_pandas()
+        for pct in _SWEEP_THRESHOLDS:
+            sub = edges[edges.jaccard >= pct / 100.0]
+            labels = components_driver(
+                sub.a.to_numpy().astype(np.int64),
+                sub.b.to_numpy().astype(np.int64),
             )
-        )
+            roots: dict = {}
+            for node, lbl in labels.items():
+                roots[lbl] = roots.get(lbl, 0) + 1
+            sizes = list(roots.values())
+            rows.append(
+                (pct, int(len(sub)), int(len(sizes)), int(sum(sizes)),
+                 int(max(sizes)) if sizes else 0)
+            )
+    else:
+        # distributed fallback: filter + min-label propagation + two tiny
+        # aggregates per threshold; the driver holds only scalar counts
+        for pct in _SWEEP_THRESHOLDS:
+            thr = pct / 100.0
+            sub = edges_ds.map_batches(
+                lambda t, thr=thr: t.filter(
+                    pc.greater_equal(t["jaccard"], thr)
+                ).drop_columns(["jaccard"]),
+                batch_format="pyarrow",
+            )
+            n_e = sub.count()
+            if n_e == 0:
+                rows.append((pct, 0, 0, 0, 0))
+                continue
+            labels_ds = components_distributed(sub)
+            per_label = labels_ds.groupby("label").aggregate(
+                Count(alias_name="cnt")
+            )
+            agg = per_label.aggregate(
+                Count(alias_name="n_components"), Max("cnt", alias_name="mx")
+            )
+            n_reps = labels_ds.count()
+            rows.append(
+                (pct, int(n_e), int(agg["n_components"]), int(n_reps), int(agg["mx"]))
+            )
     return pd.DataFrame(
         rows,
         columns=[

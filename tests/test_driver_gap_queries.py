@@ -323,3 +323,37 @@ def test_threshold_sweep_clusters_brute_force(tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # the sweep separates the two similarity regimes
     assert exp.n_edges.iloc[0] > exp.n_edges.iloc[-1] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_threshold_sweep_distributed_fallback(tmp_path, monkeypatch):
+    """Force the above-gate path (filter + min-label propagation + tiny
+    aggregates) and check it agrees with the driver union-find path."""
+    from types import SimpleNamespace
+
+    import fuzzysearch_ray.pipelines.queries as Q
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    texts = []
+    for fam in range(3):
+        base_words = list(rng.choice(vocab, size=100))
+        for v in range(3):
+            words = list(base_words)
+            words[-1] = f"f{fam}v{v}"
+            texts.append(" ".join(words))
+    _write_docs(tmp_path, texts)
+
+    driver_df = Q.q_threshold_sweep_clusters(str(tmp_path)).sort_values(
+        "threshold_pct", ignore_index=True
+    )
+    # flagship memo is primed now; shrink the gate so the sweep takes the
+    # distributed branch (DedupConfig only supplies driver_edges_limit there)
+    monkeypatch.setattr(
+        Q, "DedupConfig", lambda: SimpleNamespace(driver_edges_limit=-1)
+    )
+    dist_df = Q.q_threshold_sweep_clusters(str(tmp_path)).sort_values(
+        "threshold_pct", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(driver_df, dist_df, check_dtype=False)
+    assert driver_df.n_edges.iloc[0] > 0
