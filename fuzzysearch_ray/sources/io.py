@@ -137,7 +137,11 @@ def write_corpus_jsonl_gz(ds, out_dir: str) -> None:
     content-addressed ``.jsonl.gz`` shard (gzip mtime pinned to 0, so
     identical batches produce byte-identical shards on retry). Readers
     need no special handling — Ray/Arrow auto-detect gzip from the
-    extension, so ``read_corpus_jsonl`` works unchanged."""
+    extension, so ``read_corpus_jsonl`` works unchanged.
+
+    ``out_dir`` must be visible to every worker (shared/posix fs in
+    this sandbox; swap the open/os.replace pair for a pyarrow
+    FileSystem to target object stores on a real cluster)."""
     import gzip
     import hashlib
     import os
@@ -168,7 +172,11 @@ def write_corpus_orc(ds, out_dir: str) -> None:
     """Distributed ORC sink for a format Ray Data has no native writer
     for: each task serializes its batch with pyarrow.orc into one
     content-addressed shard (atomic rename, so task retries converge on
-    the same file). The custom-connector counterpart of the gzip sink."""
+    the same file). The custom-connector counterpart of the gzip sink.
+
+    ``out_dir`` must be visible to every worker (shared/posix fs in
+    this sandbox; swap the open/os.replace pair for a pyarrow
+    FileSystem to target object stores on a real cluster)."""
     import hashlib
     import io as _io
     import os
