@@ -195,6 +195,61 @@ def _gopher_sql(min_words: int = 10, max_words: int = 1000) -> str:
     ).format(lo=min_words, hi=max_words, sw=swlist)
 
 
+def _det_ln_sql_ctes() -> str:
+    """CTE chain computing ``idf(term, lnx)`` with lnx = det_ln(x) from a
+    prior CTE ``idfx(term, x)`` — the SQL mirror of ``queries.det_ln``,
+    generated from the SAME ladder table and series coefficients (single
+    source of truth). Every step is a correctly-rounded IEEE basic op on
+    literals that parse to the identical double on both sides, so no libm
+    transcendental ever crosses the engine/oracle boundary."""
+    from fuzzysearch_ray.pipelines.queries import DET_LN2, DET_LN_LADDER
+
+    def lit(v: float) -> str:
+        # DuckDB parses bare decimal literals as DECIMAL (decimal-typed
+        # arithmetic, different rounding); a VARCHAR->DOUBLE cast is a
+        # correctly-rounded strtod parse, bit-equal to the Python literal
+        return "CAST('%s' AS DOUBLE)" % repr(v)
+
+    ctes = []
+    prev = "idfx"
+    mcol, ecol = "x", None
+    for i, (thresh, step) in enumerate(DET_LN_LADDER):
+        name = "lna%d" % i
+        e_expr = (
+            "CASE WHEN {m} >= {t} THEN {pe} + {s} ELSE {pe} END".format(
+                m=mcol, t=lit(thresh), s=lit(step), pe=ecol
+            )
+            if ecol
+            else "CASE WHEN {m} >= {t} THEN {s} ELSE {z} END".format(
+                m=mcol, t=lit(thresh), s=lit(step), z=lit(0.0)
+            )
+        )
+        ctes.append(
+            "{n} AS (SELECT term, "
+            "CASE WHEN {m} >= {t} THEN {m} / {t} ELSE {m} END AS m, "
+            "{e} AS e FROM {p})".format(
+                n=name, m=mcol, t=lit(thresh), e=e_expr, p=prev
+            )
+        )
+        prev, mcol, ecol = name, "m", "e"
+    ctes.append(
+        "lnsz AS (SELECT term, e, (m - {one}) / (m + {one}) AS sv FROM {p})".format(
+            one=lit(1.0), p=prev
+        )
+    )
+    ctes.append("lnzz AS (SELECT term, e, sv, sv * sv AS z FROM lnsz)")
+    horner = lit(1.0 / 13.0)
+    for c in (11.0, 9.0, 7.0, 5.0, 3.0):
+        horner = "(%s) * z + %s" % (horner, lit(1.0 / c))
+    horner = "(%s) * z + %s" % (horner, lit(1.0))
+    ctes.append("lnpp AS (SELECT term, e, sv, %s AS p FROM lnzz)" % horner)
+    ctes.append(
+        "idf AS (SELECT term, e * %s + %s * sv * p AS lnx FROM lnpp)"
+        % (lit(DET_LN2), lit(2.0))
+    )
+    return ", ".join(ctes)
+
+
 def _hamming_expr(needle: str, pos_expr: str = "i.i") -> str:
     """SQL expression: Hamming distance of needle vs the window starting at
     1-based position ``pos_expr`` (per-position char comparisons)."""
@@ -950,9 +1005,12 @@ def oracle_sql() -> dict[str, str]:
             # inner semantics (docs with no query term absent). Each
             # per-term contribution is rounded to an INT64 micro grid
             # BEFORE the sum on both sides — integer addition is
-            # order-independent, so the gate comparison is deterministic
-            # (ROUND(SUM(double)) can flip at half boundaries under
-            # ulp-level summation reorderings)
+            # order-independent — and idf is computed with the SAME
+            # deterministic-ln expression tree as the engine
+            # (queries.det_ln / _det_ln_sql_ctes): no libm transcendental
+            # is evaluated on either side, so the doubles feeding FLOOR
+            # are bit-identical on any DuckDB/numpy version (the r04
+            # driver mismatch was an ln ulp difference flipping the grid)
             "WITH toks AS (SELECT doc_id, "
             "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
             "FROM documents), "
@@ -965,13 +1023,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM toks JOIN q USING (term) GROUP BY 1, 2), "
             "df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
             "s AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n, "
-            "(SELECT CAST(SUM(dl) AS DOUBLE) FROM dl) AS total) "
-            "SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_query_terms, "
-            "SUM(CAST(FLOOR(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1) "
-            "* tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 "
-            "+ 0.75 * dl.dl / (s.total / s.n))) * 1000000 + 0.5) AS BIGINT)) "
-            "AS bm25_micros "
-            "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), s "
+            "(SELECT CAST(SUM(dl) AS DOUBLE) FROM dl) AS total), "
+            "idfx AS (SELECT df.term, "
+            "(s.n - df.df + CAST('0.5' AS DOUBLE)) / (df.df + CAST('0.5' AS "
+            "DOUBLE)) + CAST('1.0' AS DOUBLE) AS x FROM df, s), "
+            + _det_ln_sql_ctes()
+            + " SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_query_terms, "
+            # float literals ride as VARCHAR->DOUBLE casts: bare decimals are
+            # DECIMAL-typed in DuckDB (k1=1.2 and b=0.75 are not exactly
+            # representable, so decimal arithmetic diverges from the
+            # engine's double arithmetic); the strtod parse is bit-equal to
+            # the Python literal
+            "SUM(CAST(FLOOR(idf.lnx "
+            "* tf.tf * (CAST('1.2' AS DOUBLE) + CAST('1.0' AS DOUBLE)) "
+            "/ (tf.tf + CAST('1.2' AS DOUBLE) * (CAST('1.0' AS DOUBLE) "
+            "- CAST('0.75' AS DOUBLE) "
+            "+ CAST('0.75' AS DOUBLE) * dl.dl / (s.total / s.n))) "
+            "* CAST('1000000.0' AS DOUBLE) + CAST('0.5' AS DOUBLE)) "
+            "AS BIGINT)) AS bm25_micros "
+            "FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), s "
             "GROUP BY tf.doc_id"
         ),
         "novel_docs_bloom": (
@@ -1219,9 +1289,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "shipping_priority": (
             # TPC-H Q3 shape (all groups, no LIMIT: top-k ties are
-            # engine-order-dependent and the driver sorts anyway)
+            # engine-order-dependent and the driver sorts anyway). Revenue
+            # in integer 1e-4-dollar units (TPC-H money is 2-decimal exact):
+            # integer sums are order-independent, so the engine's per-batch
+            # combiner + distributed Sum and this single SUM are bit-equal.
             "SELECT o_orderkey, "
-            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_e4, "
             "CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us, "
             "o_orderpriority "
             "FROM customer, orders, lineitem "

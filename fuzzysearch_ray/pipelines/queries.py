@@ -49,16 +49,38 @@ def _read(sf_dir: str, table: str, columns=None):
 # queries (clusters, survivors, pairs, degree, histogram, sweep, pagerank)
 # all read the SAME materialized pipeline outputs — recomputing signatures /
 # candidates / verify per query would time the pipeline seven times for one
-# logical run. Keyed by sf_dir; only the default DedupConfig path memoizes.
+# logical run. Only the default DedupConfig path memoizes. Keyed by
+# (sf_dir, input mtime+size, Ray session): a regenerated parquet under the
+# same path or a ray.shutdown()/init() cycle (dead materialized Datasets)
+# must miss, not serve stale/dead results.
 _FLAGSHIP_CACHE: dict = {}
 
 
+def _flagship_cache_key(sf_dir: str):
+    import os
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        src = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        src = None
+    try:
+        import ray
+
+        session = ray.get_runtime_context().get_job_id()
+    except Exception:
+        session = None
+    return (sf_dir, src, session)
+
+
 def _flagship_result(sf_dir: str):
-    res = _FLAGSHIP_CACHE.get(sf_dir)
+    key = _flagship_cache_key(sf_dir)
+    res = _FLAGSHIP_CACHE.get(key)
     if res is None:
+        _FLAGSHIP_CACHE.clear()  # one entry: old sessions' refs are useless
         corpus = read_documents_as_corpus(sf_dir)
         res = near_dup_pipeline(corpus, DedupConfig())
-        _FLAGSHIP_CACHE[sf_dir] = res
+        _FLAGSHIP_CACHE[key] = res
     return res
 
 def q_exact_dedup_groups(sf_dir: str):
@@ -997,6 +1019,48 @@ def _worker_id_lookup(token: str, refs, value_col: str):
     return lk
 
 
+def _schema_stable(ds, schema: pa.Schema):
+    """Rebuild a materialized Dataset with every block cast to ``schema``
+    and ALL 0-row blocks dropped — the required precondition for feeding
+    ``Dataset.join``.
+
+    Two distinct failure modes force this (the r04 fuzzy_join_parts driver
+    crash, "ArrowInvalid: No match ... for key field reference"):
+    1. Ray surfaces 0-row blocks schema-less (map_batches / map_groups pass
+       empty partitions through untouched at high parallelism);
+    2. Ray's hash-shuffle join skips 0-row input blocks entirely
+       (hash_shuffle.py ``_shuffle_block`` early-returns) while still
+       marking the input's schema as broadcast — so when the FIRST block
+       the shuffle schedules happens to be empty, aggregators never receive
+       the schema and any partition with no matching rows finalizes a
+       schema-less table, which pyarrow's join rejects. Typed empty blocks
+       do NOT help; they must not reach the join at all.
+
+    One tiny remote task per block casts + counts; only int row counts pass
+    through the driver, blocks stay in the object store."""
+    import ray
+    import ray.data as rd
+
+    @ray.remote(num_cpus=0.25)
+    def _norm(t, s):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows == 0 or any(n not in t.column_names for n in s.names):
+            return s.empty_table()
+        return t.select(s.names).cast(s)
+
+    @ray.remote(num_cpus=0.25)
+    def _nrows(t):
+        return t.num_rows
+
+    refs = [_norm.remote(r, schema) for r in ds.materialize().to_arrow_refs()]
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    keep = [r for r, n in zip(refs, counts) if n]
+    if not keep:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(keep)
+
+
 def q_fuzzy_join_parts(sf_dir: str, k: int = 2):
     """Fuzzy self-join: all part pairs whose names are within edit distance
     ``k`` — fuzzysearch's bounded-distance kernel lifted to a relational
@@ -1033,21 +1097,55 @@ def q_fuzzy_join_parts(sf_dir: str, k: int = 2):
 
     ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
 
-    # (id, nid, name) rows: nid = min p_partkey of the name group — a
-    # dense-enough integer surrogate for the distinct name, computed by the
-    # one string-keyed shuffle of the pipeline
-    def tag_group(block: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(block["p_partkey"].to_numpy().astype(np.int64))
-        return pd.DataFrame(
-            {"id": ids, "nid": ids[0], "name": block["p_name"].iloc[0]}
+    # (id, nid, name) rows: nid = content hash of the name (the same
+    # batch-composition-independent matrix-Horner kernel that derives
+    # corpus ids, sources/io.hash_string_column) — NO shuffle at all for
+    # the surrogate, where r04 ran a string-keyed groupby + per-group
+    # pandas over every part row. Collisions are ~n^2/2^63 (vanishing at
+    # dictionary scale, same contract the corpus id kernel already carries).
+    from ..sources.io import hash_string_column
+
+    def tag_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["p_partkey"].cast(pa.int64()),
+                "nid": pa.array(hash_string_column(t["p_name"]), pa.int64()),
+                "name": t["p_name"],
+            }
         )
 
-    rows_map = (
-        ds.groupby("p_name").map_groups(tag_group, batch_format="pandas").materialize()
+    rows_map = ds.map_batches(tag_rows, batch_format="pyarrow").materialize()
+
+    # distinct (nid, name): per-batch dedupe shrinks to ~dictionary size,
+    # then ONE integer-keyed shuffle resolves cross-batch duplicates with a
+    # vectorized per-partition dedupe (no per-group Python)
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        nid = t["nid"].to_numpy()
+        _, first = np.unique(nid, return_index=True)
+        kept = t.take(pa.array(np.sort(first)))
+        return pa.table(
+            {
+                "nid": kept["nid"],
+                "name": kept["name"],
+                "part": pa.array(kept["nid"].to_numpy() & (P - 1), pa.int64()),
+            }
+        )
+
+    def part_distinct(block: pd.DataFrame) -> pd.DataFrame:
+        kept = block.drop_duplicates(subset="nid")
+        return pd.DataFrame(
+            {
+                "nid": kept["nid"].to_numpy().astype(np.int64),
+                "name": kept["name"].to_numpy(),
+            }
+        )
+
+    reps = (
+        rows_map.map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_distinct, batch_format="pandas")
+        .materialize()
     )
-    reps = rows_map.map_batches(
-        lambda t: t.filter(pc.equal(t["id"], t["nid"])), batch_format="pyarrow"
-    ).materialize()
 
     def gram_hash(name: str, q: int) -> np.ndarray:
         if name.isascii():
@@ -1180,24 +1278,43 @@ def q_fuzzy_join_parts(sf_dir: str, k: int = 2):
     # against (nid -> id); same-name pairs (dist 0) via one nid groupby.
     # verified.count() is block metadata (already materialized): a zero-block
     # dataset has no schema, which the hash join's key resolution rejects.
+    # BOTH join inputs (and the join output feeding the second hop) pass
+    # through _schema_stable: at driver parallelism an upstream empty
+    # partition can surface schema-less and kill the join's key resolution
+    # (the r04 ArrowInvalid "FieldRef.Name(na)" crash).
     cross = None
     if verified.count() > 0:
-        id_map = rows_map.map_batches(
-            lambda t: pa.table({"jnid": t["nid"], "jid": t["id"]}),
-            batch_format="pyarrow",
-        ).materialize()
-        cross = (
+        verified = _schema_stable(
+            verified,
+            pa.schema(
+                [("na", pa.int64()), ("nb", pa.int64()), ("dist", pa.int64())]
+            ),
+        )
+        id_map = _schema_stable(
+            rows_map.map_batches(
+                lambda t: pa.table({"jnid": t["nid"], "jid": t["id"]}),
+                batch_format="pyarrow",
+            ),
+            pa.schema([("jnid", pa.int64()), ("jid", pa.int64())]),
+        )
+        first_hop = _schema_stable(
             verified.join(
                 id_map, join_type="inner", num_partitions=np_parts, on=("na",),
                 right_on=("jnid",),
-            )
-            .rename_columns({"jid": "id_a"})
-            .join(
-                id_map, join_type="inner", num_partitions=np_parts, on=("nb",),
-                right_on=("jnid",),
-            )
-            .rename_columns({"jid": "id_b"})
+            ).rename_columns({"jid": "id_a"}),
+            pa.schema(
+                [
+                    ("na", pa.int64()),
+                    ("nb", pa.int64()),
+                    ("dist", pa.int64()),
+                    ("id_a", pa.int64()),
+                ]
+            ),
         )
+        cross = first_hop.join(
+            id_map, join_type="inner", num_partitions=np_parts, on=("nb",),
+            right_on=("jnid",),
+        ).rename_columns({"jid": "id_b"})
 
     def normalize(batch: pa.Table) -> pa.Table:
         xa = batch["id_a"].to_numpy()
@@ -1210,8 +1327,13 @@ def q_fuzzy_join_parts(sf_dir: str, k: int = 2):
             }
         )
 
+    pair_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("dist", pa.int64())]
+    )
     cross_rows = (
-        cross.map_batches(normalize, batch_format="pyarrow")
+        _schema_stable(
+            cross.map_batches(normalize, batch_format="pyarrow"), pair_schema
+        )
         if cross is not None
         else None
     )
@@ -1231,8 +1353,11 @@ def q_fuzzy_join_parts(sf_dir: str, k: int = 2):
         .map_groups(same_name_pairs, batch_format="pandas")
     )
 
-    same_rows = same_rows.map_batches(
-        lambda t: t.select(["a", "b", "dist"]), batch_format="pyarrow"
+    same_rows = _schema_stable(
+        same_rows.map_batches(
+            lambda t: t.select(["a", "b", "dist"]), batch_format="pyarrow"
+        ),
+        pair_schema,
     )
     out = (
         cross_rows.union(same_rows) if cross_rows is not None else same_rows
@@ -2573,6 +2698,56 @@ BM25_QUERY_TERMS = ("hash", "spark", "stream", "vector", "window")
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+#: ln(2) as the shortest round-tripping decimal literal: the engine parses
+#: the SAME string the generated oracle SQL embeds, so both sides hold the
+#: identical double (Python repr round-trip + DuckDB nearest-double parse).
+DET_LN2 = float("0.6931471805599453")
+
+#: (threshold, exponent-step) ladder for the exact power-of-two reduction;
+#: division by a power of two is EXACT in IEEE-754, so any x < 2^64 reduces
+#: to the unique m in [1, 2) with x = m * 2^e identically on both sides.
+DET_LN_LADDER = (
+    (4294967296.0, 32.0),
+    (65536.0, 16.0),
+    (256.0, 8.0),
+    (16.0, 4.0),
+    (4.0, 2.0),
+    (2.0, 1.0),
+)
+
+
+def det_ln(x: float) -> float:
+    """Deterministic natural log for cross-engine exact comparison.
+
+    ``np.log`` and DuckDB's ``ln`` are libm calls that can differ by ulps
+    across library versions — enough to flip a FLOOR at a quantization-grid
+    boundary (the r04 ``bm25_scores`` driver mismatch: green in-repo, red on
+    the driver's libm). This evaluates ln with only correctly-rounded IEEE
+    basic ops in a FIXED expression tree that the generated oracle SQL
+    mirrors literally (``__ray_entry__._det_ln_sql_ctes``), so both sides
+    are bit-identical on any platform:
+
+    1. exponent ladder: x = m * 2^e with m in [1, 2) via exact /2^k steps;
+    2. atanh series: ln(m) = 2s(1 + z/3 + ... + z^6/13), s=(m-1)/(m+1),
+       z=s^2 (s <= 1/3 on [1,2) => truncation < 1e-8, far inside the 1e-6
+       micro grid — and identical on both sides regardless);
+    3. ln(x) = e*ln2 + ln(m) with the shared ln2 literal.
+
+    Valid for 1 <= x < 2^64 (the idf argument is always > 1)."""
+    e = 0.0
+    m = x
+    for thresh, step in DET_LN_LADDER:
+        if m >= thresh:
+            m = m / thresh
+            e = e + step
+    s = (m - 1.0) / (m + 1.0)
+    z = s * s
+    p = 1.0 / 13.0
+    for c in (11.0, 9.0, 7.0, 5.0, 3.0):
+        p = p * z + 1.0 / c
+    p = p * z + 1.0
+    return e * DET_LN2 + 2.0 * s * p
+
 
 def q_bm25_scores(sf_dir: str):
     """Okapi BM25 relevance of every document against a fixed query-term
@@ -2630,8 +2805,10 @@ def q_bm25_scores(sf_dir: str):
     sm = dict(zip(stats["key"], stats["v"]))
     n_docs = float(sm["n_docs"])
     avgdl = float(sm["n_tokens"]) / n_docs
+    # det_ln, not np.log: the oracle SQL evaluates the identical fixed
+    # expression tree, so idf is bit-equal on both sides on any libm
     idf = {
-        t: np.log((n_docs - sm["df:" + t] + 0.5) / (sm["df:" + t] + 0.5) + 1.0)
+        t: det_ln((n_docs - sm["df:" + t] + 0.5) / (sm["df:" + t] + 0.5) + 1.0)
         for t in terms
         if "df:" + t in sm
     }
@@ -3951,7 +4128,7 @@ def q_latest_snapshot_files(sf_dir: str):
     10^12-file commit-history table before any dedup.
 
     The argmax rides Ray's native Max aggregate: (commit_seq, -doc_id) is
-    packed into one int64 (commit_seq * 2^40 - doc_id), each batch
+    packed into one int64 (commit_seq * 2^42 - doc_id), each batch
     pre-reduces to one row per file key (combiner), the groupby shuffles
     only (fk, packed) integer pairs, and the final map decodes the winner.
     No map_groups, no per-group Python."""
@@ -4225,20 +4402,27 @@ def q_shipping_priority(sf_dir: str):
 
     def prep_line(t: pa.Table) -> pa.Table:
         keep = t.filter(pc.greater(t["l_shipdate"], cutoff))
-        rev = pc.multiply(
-            keep["l_extendedprice"], pc.subtract(pa.scalar(1.0), keep["l_discount"])
-        ).to_numpy()
+        # TPC-H money is exact at 2 decimals: revenue in integer 1e-4-dollar
+        # units, rev_e4 = round(price*100) * (100 - round(discount*100)).
+        # Integer sums are association-order-independent, so the per-batch
+        # combiner + distributed Sum below agree bit-for-bit with the
+        # oracle's single SUM (a float sum CAN flip a 2-decimal round at a
+        # half boundary under reordering — the r04 hash mismatch).
+        ep = keep["l_extendedprice"].to_numpy()
+        disc = keep["l_discount"].to_numpy()
+        cents = np.floor(ep * 100.0 + 0.5).astype(np.int64)
+        pct = 100 - np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        rev_e4 = cents * pct
         # combiner: one (orderkey, partial rev) row per distinct order in
         # the batch — lineitem rows of an order are adjacent in TPC-H-style
         # layouts, so this cuts the join shuffle by ~the lines-per-order
-        # factor. Summing doubles per batch first then globally changes
-        # association order, but the gate compares at 2 decimals after
-        # round_half_up, same as lineitem_pricing.
+        # factor.
         keys = keep["l_orderkey"].to_numpy()
         uk, inv = np.unique(keys, return_inverse=True)
-        part = np.bincount(inv, weights=rev, minlength=len(uk))
+        part = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(part, inv, rev_e4)
         return pa.table(
-            {"l_orderkey": pa.array(uk), "rev": pa.array(part, pa.float64())}
+            {"l_orderkey": pa.array(uk), "rev_e4": pa.array(part, pa.int64())}
         )
 
     line = _read(
@@ -4265,17 +4449,17 @@ def q_shipping_priority(sf_dir: str):
                 "o_orderkey": t["o_orderkey"],
                 "o_orderdate_us": pc.cast(t["o_orderdate"], pa.int64()),
                 "o_orderpriority": t["o_orderpriority"],
-                "rev": t["rev"],
+                "rev_e4": t["rev_e4"],
             }
         )
 
     out = (
         joined.map_batches(to_us, batch_format="pyarrow")
         .groupby(["o_orderkey", "o_orderdate_us", "o_orderpriority"])
-        .aggregate(Sum("rev", alias_name="revenue"))
+        .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
         .to_pandas()
     )
-    out["revenue"] = round_half_up(out["revenue"], 2)
+    out["revenue_e4"] = out["revenue_e4"].astype("int64")
     return out
 
 
@@ -4298,19 +4482,29 @@ def q_funnel_conversion(sf_dir: str):
             "part", pc.cast(pc.bit_wise_and(t["user_id"], P - 1), pa.int64())
         )
 
+    # "no prior stage" sentinel: 2^62 (exact in float64, so the map/fillna
+    # round-trip below cannot distort it) — any real epoch-µs is far below
+    _SENT = np.int64(1) << 62
+
     def funnel(block: pd.DataFrame) -> pd.DataFrame:
         users = np.unique(block["user_id"].to_numpy())
-        ts = block["ts"].astype("int64")
+        # normalize to epoch MICROSECONDS as int64 (the oracle compares
+        # epoch_us): pandas surfaces parquet timestamps as datetime64[ns],
+        # and comparing raw ns through a float64 map both upcasts (lossy
+        # past 2^53 ns) and compares at a finer grain than the oracle
+        ts = block["ts"].astype("datetime64[us]").astype("int64")
         uid = block["user_id"]
         et = block["event_type"]
         # step 1: earliest view per user
         t1 = ts[et == "view"].groupby(uid[et == "view"]).min()
-        # step 2: earliest click strictly after the user's t1
-        t1_of = uid.map(t1)
+        # step 2: earliest click strictly after the user's t1 — the map's
+        # NaN (user without a view) becomes the sentinel and the compare
+        # stays int64 end-to-end
+        t1_of = uid.map(t1).fillna(float(_SENT)).astype("int64")
         m2 = (et == "click") & (ts > t1_of)
         t2 = ts[m2].groupby(uid[m2]).min()
         # step 3: earliest purchase strictly after t2
-        t2_of = uid.map(t2)
+        t2_of = uid.map(t2).fillna(float(_SENT)).astype("int64")
         m3 = (et == "purchase") & (ts > t2_of)
         t3 = ts[m3].groupby(uid[m3]).min()
         stage = (

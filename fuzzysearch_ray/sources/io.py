@@ -39,17 +39,28 @@ def _batch_key_ids(batch: pa.Table) -> "pa.Table":
     a key with real leading NUL bytes still separates from its stripped
     sibling.
     """
-    import numpy as np
     import pyarrow.compute as pc
-
-    from ..functions.hashing import _splitmix64
 
     key = pc.binary_join_element_wise(
         pc.cast(batch["repo"], pa.string()),
         pc.cast(batch["path"], pa.string()),
         pc.cast(batch["commit"], pa.string()),
         "\x1f",
-    ).combine_chunks()
+    )
+    return batch.append_column("id", pa.array(hash_string_column(key), pa.int64()))
+
+
+def hash_string_column(col) -> "object":
+    """Vectorized non-negative int64 content hash of an Arrow string array
+    (or ChunkedArray) — the matrix-Horner kernel behind ``_batch_key_ids``,
+    exposed for any stage needing a batch-composition-independent integer
+    surrogate for a string column (e.g. the fuzzy-join name key). Returns a
+    numpy int64 array aligned with the input."""
+    import numpy as np
+
+    from ..functions.hashing import _splitmix64
+
+    key = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     off_buf, data_buf = key.buffers()[1], key.buffers()[2]
     off_dtype = np.int64 if pa.types.is_large_string(key.type) else np.int32
     off = np.frombuffer(off_buf, dtype=off_dtype, count=len(key) + 1).astype(
@@ -70,8 +81,7 @@ def _batch_key_ids(batch: pa.Table) -> "pa.Table":
         h = h * P + mat[:, j]
     # fold the length in at the end ('\0ab' vs 'ab' share the polynomial)
     h ^= lens.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-    ids = _splitmix64(h).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
-    return batch.append_column("id", pa.array(ids, pa.int64()))
+    return _splitmix64(h).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
 
 
 def _ensure_id(ds):
@@ -155,12 +165,20 @@ def write_corpus_jsonl_gz(ds, out_dir: str) -> None:
         payload = df.to_json(None, orient="records", lines=True, force_ascii=False)
         data = payload.encode("utf-8")
         name = hashlib.md5(data).hexdigest()[:16]
-        tmp = os.path.join(out_dir, ".tmp-%s" % name)
+        # tmp name is per-process: two concurrent tasks with identical
+        # payloads must not share a tmp file (the loser's rename would
+        # FileNotFoundError after the winner moves it); the DESTINATION
+        # stays content-addressed, so identical batches still converge on
+        # one shard and retries are idempotent
+        tmp = os.path.join(out_dir, ".tmp-%s-%d" % (name, os.getpid()))
         dst = os.path.join(out_dir, "part-%s.jsonl.gz" % name)
         if not os.path.exists(dst):
             with gzip.GzipFile(tmp, "wb", mtime=0) as f:
                 f.write(data)
-            os.replace(tmp, dst)  # atomic: concurrent retries converge
+            try:
+                os.replace(tmp, dst)  # atomic: concurrent retries converge
+            except FileNotFoundError:
+                pass  # a concurrent identical writer won the rename race
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
     # consume the sink tasks (count() drives the pipeline without
@@ -191,12 +209,16 @@ def write_corpus_orc(ds, out_dir: str) -> None:
         pa_orc.write_table(batch, buf)
         data = buf.getvalue()
         name = hashlib.md5(data).hexdigest()[:16]
-        tmp = os.path.join(out_dir, ".tmp-%s" % name)
+        # per-process tmp name + tolerated rename race: see the gzip sink
+        tmp = os.path.join(out_dir, ".tmp-%s-%d" % (name, os.getpid()))
         dst = os.path.join(out_dir, "part-%s.orc" % name)
         if not os.path.exists(dst):
             with open(tmp, "wb") as f:
                 f.write(data)
-            os.replace(tmp, dst)
+            try:
+                os.replace(tmp, dst)
+            except FileNotFoundError:
+                pass  # a concurrent identical writer won the rename race
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
     ds.map_batches(dump, batch_format="pyarrow").count()
