@@ -30,73 +30,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the external driver oracle-checks only the FIRST
     # 50 entries of this dict per round. Entries are therefore ordered by
     # how much a fresh driver row is worth this round:
-    #   1. never driver-checked (round-3 additions that fell outside the
-    #      round-3 window),
-    #   2. driver-checked only once (r02),
-    #   3. round-4 additions,
-    #   4. r03-green queries whose code paths THIS round's changes touch,
-    #   5. (past entry 50) stable r03-green queries untouched this round.
+    #   1. queries the driver has gone longest without checking (no query
+    #      may go unchecked two rounds running),
+    #   2. queries whose code paths THIS round's changes touch (incl. the
+    #      three r04-red rows, fixed this round),
+    #   3. new round-5 queries,
+    #   4. (past entry 50) r04-green queries untouched this round.
     # New queries MUST be inserted before the "window tail" marker below.
-    # ROUND-5 NOTE: the r03-green queries that fell outside the r04 window
-    # (exact_dedup_*, substring_count, simhash_*, long_run_pairs,
-    # embedding_cosine/semantic, incremental, ann_*, embedding_kmeans and
-    # the stable tail) have now been unchecked for ONE round — round 5
-    # must move them to the front of the window per the contract.
     return {
-        # --- never driver-checked (in-repo DuckDB gate green only) ---
-        "decontaminate_docs_join": Q.q_decontaminate_docs_join,
-        "distinct_users_daily": Q.q_distinct_users_daily,
-        "near_dup_degree": Q.q_near_dup_degree,
-        "media_thumbnails": Q.q_media_thumbnails,
-        "media_frame_samples": Q.q_media_frame_samples,
-        "topk_per_group": Q.q_topk_per_group,
-        "rolling_user_stats": Q.q_rolling_user_stats,
-        "bm25_scores": Q.q_bm25_scores,
-        "novel_docs_bloom": Q.q_novel_docs_bloom,
-        # --- driver-checked once (r02) ---
-        "fuzzy_join_parts": Q.q_fuzzy_join_parts,
-        "stratified_sample": Q.q_stratified_sample,
-        "lineitem_pricing": Q.q_lineitem_pricing,
-        "customer_order_totals": Q.q_customer_order_totals,
-        "docs_contains": Q.q_docs_contains,
-        "media_features": Q.q_media_features,
-        # --- round-4 additions ---
-        "media_bmp_pixel_stats": Q.q_media_bmp_pixel_stats,
-        "jsonl_ingest_stats": Q.q_jsonl_ingest_stats,
-        "csv_ingest_event_stats": Q.q_csv_ingest_event_stats,
-        "pii_redaction": Q.q_pii_redaction,
-        "heavy_hitter_terms": Q.q_heavy_hitter_terms,
-        "dup_chunk_strip": Q.q_dup_chunk_strip,
-        "fuzzy_search_no_deletions": Q.q_fuzzy_search_no_deletions,
-        "text_normalize": Q.q_text_normalize,
-        "dedup_report": Q.q_dedup_report,
-        "cluster_size_histogram": Q.q_cluster_size_histogram,
-        "clone1_dedup_groups": Q.q_clone1_dedup_groups,
-        "secret_scan": Q.q_secret_scan,
-        "code_line_stats": Q.q_code_line_stats,
-        "clone2_dedup_groups": Q.q_clone2_dedup_groups,
-        "latest_snapshot_files": Q.q_latest_snapshot_files,
-        "vendored_file_groups": Q.q_vendored_file_groups,
-        "commit_delta_stats": Q.q_commit_delta_stats,
-        "shipping_priority": Q.q_shipping_priority,
-        "funnel_conversion": Q.q_funnel_conversion,
-        "skew_salted_join": Q.q_skew_salted_join,
-        "docs_pivot_lang_source": Q.q_docs_pivot_lang_source,
-        "props_json_stats": Q.q_props_json_stats,
-        "pagerank_near_dup": Q.q_pagerank_near_dup,
-        "jsonl_gz_ingest_stats": Q.q_jsonl_gz_ingest_stats,
-        "threshold_sweep_clusters": Q.q_threshold_sweep_clusters,
-        "orc_ingest_stats": Q.q_orc_ingest_stats,
-        # --- r03-green, code paths touched this round ---
-        "near_dup_clusters": Q.q_near_dup_clusters,
-        "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
-        "cluster_survivors": Q.q_cluster_survivors,
-        "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
-        "containment_pairs": Q.q_containment_pairs,
-        "decontaminate_docs": Q.q_decontaminate_docs,
-        "fuzzy_scan_ends": Q.q_fuzzy_scan_ends,
-        "fuzzy_search_levenshtein": Q.q_fuzzy_search_levenshtein,
-        "fuzzy_search_substitutions": Q.q_fuzzy_search_substitutions,
+        # --- r03-green, fell outside the r04 window (unchecked one round;
+        # --- the rotation contract puts them first) ---
         "fuzzy_search_generic": Q.q_fuzzy_search_generic,
         "fuzzy_search_chunked": Q.q_fuzzy_search_chunked,
         "exact_dedup_groups": Q.q_exact_dedup_groups,
@@ -112,9 +55,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_srp_bucketed": Q.q_ann_srp_bucketed,
         "ann_ivf": Q.q_ann_ivf,
         "embedding_kmeans": Q.q_embedding_kmeans,
-        # --- window tail: entries below here may fall outside the driver's
-        # --- 50-query window; all were driver-green in r03 and are
-        # --- untouched this round
         "char_class_stats": Q.q_char_class_stats,
         "token_counts": Q.q_token_counts,
         "language_id": Q.q_language_id,
@@ -141,6 +81,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_attribution": Q.q_asof_click_attribution,
         "range_join_orders": Q.q_range_join_orders,
         "hll_distinct_registers": Q.q_hll_distinct_registers,
+        # --- r04 red rows, fixed this round (determinism/robustness) ---
+        "fuzzy_join_parts": Q.q_fuzzy_join_parts,
+        "shipping_priority": Q.q_shipping_priority,
+        "bm25_scores": Q.q_bm25_scores,
+        # --- r04-green, code paths touched this round ---
+        "funnel_conversion": Q.q_funnel_conversion,
+        "near_dup_clusters": Q.q_near_dup_clusters,
+        "jsonl_gz_ingest_stats": Q.q_jsonl_gz_ingest_stats,
+        # --- new round-5 queries ---
+        "media_png_pixel_stats": Q.q_media_png_pixel_stats,
+        "near_dup_clusters_join": Q.q_near_dup_clusters_join,
+        "long_run_pairs_join": Q.q_long_run_pairs_join,
+        # --- window tail: entries below here fall outside the driver's
+        # --- 50-query window; all were driver-green in r04 and are
+        # --- untouched this round ---
+        "decontaminate_docs_join": Q.q_decontaminate_docs_join,
+        "distinct_users_daily": Q.q_distinct_users_daily,
+        "near_dup_degree": Q.q_near_dup_degree,
+        "media_thumbnails": Q.q_media_thumbnails,
+        "media_frame_samples": Q.q_media_frame_samples,
+        "topk_per_group": Q.q_topk_per_group,
+        "rolling_user_stats": Q.q_rolling_user_stats,
+        "novel_docs_bloom": Q.q_novel_docs_bloom,
+        "stratified_sample": Q.q_stratified_sample,
+        "lineitem_pricing": Q.q_lineitem_pricing,
+        "customer_order_totals": Q.q_customer_order_totals,
+        "docs_contains": Q.q_docs_contains,
+        "media_features": Q.q_media_features,
+        "media_bmp_pixel_stats": Q.q_media_bmp_pixel_stats,
+        "jsonl_ingest_stats": Q.q_jsonl_ingest_stats,
+        "csv_ingest_event_stats": Q.q_csv_ingest_event_stats,
+        "pii_redaction": Q.q_pii_redaction,
+        "heavy_hitter_terms": Q.q_heavy_hitter_terms,
+        "dup_chunk_strip": Q.q_dup_chunk_strip,
+        "fuzzy_search_no_deletions": Q.q_fuzzy_search_no_deletions,
+        "text_normalize": Q.q_text_normalize,
+        "dedup_report": Q.q_dedup_report,
+        "cluster_size_histogram": Q.q_cluster_size_histogram,
+        "clone1_dedup_groups": Q.q_clone1_dedup_groups,
+        "secret_scan": Q.q_secret_scan,
+        "code_line_stats": Q.q_code_line_stats,
+        "clone2_dedup_groups": Q.q_clone2_dedup_groups,
+        "latest_snapshot_files": Q.q_latest_snapshot_files,
+        "vendored_file_groups": Q.q_vendored_file_groups,
+        "commit_delta_stats": Q.q_commit_delta_stats,
+        "skew_salted_join": Q.q_skew_salted_join,
+        "docs_pivot_lang_source": Q.q_docs_pivot_lang_source,
+        "props_json_stats": Q.q_props_json_stats,
+        "pagerank_near_dup": Q.q_pagerank_near_dup,
+        "threshold_sweep_clusters": Q.q_threshold_sweep_clusters,
+        "orc_ingest_stats": Q.q_orc_ingest_stats,
+        "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
+        "cluster_survivors": Q.q_cluster_survivors,
+        "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
+        "containment_pairs": Q.q_containment_pairs,
+        "decontaminate_docs": Q.q_decontaminate_docs,
+        "fuzzy_scan_ends": Q.q_fuzzy_scan_ends,
+        "fuzzy_search_levenshtein": Q.q_fuzzy_search_levenshtein,
+        "fuzzy_search_substitutions": Q.q_fuzzy_search_substitutions,
     }
 
 
@@ -616,7 +615,7 @@ _REPETITION_SQL = (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         "exact_dedup_groups": (
             "SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_members "
             "FROM documents GROUP BY md5(text)"
@@ -951,6 +950,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d "
             "CROSS JOIN LATERAL (SELECT unnest(range(0, d.n_chars % 13 + 2)) AS y) y "
             "CROSS JOIN LATERAL (SELECT unnest(range(0, d.n_chars * 3 % 17 + 2)) AS x) x "
+            "CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c "
+            "GROUP BY 1, 2, 3"
+        ),
+        "media_png_pixel_stats": (
+            # closed-form checksum of the REAL decoded PNG pixel content:
+            # pixel[y,x,c] = (doc_id + 5y + 7x + 13c) % 256 — the engine
+            # sums what decode_png actually inflated + defiltered out of
+            # the compressed file bytes (filters cycle y % 5)
+            "SELECT d.doc_id AS media_id, "
+            "CAST(d.n_chars % 11 + 2 AS BIGINT) AS h, "
+            "CAST(d.n_chars * 5 % 19 + 2 AS BIGINT) AS w, "
+            "CAST(SUM((d.doc_id + 5*y.y + 7*x.x + 13*c.c) % 256) AS BIGINT) "
+            "AS pixel_sum "
+            "FROM documents d "
+            "CROSS JOIN LATERAL (SELECT unnest(range(0, d.n_chars % 11 + 2)) AS y) y "
+            "CROSS JOIN LATERAL (SELECT unnest(range(0, d.n_chars * 5 % 19 + 2)) AS x) x "
             "CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c "
             "GROUP BY 1, 2, 3"
         ),
@@ -1522,3 +1537,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM w x JOIN w y ON x.win = y.win AND x.doc_id < y.doc_id"
         ),
     }
+    # join-mode variants share their sibling's oracle SQL: the driver gate
+    # then asserts join-mode ≡ broadcast-mode ≡ SQL on identical outputs
+    sqls["long_run_pairs_join"] = sqls["long_run_pairs"]
+    sqls["near_dup_clusters_join"] = sqls["near_dup_clusters"]
+    return sqls

@@ -48,6 +48,12 @@ class DedupConfig:
     bucket_cap: int = 64          # max bucket size before windowed-chain pairing
     chain_window: int = 3         # neighbors linked per node in capped buckets
     max_content_bytes_for_lsh: int = 1 << 20  # truncate signature input beyond 1 MiB
+    # oversize routing (SURVEY §7.3): representatives past the LSH byte cap
+    # get prefix-truncated signatures; ADDITIONALLY the oversize subset runs
+    # the exact long-run stage (winnow → bucket → suffix-array confirm)
+    # among itself, so giant near-dup files whose divergence lies entirely
+    # in the truncated prefix still link via a shared run of this length
+    oversize_min_run: int = 4096
     broadcast_limit_rows: int = 300_000       # content map broadcast vs shuffle join
     # broadcast gate on BYTES of representative content (the real constraint:
     # the shared object-store copy each node maps); rows alone is not a gate
@@ -55,6 +61,16 @@ class DedupConfig:
     broadcast_limit_bytes: int = 2 << 30
     num_join_partitions: int = 32
     driver_edges_limit: int = 10_000_000      # union-find on driver below; label propagation above
+    # representative-row filter: 'ids' broadcasts the exact rep-id vector
+    # (8 B/rep on the driver); 'bloom' swaps it for a ~1.2 B/key Bloom
+    # filter built distributed (stages/bloom.py) — no false negatives, so
+    # every rep survives; false positives re-admit exact-dup rows that
+    # exact-dedup already labeled (identical content ⇒ identical signature
+    # ⇒ exact-Jaccard-1.0 edge back to its rep ⇒ same cluster — extra work,
+    # not wrong output). 'auto' switches to bloom past the row gate, where
+    # the driver id vector would be the flagship's one O(n) driver object.
+    rep_filter_mode: str = "auto"
+    rep_filter_bloom_min_rows: int = 50_000_000
 
     # --- execution ----------------------------------------------------------
     # carry precomputed shingle sets from the signature stage into the
@@ -85,6 +101,8 @@ class DedupConfig:
             raise ValueError("invalid shingle_k / bucket_cap")
         if self.minhash_scheme not in ("oph", "perm"):
             raise ValueError("minhash_scheme must be 'oph' or 'perm'")
+        if self.rep_filter_mode not in ("ids", "bloom", "auto"):
+            raise ValueError("rep_filter_mode must be 'ids', 'bloom' or 'auto'")
         if self.minhash_scheme == "oph" and self.num_perm & (self.num_perm - 1):
             raise ValueError("oph requires power-of-two num_perm")
 

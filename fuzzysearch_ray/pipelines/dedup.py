@@ -96,27 +96,42 @@ def near_dup_pipeline(
     n_rows = pre.count()
     _mark("preprocess+repartition")
 
-    # membership stays a Dataset; only the (much smaller) rep-id vector is
-    # collected for the broadcast filter
+    # membership stays a Dataset; the rep filter over ``pre`` is gated:
+    # 'ids' collects the rep-id vector (8 B/rep, the only O(n_reps) driver
+    # object in the pipeline); past the row gate, 'bloom' swaps it for a
+    # ~1.2 B/key Bloom filter built from the membership Dataset — no false
+    # negatives (every rep survives), false positives re-admit exact-dup
+    # rows whose content is identical to their rep (identical signatures →
+    # exact-Jaccard-1.0 edge → same cluster: extra verify work, same output)
     membership_ds = exact_dedup(pre).materialize()
-    rep_ids = _collect_ids(
-        membership_ds.map_batches(
-            lambda t: t.filter(pc.equal(t["id"], t["rep_id"])),
-            batch_format="pyarrow",
-        )
-    )
-    n_reps = len(rep_ids)
+    rep_rows_ds = membership_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["id"], t["rep_id"])).select(["id"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_reps = rep_rows_ds.count()
+    rep_mode = config.rep_filter_mode
+    if rep_mode == "auto":
+        rep_mode = "bloom" if n_rows > config.rep_filter_bloom_min_rows else "ids"
     _mark("exact_dedup")
-    reps_ds = broadcast_id_filter(pre, ray.put(rep_ids)).materialize()
+    if rep_mode == "bloom":
+        from ..stages.bloom import build_from_datasets_column
+        from ..stages.exact_dedup import bloom_id_filter
+
+        bloom = build_from_datasets_column(rep_rows_ds, "id")
+        reps_ds = bloom_id_filter(pre, ray.put(bloom)).materialize()
+    else:
+        rep_ids = _collect_ids(rep_rows_ds)
+        reps_ds = broadcast_id_filter(pre, ray.put(rep_ids)).materialize()
     _mark("rep_filter")
 
+    from ray.data.aggregate import Max
+
+    sz = reps_ds.select_columns(["n_bytes"]).aggregate(
+        Sum("n_bytes", alias_name="total"), Max("n_bytes", alias_name="mx")
+    )
+    rep_bytes = sz["total"] or 0
+    rep_max_bytes = sz["mx"] or 0
     if content_mode == "auto":
-        rep_bytes = (
-            reps_ds.select_columns(["n_bytes"]).aggregate(
-                Sum("n_bytes", alias_name="total")
-            )["total"]
-            or 0
-        )
         content_mode = (
             "broadcast"
             if (
@@ -164,11 +179,43 @@ def near_dup_pipeline(
     _mark("pairs+verify")
     n_pairs = verified.count()
 
-    if n_pairs > config.driver_edges_limit:
+    # Oversize routing (SURVEY §7.3): reps past the LSH byte cap carry
+    # prefix-TRUNCATED signatures (stages/signatures.py), so two giant
+    # near-dup files whose divergence sits inside the truncated prefix
+    # would be invisible to LSH. The oversize subset (usually tiny — the
+    # aggregate above already told us whether it exists at all) runs the
+    # exact long-run stage among itself; its (a, b) edges join the
+    # clustering input. ``edges`` in the result stays the LSH-verified set
+    # (it carries jaccard); oversize edges ride separately + in stats.
+    n_long_edges = 0
+    cluster_edges = verified
+    if rep_max_bytes > config.max_content_bytes_for_lsh:
+        from ..stages.long_run import long_run_pairs
+        from ..stages.schema import schema_stable
+
+        over_ds = reps_ds.map_batches(
+            lambda t: pa.table({"id": t["id"], "content": t["content"]}).filter(
+                pc.greater(t["n_bytes"], config.max_content_bytes_for_lsh)
+            ),
+            batch_format="pyarrow",
+        )
+        long_edges = schema_stable(
+            long_run_pairs(over_ds, config.oversize_min_run, config=config),
+            pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+        )
+        n_long_edges = long_edges.count()
+        if n_long_edges:
+            cluster_edges = (
+                verified.select_columns(["a", "b"]).union(long_edges).materialize()
+            )
+        _mark("oversize_long_run")
+    n_pairs_total = n_pairs + n_long_edges
+
+    if n_pairs_total > config.driver_edges_limit:
         # scale path: distributed min-label propagation to fixpoint over the
         # edge Dataset; labels stay a Dataset and attach via hash join —
         # the full edge list never lands on the driver
-        labels_ds = components_distributed(verified)
+        labels_ds = components_distributed(cluster_edges)
         clusters_ds = assign_clusters_join(membership_ds, labels_ds).materialize()
         _mark("clustering")
         # stats: distributed aggregate over the (int, int) cluster table
@@ -179,7 +226,7 @@ def near_dup_pipeline(
             lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
         ).count()
     else:
-        edges_small = verified.select_columns(["a", "b"]).to_pandas()
+        edges_small = cluster_edges.select_columns(["a", "b"]).to_pandas()
         if len(edges_small) == 0:
             # an empty Dataset's to_pandas loses the schema (no columns);
             # zero edges is a legal outcome (e.g. a corpus whose only dups
@@ -219,8 +266,10 @@ def near_dup_pipeline(
             "n_representatives": int(n_reps),
             "n_exact_dup_rows": int(n_rows - n_reps),
             "n_verified_edges": int(n_pairs),
+            "n_long_run_edges": int(n_long_edges),
             "n_clusters_multi": int(n_multi),
             "content_mode": content_mode,
+            "rep_filter_mode": rep_mode,
         },
     }
 

@@ -21,6 +21,9 @@ from ..functions.hashing import md5_hex
 from ..functions.text_stats import language_id
 from ..sources.io import read_documents_as_corpus
 from ..stages.ann import brute_force_topk, srp_bucketed_topk, _stack_embeddings
+# join-input precondition: blocks typed, 0-row blocks dropped (see
+# stages/schema.py for the Ray hash-shuffle schema-broadcast failure mode)
+from ..stages.schema import schema_stable as _schema_stable
 from ..stages.signatures import simhash_signatures
 from .dedup import near_dup_pipeline
 from .search import fuzzy_search, substring_occurrence_counts
@@ -863,6 +866,39 @@ def q_long_run_pairs(sf_dir: str, min_run: int = 64):
     return df.sort_values(["a", "b"], ignore_index=True)
 
 
+def q_long_run_pairs_join(sf_dir: str, min_run: int = 64):
+    """``long_run_pairs`` with the content attach FORCED through the
+    join-mode path (two schema-stable id-keyed hash joins over the
+    semi-join-pruned candidate content) — the route a corpus takes when its
+    candidate content exceeds the broadcast byte gate. Same oracle as
+    ``long_run_pairs``: the driver gate asserts join ≡ broadcast ≡ SQL."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: pa.table({"id": t["doc_id"], "content": t["text"]}),
+        batch_format="pyarrow",
+    )
+    from ..stages.long_run import long_run_pairs
+
+    out = long_run_pairs(ds, min_run, content_mode="join")
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+        )
+    return df.sort_values(["a", "b"], ignore_index=True)
+
+
+def q_near_dup_clusters_join(sf_dir: str):
+    """The flagship pipeline with ``content_mode='join'`` — the 100 TB
+    content-attach route (raw-task Arrow exchange in stages/verify.py)
+    driver-gated against the SAME oracle as the broadcast flagship. Not
+    memoized: the point is exercising the join path end-to-end."""
+    from .dedup import clusters_to_pandas, near_dup_pipeline
+
+    corpus = read_documents_as_corpus(sf_dir)
+    res = near_dup_pipeline(corpus, DedupConfig(), content_mode="join")
+    return clusters_to_pandas(res).rename(columns={"id": "doc_id"})
+
+
 def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization of the events stream: per user, a new
     session starts when the inter-event gap exceeds ``gap_minutes``.
@@ -1017,48 +1053,6 @@ def _worker_id_lookup(token: str, refs, value_col: str):
         lk = ShardedIdLookup(refs, value_col)
         _WORKER_ID_LOOKUP[token] = lk
     return lk
-
-
-def _schema_stable(ds, schema: pa.Schema):
-    """Rebuild a materialized Dataset with every block cast to ``schema``
-    and ALL 0-row blocks dropped — the required precondition for feeding
-    ``Dataset.join``.
-
-    Two distinct failure modes force this (the r04 fuzzy_join_parts driver
-    crash, "ArrowInvalid: No match ... for key field reference"):
-    1. Ray surfaces 0-row blocks schema-less (map_batches / map_groups pass
-       empty partitions through untouched at high parallelism);
-    2. Ray's hash-shuffle join skips 0-row input blocks entirely
-       (hash_shuffle.py ``_shuffle_block`` early-returns) while still
-       marking the input's schema as broadcast — so when the FIRST block
-       the shuffle schedules happens to be empty, aggregators never receive
-       the schema and any partition with no matching rows finalizes a
-       schema-less table, which pyarrow's join rejects. Typed empty blocks
-       do NOT help; they must not reach the join at all.
-
-    One tiny remote task per block casts + counts; only int row counts pass
-    through the driver, blocks stay in the object store."""
-    import ray
-    import ray.data as rd
-
-    @ray.remote(num_cpus=0.25)
-    def _norm(t, s):
-        if not isinstance(t, pa.Table):
-            t = pa.Table.from_pandas(t, preserve_index=False)
-        if t.num_rows == 0 or any(n not in t.column_names for n in s.names):
-            return s.empty_table()
-        return t.select(s.names).cast(s)
-
-    @ray.remote(num_cpus=0.25)
-    def _nrows(t):
-        return t.num_rows
-
-    refs = [_norm.remote(r, schema) for r in ds.materialize().to_arrow_refs()]
-    counts = ray.get([_nrows.remote(r) for r in refs])
-    keep = [r for r, n in zip(refs, counts) if n]
-    if not keep:
-        return rd.from_arrow(schema.empty_table())
-    return rd.from_arrow_refs(keep)
 
 
 def q_fuzzy_join_parts(sf_dir: str, k: int = 2):
@@ -3207,6 +3201,57 @@ def q_media_bmp_pixel_stats(sf_dir: str):
     media = ds.map_batches(to_bmp, batch_format="pyarrow")
     out = media.map_batches(
         BmpPixelStats,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(2, 4),
+        num_cpus=1,
+    )
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("media_id", "h", "w", "pixel_sum")}
+        )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("media_id", ignore_index=True)
+
+
+def q_media_png_pixel_stats(sf_dir: str):
+    """REAL compressed-image decode end-to-end: synthesize a genuine 8-bit
+    RGB PNG per document (gradient pixels (doc_id + 5y + 7x + 13c) % 256,
+    geometry from n_chars, per-scanline filter cycling y % 5 so None / Sub
+    / Up / Average / Paeth ALL sit in the gate path), push the encoded
+    bytes through the PngPixelStats actor pool (dependency-free
+    stages/multimodal.decode_png: chunk walk + CRC + zlib inflate +
+    defilter), and emit an integer checksum of the DECODED pixels. The SQL
+    oracle recomputes the checksum in closed form, so any inflate/defilter
+    bug fails the gate — the compressed-format sibling of
+    q_media_bmp_pixel_stats (round-4 item closed: non-BMP decode is no
+    longer a stub for PNG)."""
+    from ..stages.multimodal import PngPixelStats, encode_png
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def to_png(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_numpy().astype(np.int64)
+        nc = batch["n_chars"].to_numpy().astype(np.int64)
+        hs, ws = nc % 11 + 2, nc * 5 % 19 + 2
+        payloads = []
+        for did, h, w in zip(dids.tolist(), hs.tolist(), ws.tolist()):
+            y = 5 * np.arange(h, dtype=np.int64)[:, None, None]
+            x = 7 * np.arange(w, dtype=np.int64)[None, :, None]
+            c = 13 * np.arange(3, dtype=np.int64)[None, None, :]
+            payloads.append(encode_png(((did + y + x + c) % 256).astype(np.uint8)))
+        return pa.table(
+            {
+                "media_id": pa.array(dids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_png, batch_format="pyarrow")
+    out = media.map_batches(
+        PngPixelStats,
         batch_format="pyarrow",
         batch_size=128,
         concurrency=(2, 4),

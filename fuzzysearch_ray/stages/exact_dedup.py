@@ -77,6 +77,24 @@ def exact_dedup(ds_with_hash, num_partitions: int = 32):
     )
 
 
+def bloom_id_filter(ds, bloom_ref):
+    """Semi-join on a broadcast Bloom filter of the kept-id set: ~1.2 B/key
+    instead of 8 B/key, for corpora whose rep-id vector would be the
+    driver's one O(n) object (pipelines/dedup.py rep_filter_mode='bloom').
+    NO false negatives — every true member survives; false positives pass
+    extra rows the caller must tolerate (the flagship can: admitted
+    exact-dup rows carry identical content to their rep and re-cluster with
+    it; see DedupConfig.rep_filter_mode)."""
+    import ray
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        mask = bf.contains_many(batch["id"].to_numpy().astype(np.uint64))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
 def broadcast_id_filter(ds, id_ref, keep: bool = True):
     """Semi/anti-join on a broadcast id set: ``ray.put`` the sorted id array
     once, ``np.isin`` per batch — no shuffle. Used when the id set fits in

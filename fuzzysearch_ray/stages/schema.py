@@ -1,0 +1,46 @@
+"""Dataset schema stabilization for hash-join inputs.
+
+Ray can surface 0-row blocks schema-less (map_batches / map_groups pass
+empty partitions through untouched at high parallelism), and Ray's
+hash-shuffle join skips 0-row input blocks entirely while still marking the
+input's schema as broadcast (``hash_shuffle.py`` ``_shuffle_block``
+early-returns on ``num_rows == 0``) — so when the FIRST block the shuffle
+schedules happens to be empty, aggregators never receive the schema and any
+partition with no matching rows finalizes a schema-less table, which
+pyarrow's join rejects with ``ArrowInvalid: No match ... for key field
+reference`` (the r04 ``fuzzy_join_parts`` driver crash). Typed empty blocks
+do NOT help; they must not reach the join at all.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def schema_stable(ds, schema: pa.Schema):
+    """Rebuild a Dataset with every block cast to ``schema`` and ALL 0-row
+    blocks dropped — the required precondition for feeding ``Dataset.join``.
+
+    One tiny remote task per block casts + counts; only int row counts pass
+    through the driver, blocks stay in the object store."""
+    import ray
+    import ray.data as rd
+
+    @ray.remote(num_cpus=0.25)
+    def _norm(t, s):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows == 0 or any(n not in t.column_names for n in s.names):
+            return s.empty_table()
+        return t.select(s.names).cast(s)
+
+    @ray.remote(num_cpus=0.25)
+    def _nrows(t):
+        return t.num_rows
+
+    refs = [_norm.remote(r, schema) for r in ds.materialize().to_arrow_refs()]
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    keep = [r for r, n in zip(refs, counts) if n]
+    if not keep:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(keep)

@@ -108,6 +108,75 @@ def test_join_mode_matches_broadcast(ray_session, corpus_table):
     pd.testing.assert_frame_equal(cb, cj)
 
 
+def test_bloom_rep_filter_matches_ids(ray_session, corpus_table):
+    """rep_filter_mode='bloom' (the extreme-scale swap for the driver-held
+    rep-id vector) must produce identical CLUSTERS to the exact 'ids'
+    broadcast: Bloom false positives re-admit exact-dup rows whose content
+    equals their rep, so any extra node re-clusters with its rep and the
+    final labeling is unchanged. A deliberately tight filter (few bits per
+    key via a small corpus) still may produce FPs — output equality is the
+    contract, not FP absence."""
+    small = generate_corpus_table(400, seed=SEED)
+    res_ids = near_dup_pipeline(
+        rd.from_arrow(small), DedupConfig(rep_filter_mode="ids")
+    )
+    res_bloom = near_dup_pipeline(
+        rd.from_arrow(small), DedupConfig(rep_filter_mode="bloom")
+    )
+    pd.testing.assert_frame_equal(
+        clusters_to_pandas(res_ids), clusters_to_pandas(res_bloom)
+    )
+    # the true-rep count is mode-independent (it comes from membership,
+    # not from the possibly-FP-inflated filtered Dataset)
+    assert (
+        res_ids["stats"]["n_representatives"]
+        == res_bloom["stats"]["n_representatives"]
+    )
+
+
+def test_oversize_pair_links_via_long_run(ray_session):
+    """SURVEY §7.3 oversize routing: two giant near-dup files whose
+    divergence lies entirely inside the LSH-truncated prefix are INVISIBLE
+    to the MinHash path (signatures see only differing prefixes), but must
+    still cluster together through the exact long-run arm (winnow →
+    bucket → suffix-array confirm) that the flagship runs over the
+    oversize subset."""
+    import random
+
+    import pyarrow as pa
+
+    rng = random.Random(99)
+    base = generate_corpus_table(200, seed=7)
+    limit = 2000
+    shared_tail = "".join(rng.choice("abcdefgh ") for _ in range(3000))
+    prefix_a = "".join(rng.choice("ijklmnop ") for _ in range(2500))
+    prefix_b = "".join(rng.choice("qrstuvwx ") for _ in range(2500))
+    giants = pa.table(
+        {
+            "id": pa.array([1_000_001, 1_000_002], pa.int64()),
+            "repo": pa.array(["rg", "rg"]),
+            "path": pa.array(["g/a", "g/b"]),
+            "commit": pa.array(["c1", "c2"]),
+            "lang": pa.array(["txt", "txt"]),
+            "content": pa.array([prefix_a + shared_tail, prefix_b + shared_tail]),
+        }
+    )
+    tbl = pa.concat_tables([base, giants.cast(base.schema)])
+    cfg = DedupConfig(max_content_bytes_for_lsh=limit, oversize_min_run=256)
+    res = near_dup_pipeline(rd.from_arrow(tbl), cfg)
+    assert res["stats"]["n_long_run_edges"] >= 1
+    clusters = clusters_to_pandas(res).set_index("id")["cluster_id"]
+    assert clusters[1_000_001] == clusters[1_000_002]
+    # control: without oversize routing the pair is invisible to LSH —
+    # the prefix-truncated signatures share no content at all
+    res_plain = near_dup_pipeline(
+        rd.from_arrow(tbl),
+        DedupConfig(max_content_bytes_for_lsh=limit, oversize_min_run=1 << 30),
+    )
+    cp = clusters_to_pandas(res_plain).set_index("id")["cluster_id"]
+    assert cp[1_000_001] != cp[1_000_002]
+
+
 def test_deterministic_across_runs(ray_session, corpus_table):
     small = generate_corpus_table(300, seed=SEED)
     r1 = near_dup_pipeline(rd.from_arrow(small), DedupConfig())

@@ -1,0 +1,116 @@
+"""Cross-engine determinism + join-input stabilization (round-5 fixes).
+
+1. ``queries.det_ln`` and the generated DuckDB CTE chain
+   (``__ray_entry__._det_ln_sql_ctes``) must be BIT-IDENTICAL double for
+   double — that is the whole point: no libm transcendental crosses the
+   engine/oracle boundary (the r04 bm25_scores driver mismatch was an ln
+   ulp difference flipping the integer micro grid).
+2. ``stages.schema.schema_stable`` must drop 0-row blocks so
+   ``Dataset.join`` never sees them: Ray's hash shuffle skips empty blocks
+   while marking the schema as broadcast, so an empty FIRST block makes
+   join partitions finalize schema-less (the r04 fuzzy_join_parts crash —
+   reproduced here as a regression guard).
+"""
+
+import math
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fuzzysearch_ray.pipelines.queries import det_ln
+from fuzzysearch_ray.stages.schema import schema_stable
+
+
+def _oracle_ctes():
+    sys.path.insert(0, ".")
+    import __ray_entry__ as E
+
+    return E._det_ln_sql_ctes()
+
+
+def test_det_ln_bit_identical_to_generated_sql():
+    import duckdb
+
+    rng = np.random.default_rng(42)
+    xs = np.concatenate(
+        [
+            1.0 + rng.random(1500) * 1e6,
+            1.0 + rng.random(1500) * 1e-3,
+            2.0 ** np.arange(0, 60, dtype=np.float64),
+            np.array([1.0, 2.0, 4.0, 1e12, 1.0 + 1e-12]),
+        ]
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE idfx AS SELECT * FROM "
+        "(SELECT unnest(range(%d)) AS term, unnest(?) AS x)" % len(xs),
+        [xs.tolist()],
+    )
+    got = con.execute(
+        "WITH " + _oracle_ctes() + " SELECT term, lnx FROM idf ORDER BY term"
+    ).fetchall()
+    assert len(got) == len(xs)
+    for i, lnx in got:
+        assert lnx == det_ln(float(xs[i])), xs[i]  # bitwise, not approx
+
+
+def test_det_ln_accuracy_vs_libm():
+    rng = np.random.default_rng(5)
+    xs = 1.0 + rng.random(5000) * 1e7
+    err = max(abs(det_ln(float(x)) - math.log(float(x))) for x in xs)
+    assert err < 5e-8  # atanh series truncation bound, way inside 1e-6 grid
+
+
+def test_det_ln_idf_range_endpoints():
+    # idf argument x = (n - df + 0.5)/(df + 0.5) + 1 spans (1, 2n]; check
+    # the extremes a corpus can produce
+    for x in (1.0 + 1e-9, 1.5, 2.0 - 1e-12, 2.0, 3.0, 2.0**52):
+        assert abs(det_ln(x) - math.log(x)) < 5e-8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_schema_stable_drops_empty_blocks():
+    import ray
+    import ray.data as rd
+
+    sch = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    full = pa.table({"k": [1, 2], "v": [10, 20]}).cast(sch)
+    ds = rd.from_arrow_refs(
+        [ray.put(sch.empty_table()), ray.put(full), ray.put(sch.empty_table())]
+    )
+    out = schema_stable(ds, sch)
+    tables = ray.get(out.materialize().to_arrow_refs())
+    assert all(t.num_rows > 0 and t.schema == sch for t in tables)
+    assert out.count() == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_schema_stable_unblocks_join_with_empty_first_block():
+    """Regression: joining a dataset whose FIRST block is empty crashes
+    Ray's hash join (schema broadcast suppressed); schema_stable must make
+    the identical join succeed."""
+    import ray
+    import ray.data as rd
+
+    sch = pa.schema([("na", pa.int64()), ("nb", pa.int64())])
+    full = pa.table({"na": [1, 2, 3], "nb": [4, 5, 6]}).cast(sch)
+    left = rd.from_arrow_refs([ray.put(sch.empty_table()), ray.put(full)])
+    right = rd.from_arrow(pa.table({"jnid": [1, 2, 3], "jid": [10, 20, 30]}))
+    stable = schema_stable(left, sch)
+    j = stable.join(
+        right, join_type="inner", num_partitions=8, on=("na",), right_on=("jnid",)
+    )
+    assert j.count() == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_schema_stable_all_empty_gives_typed_empty():
+    import ray
+    import ray.data as rd
+
+    sch = pa.schema([("a", pa.int64())])
+    ds = rd.from_arrow_refs([ray.put(sch.empty_table())])
+    out = schema_stable(ds, sch)
+    assert out.count() == 0 and out.schema().names == ["a"]

@@ -1,0 +1,106 @@
+"""Scale-gating of the exact long-run stage (stages/long_run.py):
+
+- join-mode content attach (schema-stable hash joins over semi-join-pruned
+  candidate content) must produce the IDENTICAL pair set as the sharded
+  zero-copy broadcast path;
+- the auto gate must pick join when the candidate content exceeds the
+  config's broadcast byte budget;
+- a fingerprint bucket past the finite default cap must still transitively
+  link its members through the sorted chain window (connectivity survives
+  capping, the SimHash hot-bucket contract extended to long_run).
+"""
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fuzzysearch_ray.config import DedupConfig
+from fuzzysearch_ray.stages.long_run import long_run_pairs
+
+
+def _corpus_with_runs(n_docs=24, seed=9):
+    rng = random.Random(seed)
+    run = "".join(rng.choice("0123456789") for _ in range(80))
+    docs = []
+    for i in range(n_docs):
+        body = "".join(
+            rng.choice("abcdefghij") for _ in range(rng.randrange(60, 250))
+        )
+        if i % 4 == 0:  # plant the shared run in n/4 docs
+            body = body[:15] + run + body[15:]
+        docs.append(body)
+    return docs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_join_mode_matches_broadcast():
+    import ray.data as rd
+
+    docs = _corpus_with_runs()
+    ds = rd.from_arrow(pa.table({"id": list(range(len(docs))), "content": docs}))
+    bcast = long_run_pairs(ds, 64, content_mode="broadcast").to_pandas()
+    join = long_run_pairs(ds, 64, content_mode="join").to_pandas()
+    got_b = set(zip(bcast["a"], bcast["b"]))
+    got_j = set(zip(join["a"], join["b"]))
+    assert got_b == got_j and len(got_b) == 6 * 5 // 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_gate_routes_past_byte_budget():
+    import ray.data as rd
+
+    docs = _corpus_with_runs(n_docs=16, seed=11)
+    ds = rd.from_arrow(pa.table({"id": list(range(len(docs))), "content": docs}))
+    # candidate content is a few KB; a 1-byte budget must push auto → join,
+    # and the result must equal the plain run (gate changes route, not output)
+    tiny = DedupConfig(bucket_cap=512, chain_window=3, broadcast_limit_bytes=1)
+    gated = long_run_pairs(ds, 64, config=tiny, content_mode="auto").to_pandas()
+    plain = long_run_pairs(ds, 64).to_pandas()
+    assert set(zip(gated["a"], gated["b"])) == set(zip(plain["a"], plain["b"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_overcap_bucket_chain_preserves_connectivity():
+    """A 40-member shared-run family with bucket_cap=8: the chain window
+    drops clique pairs but every member must stay transitively linked to
+    the family (union-find over emitted pairs = one component)."""
+    import ray.data as rd
+
+    rng = random.Random(13)
+    run = "".join(rng.choice("0123456789") for _ in range(80))
+    docs = []
+    for i in range(40):
+        body = "".join(
+            rng.choice("abcdefghij") for _ in range(rng.randrange(40, 120))
+        )
+        docs.append(body[:10] + run + body[10:])
+    ds = rd.from_arrow(pa.table({"id": list(range(40)), "content": docs}))
+    cfg = DedupConfig(bucket_cap=8, chain_window=3)
+    out = long_run_pairs(ds, 64, config=cfg).to_pandas()
+    # capped: fewer than the full clique, but non-empty
+    assert 0 < len(out) < 40 * 39 // 2
+    parent = list(range(40))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(out["a"], out["b"]):
+        parent[find(int(a))] = find(int(b))
+    assert len({find(i) for i in range(40)}) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_join_mode_empty_pairs_keeps_schema():
+    import ray.data as rd
+
+    rng = random.Random(17)
+    docs = ["".join(rng.choice("abcdefghij") for _ in range(150)) for _ in range(6)]
+    ds = rd.from_arrow(pa.table({"id": list(range(6)), "content": docs}))
+    out = long_run_pairs(ds, 64, content_mode="join")
+    df = out.to_pandas()
+    assert len(df) == 0

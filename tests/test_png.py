@@ -1,0 +1,134 @@
+"""Real dependency-free PNG decode path (stages/multimodal.py).
+
+PNG is the engine's one genuinely COMPRESSED image format with a real
+decoder: stdlib-zlib inflate + reversal of all five scanline filters.
+These tests pin the codec corners (every filter type, mixed filters,
+chunk CRC validation, unsupported-variant rejection) and drive real PNGs
+through the PngPixelStats actor pool end-to-end."""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fuzzysearch_ray.stages.multimodal import (
+    PNG_SIGNATURE,
+    PngPixelStats,
+    decode_image,
+    decode_png,
+    encode_png,
+)
+
+
+def _gradient(h, w, seed=0):
+    y = 5 * np.arange(h, dtype=np.int64)[:, None, None]
+    x = 7 * np.arange(w, dtype=np.int64)[None, :, None]
+    c = 13 * np.arange(3, dtype=np.int64)[None, None, :]
+    return ((seed + y + x + c) % 256).astype(np.uint8)
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_roundtrip_each_filter(filt):
+    rng = np.random.default_rng(100 + filt)
+    for _ in range(5):
+        h, w = int(rng.integers(1, 16)), int(rng.integers(1, 24))
+        arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            decode_png(encode_png(arr, filters=[filt] * h)), arr
+        )
+
+
+def test_roundtrip_mixed_filters_default_cycle():
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        h, w = int(rng.integers(2, 20)), int(rng.integers(1, 30))
+        arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(arr)), arr)
+        filters = list(rng.integers(0, 5, h))
+        np.testing.assert_array_equal(
+            decode_png(encode_png(arr, filters=filters)), arr
+        )
+
+
+def test_decode_image_dispatches_png():
+    arr = _gradient(6, 9, seed=4)
+    np.testing.assert_array_equal(decode_image(encode_png(arr)), arr)
+
+
+def test_crc_corruption_rejected():
+    payload = bytearray(encode_png(_gradient(4, 4)))
+    # flip a byte inside the IDAT payload (after sig+IHDR chunk: 8+25=33,
+    # then IDAT header 8 bytes — offset 45 is inside the compressed data)
+    payload[45] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+
+
+def test_non_rgb8_rejected():
+    # hand-build an IHDR claiming 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    idat = zlib.compress(b"\0" * (4 * 13))
+    chunk2 = (
+        struct.pack(">I", len(idat))
+        + b"IDAT"
+        + idat
+        + struct.pack(">I", zlib.crc32(b"IDAT" + idat) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(PNG_SIGNATURE + chunk + chunk2)
+
+
+def test_not_png_rejected():
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM" + b"\0" * 60)
+
+
+def test_scanline_size_mismatch_rejected():
+    # valid chunks, truncated scanline stream
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    c1 = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    idat = zlib.compress(b"\0" * 10)  # needs 4*(1+12)=52 bytes
+    c2 = (
+        struct.pack(">I", len(idat))
+        + b"IDAT"
+        + idat
+        + struct.pack(">I", zlib.crc32(b"IDAT" + idat) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="scanline"):
+        decode_png(PNG_SIGNATURE + c1 + c2)
+
+
+def test_png_pixel_stats_actor_batch():
+    arrs = [_gradient(3, 5, seed=11), _gradient(7, 2, seed=12)]
+    batch = pa.table(
+        {
+            "media_id": pa.array([11, 12], pa.int64()),
+            "payload": pa.array([encode_png(a) for a in arrs], pa.binary()),
+        }
+    )
+    out = PngPixelStats()(batch)
+    assert out["h"].to_pylist() == [3, 7]
+    assert out["w"].to_pylist() == [5, 2]
+    assert out["pixel_sum"].to_pylist() == [
+        int(a.sum(dtype=np.int64)) for a in arrs
+    ]
+
+
+def test_compression_is_real():
+    """The gradient PNG must actually be SMALLER than raw pixels — i.e.
+    the zlib stream is a genuine compressed representation, not a stub."""
+    arr = _gradient(32, 32)
+    assert len(encode_png(arr)) < arr.size

@@ -305,15 +305,17 @@ def test_shipping_priority_brute_force(tmp_path):
     keys = set(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"])
     o = orders[(orders.o_orderdate < cutoff) & orders.o_custkey.isin(keys)]
     l = line[line.l_shipdate > cutoff].copy()
-    l["rev"] = l.l_extendedprice * (1 - l.l_discount)
+    # integer 1e-4-dollar units, matching the engine's exact arithmetic
+    cents = np.floor(l.l_extendedprice.to_numpy() * 100.0 + 0.5).astype(np.int64)
+    pct = 100 - np.floor(l.l_discount.to_numpy() * 100.0 + 0.5).astype(np.int64)
+    l["rev_e4"] = cents * pct
     m = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
     exp = (
         m.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"], as_index=False)
-        .agg(revenue=("rev", "sum"))
+        .agg(revenue_e4=("rev_e4", "sum"))
     )
     exp["o_orderdate_us"] = exp.o_orderdate.astype("int64")
-    exp["revenue"] = np.floor(exp.revenue * 100 + 0.5) / 100
-    exp = exp[["o_orderkey", "o_orderdate_us", "o_orderpriority", "revenue"]]
+    exp = exp[["o_orderkey", "o_orderdate_us", "o_orderpriority", "revenue_e4"]]
     exp = exp.sort_values("o_orderkey", ignore_index=True)
     pd.testing.assert_frame_equal(
         got[exp.columns.tolist()], exp, check_dtype=False
