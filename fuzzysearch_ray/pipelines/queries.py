@@ -899,6 +899,94 @@ def q_near_dup_clusters_join(sf_dir: str):
     return clusters_to_pandas(res).rename(columns={"id": "doc_id"})
 
 
+def q_snm_candidate_pairs(sf_dir: str, window: int = 5):
+    """Sorted-neighborhood blocking (SNM) candidate pairs — the classic
+    entity-resolution blocking family next to LSH banding and winnowing
+    (stages/snm.py): sort all documents by an 8-byte packed key (sanitized
+    lowercase prefix) and emit every pair within a ``window``-rank
+    neighborhood of the global order.
+
+    Scale shape: the sort runs on ONE int64 column (never a string sort —
+    Ray's sort path pandas-converts string blocks); window pairs are
+    per-block tasks with a (window-1)-row boundary tail fetched zero-copy
+    from the predecessor blocks, so each global pair is emitted exactly
+    once with no dedup shuffle. The SQL oracle recomputes the identical
+    packed key with ascii()*256^k literals and a ROW_NUMBER self-join."""
+    from ..stages.snm import pack_key8, snm_window_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["doc_id"].cast(pa.int64()),
+                "key_int": pa.array(pack_key8(t["text"]), pa.int64()),
+            }
+        )
+
+    pairs = snm_window_pairs(
+        ds.map_batches(keyed, batch_format="pyarrow"), window=window
+    )
+    df = pairs.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+        )
+    return df.sort_values(["a", "b"], ignore_index=True)
+
+
+def q_event_stream_dedup(sf_dir: str, window_seconds: int = 300):
+    """Streaming event dedup (debounce): an event is a DUPLICATE iff the
+    same (user_id, event_type) produced an event strictly less than
+    ``window_seconds`` earlier — the log-dedup operator of a telemetry /
+    interaction-stream pipeline (repeated clicks, retried sends).
+
+    Scale shape: q_user_sessions' partitioning invariant — ONE integer-keyed
+    hash shuffle on user_id, then each partition resolves ALL its (user,
+    type) chains with one vectorized lexsort + shift (the LAG comparison
+    applies to the previous EVENT, not the previous kept one, so the
+    decision is local and order-stable; ties break by event_id). Returns
+    the kept events (event_id, user_id, ts_us)."""
+    P = 32
+    gap_us = np.int64(window_seconds) * np.int64(1_000_000)
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pc.cast(pc.bit_wise_and(t["user_id"], P - 1), pa.int64())
+        )
+
+    def dedup(block: pd.DataFrame) -> pd.DataFrame:
+        ts = block["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = block["user_id"].to_numpy().astype(np.int64)
+        eid = block["event_id"].to_numpy().astype(np.int64)
+        et, _ = pd.factorize(block["event_type"], sort=True)
+        order = np.lexsort((eid, ts, et, uid))
+        u, e, t_, i_ = uid[order], et[order], ts[order], eid[order]
+        same = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            same[1:] = (u[1:] == u[:-1]) & (e[1:] == e[:-1])
+        prev_ts = np.empty_like(t_)
+        prev_ts[1:] = t_[:-1]
+        keep = ~(same & (t_ - prev_ts < gap_us))
+        return pd.DataFrame(
+            {"event_id": i_[keep], "user_id": u[keep], "ts_us": t_[keep]}
+        )
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("event_id", "user_id", "ts_us")}
+        )
+    return out.sort_values("event_id", ignore_index=True).astype("int64")
+
+
 def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization of the events stream: per user, a new
     session starts when the inter-event gap exceeds ``gap_minutes``.

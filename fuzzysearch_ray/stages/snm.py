@@ -1,0 +1,139 @@
+"""Sorted-neighborhood blocking (SNM, Hernández & Stolfo SIGMOD 1995):
+the third candidate-generation family next to MinHash/LSH banding and
+winnowed fingerprints — sort the corpus by a discriminating key and emit
+all pairs within a sliding rank window.
+
+Ray-Data shape: the key is packed into ONE int64 (big-endian byte pack of
+a sanitized 8-char prefix), so the global sort is an INTEGER sort — never
+a string sort (Ray's sort path converts string blocks to pandas object
+arrays, the measured 25-50x pathology; BASELINE.md negative results). A
+sorted Dataset's blocks are range-partitioned in global order, so window
+pairs are local to each block EXCEPT across boundaries: each block's pair
+task receives the previous blocks' last ``window-1`` rows (a few rows,
+fetched zero-copy from plasma) and emits exactly the pairs whose RIGHT
+endpoint lives in its block — every global pair exactly once, no dedup
+shuffle needed.
+
+Partitioning assumption (documented per the custom-operator contract):
+block order of a sorted materialized Dataset IS the global order
+(ds.sort range-partitions; pinned by tests/test_snm.py's boundary test).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pack_key8(strings: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Sanitized 8-byte big-endian packing of a string column: lower → keep
+    [a-z0-9 ] → pad with 'a' → first 8 chars → int64. The packed integer
+    totally orders the keys byte-lexicographically and stays < 2^56 (ASCII
+    only), so the global sort runs on int64. Fully vectorized: one Arrow
+    RE2 pass + one (rows, 8) uint8 reshape + one matmul."""
+    import pyarrow.compute as pc
+
+    col = strings.combine_chunks() if isinstance(strings, pa.ChunkedArray) else strings
+    clean = pc.replace_substring_regex(
+        pc.utf8_lower(col), pattern="[^a-z0-9 ]", replacement=""
+    )
+    padded = pc.utf8_slice_codeunits(
+        pc.binary_join_element_wise(clean, pa.scalar("aaaaaaaa"), ""), 0, 8
+    )
+    if isinstance(padded, pa.ChunkedArray):
+        padded = padded.combine_chunks()
+    data = np.frombuffer(padded.buffers()[2], dtype=np.uint8)
+    off_dtype = np.int64 if pa.types.is_large_string(padded.type) else np.int32
+    off = np.frombuffer(
+        padded.buffers()[1], dtype=off_dtype, count=len(padded) + 1
+    ).astype(np.int64) + padded.offset
+    # every row is exactly 8 ASCII bytes -> contiguous (n, 8) view
+    starts = off[:-1]
+    idx = starts[:, None] + np.arange(8, dtype=np.int64)[None, :]
+    mat = data[idx].astype(np.int64)
+    weights = (np.int64(256) ** np.arange(7, -1, -1, dtype=np.int64))
+    return mat @ weights
+
+
+def snm_window_pairs(ds, window: int = 5, id_col: str = "id",
+                     key_col: str = "key_int"):
+    """(id, key_int) Dataset → (a, b) candidate pairs (a < b by id) whose
+    ranks in the global (key_int, id) order differ by < ``window``."""
+    import ray
+    import ray.data as rd
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+
+    sorted_ds = ds.sort([key_col, id_col]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _nrows(t):
+        return t.num_rows
+
+    @ray.remote
+    def _block_pairs(block, tail_refs, tail_offs, tail_lens, w):
+        tails = [
+            ray.get(r).slice(o, ln).select([id_col])
+            for r, o, ln in zip(tail_refs, tail_offs, tail_lens)
+        ]
+        parts = tails + [block.select([id_col])]
+        ids = np.concatenate(
+            [p[id_col].to_numpy().astype(np.int64) for p in parts]
+        )
+        t_rows = int(sum(tail_lens))
+        n = ids.size
+        los, his = [], []
+        # right endpoint q must live in THIS block (q >= t_rows): every
+        # global window pair is emitted by exactly one task
+        for d in range(1, w):
+            q = np.arange(max(t_rows, d), n, dtype=np.int64)
+            if q.size == 0:
+                continue
+            a = ids[q - d]
+            b = ids[q]
+            los.append(np.minimum(a, b))
+            his.append(np.maximum(a, b))
+        if not los:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(los), pa.int64()),
+                "b": pa.array(np.concatenate(his), pa.int64()),
+            }
+        )
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    out_refs = []
+    for i, r in enumerate(refs):
+        if counts[i] == 0:
+            continue
+        # assemble the window-1 rows immediately preceding block i (may
+        # span several small blocks)
+        need = window - 1
+        tail = []
+        j = i - 1
+        while j >= 0 and need > 0:
+            take = min(need, counts[j])
+            if take > 0:
+                tail.append((refs[j], counts[j] - take, take))
+                need -= take
+            j -= 1
+        tail.reverse()
+        out_refs.append(
+            _block_pairs.remote(
+                r,
+                [t[0] for t in tail],
+                [t[1] for t in tail],
+                [t[2] for t in tail],
+                window,
+            )
+        )
+    if not out_refs:
+        return rd.from_arrow(
+            pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+        )
+    return rd.from_arrow_refs(out_refs)

@@ -1,0 +1,143 @@
+"""Sorted-neighborhood blocking (stages/snm.py): key packing order
+fidelity, window-pair completeness across BLOCK BOUNDARIES (the stitch is
+the custom part — a sorted Dataset's blocks are range-partitioned, and
+every global pair must be emitted exactly once), and the event-stream
+debounce operator's brute-force parity."""
+
+import random
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fuzzysearch_ray.stages.snm import pack_key8, snm_window_pairs
+
+
+def test_pack_key8_orders_like_sanitized_prefix():
+    strings = [
+        "Hello, World!",
+        "hello world",
+        "abc",
+        "",
+        "  leading",
+        "zzz" * 10,
+        "a1b2c3d4e5",
+        "ABC!!!def",
+    ]
+    keys = pack_key8(pa.array(strings))
+
+    def sanitized8(s):
+        clean = "".join(c for c in s.lower() if c in "abcdefghijklmnopqrstuvwxyz0123456789 ")
+        return (clean + "aaaaaaaa")[:8]
+
+    order_keys = np.argsort(keys, kind="stable")
+    order_str = sorted(range(len(strings)), key=lambda i: sanitized8(strings[i]))
+    assert list(order_keys) == order_str
+    # identical sanitized prefixes -> identical packed keys
+    assert keys[0] == keys[1]
+
+
+def _brute_pairs(ids, keys, window):
+    order = sorted(range(len(ids)), key=lambda i: (keys[i], ids[i]))
+    out = set()
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + window, len(order))):
+            a, b = ids[order[i]], ids[order[j]]
+            out.add((min(a, b), max(a, b)))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("window", [2, 3, 5, 8])
+def test_window_pairs_match_bruteforce_across_blocks(window):
+    import ray.data as rd
+
+    rng = random.Random(window * 17)
+    n = 120
+    ids = list(range(n))
+    keys = [rng.randrange(0, 40) for _ in range(n)]  # many key ties
+    ds = rd.from_arrow(
+        pa.table({"id": pa.array(ids, pa.int64()), "key_int": pa.array(keys, pa.int64())})
+    ).repartition(13)  # force many blocks so the boundary stitch matters
+    out = snm_window_pairs(ds, window=window).to_pandas()
+    got = set(zip(out["a"].astype(int), out["b"].astype(int)))
+    want = _brute_pairs(ids, keys, window)
+    assert got == want
+    # exactly once: no duplicate rows
+    assert len(out) == len(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_pairs_tiny_blocks_smaller_than_window():
+    """Blocks of 1-2 rows with window 6: tails must span several
+    predecessor blocks."""
+    import ray.data as rd
+
+    n = 20
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(list(range(n)), pa.int64()),
+                "key_int": pa.array([0] * n, pa.int64()),
+            }
+        )
+    ).repartition(n)
+    out = snm_window_pairs(ds, window=6).to_pandas()
+    got = set(zip(out["a"].astype(int), out["b"].astype(int)))
+    want = _brute_pairs(list(range(n)), [0] * n, 6)
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_input():
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.schema([("id", pa.int64()), ("key_int", pa.int64())]).empty_table()
+    )
+    out = snm_window_pairs(ds, window=4)
+    assert out.count() == 0 and set(out.schema().names) == {"a", "b"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_stream_dedup_bruteforce(tmp_path):
+    """Debounce parity vs a plain-Python LAG over the sorted stream."""
+    import pyarrow.parquet as pq
+
+    from fuzzysearch_ray.pipelines.queries import q_event_stream_dedup
+
+    rng = random.Random(31)
+    n = 400
+    rows = []
+    for eid in range(n):
+        rows.append(
+            (
+                eid,
+                rng.randrange(0, 25),
+                rng.choice(["view", "click", "purchase"]),
+                rng.randrange(0, 3_000) * 1_000_000,  # µs, dense → many dups
+            )
+        )
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array(
+                [r[3] for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = q_event_stream_dedup(str(tmp_path))
+
+    gap = 300_000_000
+    kept = []
+    by_key = {}
+    for eid, uid, et, ts in sorted(rows, key=lambda r: (r[1], r[2], r[3], r[0])):
+        prev = by_key.get((uid, et))
+        if prev is None or ts - prev >= gap:
+            kept.append(eid)
+        by_key[(uid, et)] = ts  # LAG semantics: previous EVENT, not kept
+    assert sorted(got["event_id"]) == sorted(kept)
