@@ -85,8 +85,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join_parts": Q.q_fuzzy_join_parts,
         "shipping_priority": Q.q_shipping_priority,
         "bm25_scores": Q.q_bm25_scores,
-        # --- r04-green, code paths touched this round ---
-        "funnel_conversion": Q.q_funnel_conversion,
         # --- new round-5 queries (near_dup_clusters_join runs the FULL
         # --- flagship pipeline against the flagship oracle, so the
         # --- heavily-touched broadcast sibling moves to the tail covered) ---
@@ -95,13 +93,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "long_run_pairs_join": Q.q_long_run_pairs_join,
         "snm_candidate_pairs": Q.q_snm_candidate_pairs,
         "event_stream_dedup": Q.q_event_stream_dedup,
+        "media_wav_stats": Q.q_media_wav_stats,
         # --- window tail: entries below here fall outside the driver's
-        # --- 50-query window; all were driver-green in r04 (the two moved
-        # --- here this round are covered in-window by their siblings:
-        # --- near_dup_clusters by near_dup_clusters_join, jsonl_gz by the
-        # --- shared sink path + pytest) ---
+        # --- 50-query window; all were driver-green in r04 (the three
+        # --- moved here this round are covered: near_dup_clusters by the
+        # --- in-window near_dup_clusters_join (same oracle + pipeline),
+        # --- jsonl_gz by the shared sink path + in-window orc + pytest,
+        # --- funnel_conversion by its brute-force pytest + in-repo gate) ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "jsonl_gz_ingest_stats": Q.q_jsonl_gz_ingest_stats,
+        "funnel_conversion": Q.q_funnel_conversion,
         "decontaminate_docs_join": Q.q_decontaminate_docs_join,
         "distinct_users_daily": Q.q_distinct_users_daily,
         "near_dup_degree": Q.q_near_dup_degree,
@@ -974,6 +975,18 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN LATERAL (SELECT unnest(range(0, d.n_chars * 5 % 19 + 2)) AS x) x "
             "CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c "
             "GROUP BY 1, 2, 3"
+        ),
+        "media_wav_stats": (
+            # closed-form checksum of the REAL decoded PCM samples:
+            # s_i = (doc_id*7 + i*13) % 4096 - 2048, n = n_chars % 500 + 16
+            "SELECT d.doc_id AS media_id, "
+            "CAST(d.n_chars % 500 + 16 AS BIGINT) AS n_samples, "
+            "CAST(16000 AS BIGINT) AS sample_rate, "
+            "CAST(SUM(abs((d.doc_id * 7 + i.i * 13) % 4096 - 2048)) AS BIGINT) "
+            "AS abs_sum "
+            "FROM documents d "
+            "CROSS JOIN LATERAL (SELECT unnest(range(0, d.n_chars % 500 + 16)) "
+            "AS i) i GROUP BY 1, 2"
         ),
         "media_frame_samples": (
             # endpoint-inclusive uniform frame indices j*(n-1)//(k_eff-1):

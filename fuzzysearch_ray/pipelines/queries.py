@@ -3355,6 +3355,55 @@ def q_media_png_pixel_stats(sf_dir: str):
     return df.sort_values("media_id", ignore_index=True)
 
 
+def q_media_wav_stats(sf_dir: str):
+    """REAL audio decode end-to-end (the third multimodal leg after BMP and
+    PNG images): synthesize a genuine 16-bit PCM WAV per document (mono,
+    samples s_i = (doc_id*7 + i*13) % 4096 - 2048, length from n_chars),
+    push the bytes through the WavSampleStats actor pool (dependency-free
+    stages/multimodal.decode_wav: RIFF chunk walk, fmt/data parse) and
+    emit the integer sum of absolute DECODED amplitudes; the SQL oracle
+    recomputes it in closed form over generate_series."""
+    from ..stages.multimodal import WavSampleStats, encode_wav
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_numpy().astype(np.int64)
+        nc = batch["n_chars"].to_numpy().astype(np.int64)
+        ns = nc % 500 + 16
+        payloads = []
+        for did, n in zip(dids.tolist(), ns.tolist()):
+            i = np.arange(n, dtype=np.int64)
+            s = ((did * 7 + i * 13) % 4096 - 2048).astype(np.int16)
+            payloads.append(encode_wav(s))
+        return pa.table(
+            {
+                "media_id": pa.array(dids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_wav, batch_format="pyarrow")
+    out = media.map_batches(
+        WavSampleStats,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(2, 4),
+        num_cpus=1,
+    )
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                c: pd.Series(dtype="int64")
+                for c in ("media_id", "n_samples", "sample_rate", "abs_sum")
+            }
+        )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("media_id", ignore_index=True)
+
+
 # --------------------------------------------------------------------------
 # Source/sink round-trips: JSONL and CSV ingestion through the corpus readers
 # (sources/io.py). Each query WRITES the table out with Ray's distributed

@@ -257,6 +257,89 @@ def decode_png(payload: bytes) -> np.ndarray:
     return recon.astype(np.uint8).reshape(h, w, 3)
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal PCM WAV (RIFF) encoder for mono int16 — the dependency-free
+    audio fixture for the real decoder below."""
+    import struct
+
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("encode_wav expects a 1-D int16 array")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes):
+    """REAL dependency-free PCM WAV decoder (RIFF chunk walk, mono/stereo
+    16-bit) → (samples int16 array of shape (n,) or (n, channels),
+    sample_rate). The audio leg of the multimodal decode stage — like
+    decode_bmp/decode_png, a genuine parser over the file bytes, not a
+    deterministic fake."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only 16-bit PCM WAV is supported")
+    samples = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        samples = samples[: len(samples) // channels * channels].reshape(
+            -1, channels
+        )
+    return samples, rate
+
+
+class WavSampleStats:
+    """Actor-pool stage: REAL WAV decode per row → sample count, rate, and
+    an integer sum of absolute amplitudes. Same oracle contract as the
+    image stats stages: the checksum of actually-DECODED samples crosses
+    the gate."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ns, rates, sums = [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            samples, rate = decode_wav(payload)
+            ids.append(mid)
+            ns.append(int(samples.shape[0]))
+            rates.append(int(rate))
+            sums.append(int(np.abs(samples.astype(np.int64)).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "abs_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
 class PngPixelStats:
     """Actor-pool stage: REAL PNG decode (inflate + defilter) per row →
     geometry plus an integer checksum of the decoded pixels. Same oracle

@@ -1,0 +1,82 @@
+"""Real dependency-free WAV (RIFF PCM) decode path (stages/multimodal.py):
+round-trip, stereo reshape, chunk-walk robustness, and the stats actor."""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fuzzysearch_ray.stages.multimodal import (
+    WavSampleStats,
+    decode_wav,
+    encode_wav,
+)
+
+
+def test_roundtrip_mono():
+    rng = np.random.default_rng(1)
+    for n in (1, 7, 256, 4001):
+        s = rng.integers(-32768, 32768, n).astype(np.int16)
+        back, rate = decode_wav(encode_wav(s, sample_rate=8000))
+        assert rate == 8000
+        np.testing.assert_array_equal(back, s)
+
+
+def test_stereo_reshape():
+    # hand-build a 2-channel file: interleaved L/R int16
+    inter = np.array([1, -1, 2, -2, 3, -3], dtype=np.int16)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    data = inter.tobytes()
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    samples, rate = decode_wav(payload)
+    assert rate == 44100 and samples.shape == (3, 2)
+    np.testing.assert_array_equal(samples[:, 0], [1, 2, 3])
+    np.testing.assert_array_equal(samples[:, 1], [-1, -2, -3])
+
+
+def test_extra_chunk_skipped():
+    """Unknown chunks (LIST, odd-sized with pad byte) must be walked over."""
+    s = np.arange(-5, 5, dtype=np.int16)
+    base = encode_wav(s)
+    # splice an odd-length junk chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\0"  # pad to even
+    payload = base[:fmt_end] + junk + base[fmt_end:]
+    back, _ = decode_wav(payload)
+    np.testing.assert_array_equal(back, s)
+
+
+def test_rejections():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope" + b"\0" * 40)
+    s = np.zeros(4, dtype=np.int16)
+    payload = bytearray(encode_wav(s))
+    payload[20] = 3  # audio_format != 1 (PCM)
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(bytes(payload))
+
+
+def test_wav_stats_actor_batch():
+    a = np.array([100, -200, 300], dtype=np.int16)
+    b = np.array([-1, 1], dtype=np.int16)
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([encode_wav(a), encode_wav(b)], pa.binary()),
+        }
+    )
+    out = WavSampleStats()(batch)
+    assert out["n_samples"].to_pylist() == [3, 2]
+    assert out["abs_sum"].to_pylist() == [600, 2]
+    assert out["sample_rate"].to_pylist() == [16000, 16000]
