@@ -150,6 +150,12 @@ def run_bench() -> dict:
         "fuzzy_search_no_deletions",
         lambda: Q.q_fuzzy_search_no_deletions(SF_DIR),
     )
+    # round-5 additions
+    timed("snm_candidate_pairs", lambda: Q.q_snm_candidate_pairs(SF_DIR))
+    timed("event_stream_dedup", lambda: Q.q_event_stream_dedup(SF_DIR))
+    timed("media_png_pixel_stats", lambda: Q.q_media_png_pixel_stats(SF_DIR))
+    timed("media_wav_stats", lambda: Q.q_media_wav_stats(SF_DIR))
+    timed("long_run_pairs_join", lambda: Q.q_long_run_pairs_join(SF_DIR))
 
     # headline: flagship dedup over the synthetic source-code corpus,
     # measured as ALTERNATING broadcast/join runs within one window. The
