@@ -4555,12 +4555,20 @@ def q_shipping_priority(sf_dir: str):
     # them once (ray.put) and probe with a vectorized searchsorted inside
     # the orders scan — no first join hop, no customer shuffle. The
     # big×big orders×lineitem hop below stays a hash-partitioned join.
+    # Every date/segment predicate is pushed INTO the parquet fragment
+    # scan (read_parquet filter=) so filtered-out rows never materialize
+    # as Arrow batches, and the filter columns drop out of the projection.
     import ray as _ray
+    import ray.data as _rd
+
+    cutoff64 = pd.Timestamp("1998-06-01").to_datetime64()
 
     cust_keys = np.sort(
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .filter(expr="c_mktsegment == 'BUILDING'")
-        .select_columns(["c_custkey"])
+        _rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey"],
+            filter=(pc.field("c_mktsegment") == pc.scalar("BUILDING")),
+        )
         .to_pandas()["c_custkey"]
         .to_numpy()
         .astype(np.int64)
@@ -4568,7 +4576,6 @@ def q_shipping_priority(sf_dir: str):
     keys_ref = _ray.put(cust_keys)
 
     def prep_orders(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less(t["o_orderdate"], cutoff))
         keys = _ray.get(keys_ref)
         ck = t["o_custkey"].to_numpy()
         if len(keys) == 0 or len(ck) == 0:
@@ -4578,12 +4585,13 @@ def q_shipping_priority(sf_dir: str):
             mask = keys[pos] == ck
         return t.filter(pa.array(mask)).drop_columns(["o_custkey"])
 
-    orders = _read(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    orders = _rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") < pc.scalar(cutoff64)),
     ).map_batches(prep_orders, batch_format="pyarrow")
 
-    def prep_line(t: pa.Table) -> pa.Table:
-        keep = t.filter(pc.greater(t["l_shipdate"], cutoff))
+    def prep_line(keep: pa.Table) -> pa.Table:
         # TPC-H money is exact at 2 decimals: revenue in integer 1e-4-dollar
         # units, rev_e4 = round(price*100) * (100 - round(discount*100)).
         # Integer sums are association-order-independent, so the per-batch
@@ -4607,10 +4615,10 @@ def q_shipping_priority(sf_dir: str):
             {"l_orderkey": pa.array(uk), "rev_e4": pa.array(part, pa.int64())}
         )
 
-    line = _read(
-        sf_dir,
-        "lineitem",
-        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    line = _rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") > pc.scalar(cutoff64)),
     ).map_batches(prep_line, batch_format="pyarrow")
 
     open_orders = orders.select_columns(

@@ -26,21 +26,18 @@ def schema_stable(ds, schema: pa.Schema):
     import ray
     import ray.data as rd
 
-    @ray.remote(num_cpus=0.25)
+    @ray.remote(num_cpus=0.25, num_returns=2)
     def _norm(t, s):
         if not isinstance(t, pa.Table):
             t = pa.Table.from_pandas(t, preserve_index=False)
         if t.num_rows == 0 or any(n not in t.column_names for n in s.names):
-            return s.empty_table()
-        return t.select(s.names).cast(s)
+            return s.empty_table(), 0
+        out = t.select(s.names).cast(s)
+        return out, out.num_rows
 
-    @ray.remote(num_cpus=0.25)
-    def _nrows(t):
-        return t.num_rows
-
-    refs = [_norm.remote(r, schema) for r in ds.materialize().to_arrow_refs()]
-    counts = ray.get([_nrows.remote(r) for r in refs])
-    keep = [r for r, n in zip(refs, counts) if n]
+    normed = [_norm.remote(r, schema) for r in ds.materialize().to_arrow_refs()]
+    counts = ray.get([n for _, n in normed])
+    keep = [t for (t, _), n in zip(normed, counts) if n]
     if not keep:
         return rd.from_arrow(schema.empty_table())
     return rd.from_arrow_refs(keep)
