@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- jsonl_gz by the shared sink path + in-window orc + pytest,
         # --- funnel_conversion by its brute-force pytest + in-repo gate) ---
         "near_dup_clusters": Q.q_near_dup_clusters,
+        "near_dup_triangles": Q.q_near_dup_triangles,
         "jsonl_gz_ingest_stats": Q.q_jsonl_gz_ingest_stats,
         "funnel_conversion": Q.q_funnel_conversion,
         "decontaminate_docs_join": Q.q_decontaminate_docs_join,
@@ -1578,6 +1579,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT LEAST(x.doc_id, y.doc_id) AS a, "
         "GREATEST(x.doc_id, y.doc_id) AS b "
         "FROM r x JOIN r y ON y.rk - x.rk BETWEEN 1 AND 4"
+    )
+    sqls["near_dup_triangles"] = (
+        # triangles {x<y<z} need all three edges in the ground-truth pair
+        # set; each contributes one count to every vertex
+        "WITH " + _REP_GRAM_PAIRS_CTE + ", "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM pairs e1 "
+        "JOIN pairs e2 ON e2.a = e1.b "
+        "JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "nodes AS (SELECT x AS doc_id FROM tri "
+        "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles "
+        "FROM nodes GROUP BY doc_id"
     )
     sqls["event_stream_dedup"] = (
         # debounce: drop an event when the SAME (user, type) fired strictly

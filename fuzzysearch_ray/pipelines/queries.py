@@ -899,6 +899,24 @@ def q_near_dup_clusters_join(sf_dir: str):
     return clusters_to_pandas(res).rename(columns={"id": "doc_id"})
 
 
+def q_near_dup_triangles(sf_dir: str):
+    """Per-node triangle counts over the verified near-dup graph
+    (stages/cluster.triangles_per_node — wedge generation at the minimum
+    vertex + one integer-keyed hash join against the edge set), completing
+    the dedup-graph algorithm family: components, degree, PageRank,
+    triangles. Reads the memoized flagship edges; the oracle enumerates
+    triangles with a 3-way self-join over the ground-truth pair CTE."""
+    from ..stages.cluster import triangles_per_node
+
+    res = _flagship_result(sf_dir)
+    out = triangles_per_node(res["edges"]).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("doc_id", "n_triangles")}
+        )
+    return out.sort_values("doc_id", ignore_index=True).astype("int64")
+
+
 def q_snm_candidate_pairs(sf_dir: str, window: int = 5):
     """Sorted-neighborhood blocking (SNM) candidate pairs — the classic
     entity-resolution blocking family next to LSH banding and winnowing

@@ -18,6 +18,7 @@ from typing import Dict
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 class UnionFind:
@@ -247,4 +248,112 @@ def assign_clusters(membership_df: pd.DataFrame, labels: Dict[int, int]) -> pd.D
     cluster = np.array([labels.get(int(r), int(r)) for r in rep], dtype=np.int64)
     return pd.DataFrame(
         {"id": membership_df["id"].to_numpy().astype(np.int64), "cluster_id": cluster}
+    )
+
+
+def triangles_per_node(edges_ds, num_partitions: int | None = None):
+    """Per-node triangle counts over an undirected edge Dataset (a, b)
+    with a < b — the clustering-structure operator of the dedup-graph
+    family (components, degree, PageRank, triangles). A triangle
+    {x < y < z} exists iff (x,y), (y,z), (x,z) are all edges.
+
+    Distributed shape (the node-iterator/wedge-join pattern): edges are
+    grouped by their LOW endpoint x; each group emits the C(d,2) wedges
+    (y, z) of x's neighbor set (y < z, integer-only rows carrying x); the
+    wedge table hash-joins the edge table on (y, z) == (a, b), and every
+    match is one triangle, counted exactly once at its minimum vertex.
+    One integer groupby + one integer-keyed hash join; per-node counts
+    are a final tiny integer aggregate.
+
+    Skew note: a node of degree d emits O(d²) wedges — a near-clique of
+    size c costs O(c³) wedge rows total. Dup clusters at dedup thresholds
+    are small cliques (the cluster-size histogram is the monitor); for
+    corpora with giant components, cap wedge emission per node and accept
+    documented undercounting, the bucket_cap discipline of the LSH stage."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .schema import schema_stable
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = num_partitions or max(2, min(16, cpus))
+
+    def wedges(block: pd.DataFrame) -> pd.DataFrame:
+        xs_out, ys_out, zs_out = [], [], []
+        a = block["a"].to_numpy().astype(np.int64)
+        b = block["b"].to_numpy().astype(np.int64)
+        order = np.argsort(a, kind="stable")
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        ends = np.r_[starts[1:], a.size]
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            nb = np.sort(b[s:e])
+            if nb.size < 2:
+                continue
+            iu, ju = np.triu_indices(nb.size, k=1)
+            xs_out.append(np.full(iu.size, a[s], dtype=np.int64))
+            ys_out.append(nb[iu])
+            zs_out.append(nb[ju])
+        if not xs_out:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("x", "wy", "wz")}
+            )
+        return pd.DataFrame(
+            {
+                "x": np.concatenate(xs_out),
+                "wy": np.concatenate(ys_out),
+                "wz": np.concatenate(zs_out),
+            }
+        )
+
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    wedge_schema = pa.schema(
+        [("x", pa.int64()), ("wy", pa.int64()), ("wz", pa.int64())]
+    )
+    edges_st = schema_stable(edges_ds.select_columns(["a", "b"]), edge_schema)
+    if edges_st.count() == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [("doc_id", pa.int64()), ("n_triangles", pa.int64())]
+            ).empty_table()
+        )
+    wedge_ds = schema_stable(
+        edges_st.groupby("a").map_groups(wedges, batch_format="pandas"),
+        wedge_schema,
+    )
+    if wedge_ds.count() == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [("doc_id", pa.int64()), ("n_triangles", pa.int64())]
+            ).empty_table()
+        )
+    tri = wedge_ds.join(
+        edges_st,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("wy", "wz"),
+        right_on=("a", "b"),
+    )
+
+    def explode_nodes(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t["x"].to_numpy().astype(np.int64),
+                t["wy"].to_numpy().astype(np.int64),
+                t["wz"].to_numpy().astype(np.int64),
+            ]
+        )
+        uk, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uk, pa.int64()),
+                "part": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        tri.map_batches(explode_nodes, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("part", alias_name="n_triangles"))
     )

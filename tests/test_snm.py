@@ -141,3 +141,56 @@ def test_event_stream_dedup_bruteforce(tmp_path):
             kept.append(eid)
         by_key[(uid, et)] = ts  # LAG semantics: previous EVENT, not kept
     assert sorted(got["event_id"]) == sorted(kept)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangles_per_node_bruteforce():
+    """Wedge-join triangle counts vs brute force on a random graph split
+    over many small blocks (exercises the groupby + 2-key hash join)."""
+    import itertools
+
+    import ray.data as rd
+
+    from fuzzysearch_ray.stages.cluster import triangles_per_node
+
+    rng = random.Random(71)
+    n = 40
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(220)
+            )
+            if a != b
+        }
+    )
+    eset = set(edges)
+    want = {}
+    for x, y, z in itertools.combinations(range(n), 3):
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset:
+            for v in (x, y, z):
+                want[v] = want.get(v, 0) + 1
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([e[0] for e in edges], pa.int64()),
+                "b": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    ).repartition(9)
+    out = triangles_per_node(ds).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["n_triangles"].astype(int)))
+    assert got == want and sum(want.values()) % 3 == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangles_empty_graph():
+    import ray.data as rd
+
+    from fuzzysearch_ray.stages.cluster import triangles_per_node
+
+    ds = rd.from_arrow(
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+    )
+    out = triangles_per_node(ds)
+    assert out.count() == 0
