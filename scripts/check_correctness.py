@@ -40,7 +40,12 @@ def main():
 
     import ray
 
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
+    # GRAFT_CHECK_CPUS: run the gate at driver-like parallelism (the r04
+    # fuzzy_join_parts crash only manifested at 32 cpus — empty shuffle
+    # partitions are a parallelism-dependent failure mode)
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("GRAFT_CHECK_CPUS", "8")),
+             include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
