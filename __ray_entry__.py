@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- funnel_conversion by its brute-force pytest + in-repo gate) ---
         "near_dup_clusters": Q.q_near_dup_clusters,
         "near_dup_triangles": Q.q_near_dup_triangles,
+        "cdc_dedup_chunks": Q.q_cdc_dedup_chunks,
         "jsonl_gz_ingest_stats": Q.q_jsonl_gz_ingest_stats,
         "funnel_conversion": Q.q_funnel_conversion,
         "decontaminate_docs_join": Q.q_decontaminate_docs_join,
@@ -1579,6 +1580,36 @@ def oracle_sql() -> dict[str, str]:
         "SELECT LEAST(x.doc_id, y.doc_id) AS a, "
         "GREATEST(x.doc_id, y.doc_id) AS b "
         "FROM r x JOIN r y ON y.rk - x.rk BETWEEN 1 AND 4"
+    )
+    # CDC boundary rule: big-endian packing of the 8-char window at 1-based
+    # position p, exactly the engine's byte packing on an ASCII corpus
+    cdc_pack = " + ".join(
+        "ascii(substr(d.text, CAST(p.p + %d AS INTEGER), 1)) * %d"
+        % (j, 256 ** (7 - j))
+        for j in range(8)
+    )
+    sqls["cdc_dedup_chunks"] = (
+        "WITH pos AS (SELECT d.doc_id, CAST(p.p AS BIGINT) AS p "
+        "FROM documents d, LATERAL (SELECT unnest(generate_series(2, "
+        "length(d.text) - 7)) AS p) p "
+        "WHERE (" + cdc_pack + ") % 61 = 0), "
+        "cuts AS (SELECT doc_id, p FROM pos "
+        "UNION ALL SELECT doc_id, 1 FROM documents "
+        "UNION ALL SELECT doc_id, length(text) + 1 FROM documents), "
+        "spans AS (SELECT doc_id, p AS s, "
+        "LEAD(p) OVER (PARTITION BY doc_id ORDER BY p) AS e FROM cuts), "
+        "chunks AS (SELECT sp.doc_id, "
+        "substr(d.text, CAST(sp.s AS INTEGER), CAST(sp.e - sp.s AS INTEGER)) AS c "
+        "FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id "
+        "WHERE sp.e IS NOT NULL), "
+        "dup AS (SELECT md5(c) AS h FROM chunks GROUP BY md5(c) "
+        "HAVING COUNT(DISTINCT doc_id) >= 2) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+        "CAST(COUNT(*) FILTER (WHERE md5(c) IN (SELECT h FROM dup)) AS BIGINT) "
+        "AS n_dup_chunks, "
+        "CAST(COALESCE(SUM(length(c)) FILTER (WHERE md5(c) IN "
+        "(SELECT h FROM dup)), 0) AS BIGINT) AS dup_bytes "
+        "FROM chunks GROUP BY doc_id"
     )
     sqls["near_dup_triangles"] = (
         # triangles {x<y<z} need all three edges in the ground-truth pair

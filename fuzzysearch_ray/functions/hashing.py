@@ -561,3 +561,35 @@ def longest_common_run_at_least(a: str, b: str, min_run: int) -> bool:
 
         return shares_run_at_least(a_bytes, b_bytes, min_run)
     return False
+
+
+# content-defined chunking (CDC): 8-byte window packed big-endian (exact in
+# int64, < 2^56 for byte input) — the SAME integer a SQL oracle can build
+# from ascii()*256^k terms, so the boundary rule crosses the gate exactly
+_CDC_WEIGHTS = (np.int64(256) ** np.arange(7, -1, -1, dtype=np.int64))
+
+
+def cdc_cut_points(data: np.ndarray, modulus: int = 61) -> np.ndarray:
+    """Content-defined cut positions for a uint8 byte array (LBFS-style
+    chunking, window 8): cut BEFORE 0-based position i (i >= 1) whenever
+    the big-endian packing of bytes [i, i+8) is divisible by ``modulus``.
+    Expected chunk length ~= modulus. Boundaries are a pure function of
+    local content, so documents sharing a long identical span produce
+    identical chunks inside it regardless of surrounding edits — the
+    property block/storage dedup relies on. Vectorized: one
+    sliding-window view + one matmul + one flatnonzero."""
+    n = data.size
+    if n < 8:
+        return np.empty(0, dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(data, 8).astype(np.int64)
+    packed = sw @ _CDC_WEIGHTS
+    idx = np.flatnonzero(packed % modulus == 0)
+    return idx[idx >= 1]
+
+
+def cdc_chunks(text: str, modulus: int = 61) -> list:
+    """Byte chunks of ``text`` under the cdc_cut_points rule (UTF-8
+    bytes; the oracle's codepoint packing matches for ASCII corpora)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    cuts = cdc_cut_points(data, modulus)
+    return [part.tobytes() for part in np.split(data, cuts)]

@@ -899,6 +899,142 @@ def q_near_dup_clusters_join(sf_dir: str):
     return clusters_to_pandas(res).rename(columns={"id": "doc_id"})
 
 
+def q_cdc_dedup_chunks(sf_dir: str, modulus: int = 61):
+    """Content-defined chunking dedup (LBFS/Venti-style): documents are
+    split at content-defined boundaries (8-byte window packing divisible
+    by ``modulus`` — functions/hashing.cdc_cut_points), so a span shared
+    by two documents chunks IDENTICALLY regardless of surrounding edits;
+    per document, report how many of its chunks (and bytes) also occur in
+    at least one OTHER document — the storage/block-dedup operator of the
+    dedup family.
+
+    Scale shape (the dup_chunk_strip two-pass pattern): pass 1 ships only
+    (md5-half1, md5-half2, distinct-docs-partial) INTEGER rows through one
+    shuffle (a doc lives in one batch, so distinct-doc counts sum across
+    batches); the dup-chunk hash set (bounded by genuinely duplicated
+    content, not corpus size) broadcasts once via ray.put with BOTH md5
+    halves checked at probe (exact 128-bit membership, novel_docs_bloom's
+    confirm discipline); pass 2 re-chunks and counts fully locally."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import cdc_chunks
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk_digests(texts):
+        out = []
+        for t in texts:
+            digs = [
+                np.frombuffer(hashlib.md5(c).digest(), dtype=np.int64)
+                for c in cdc_chunks(t, modulus)
+            ]
+            out.append(np.vstack(digs))
+        return out
+
+    def partial(batch: pa.Table) -> pa.Table:
+        per_doc = chunk_digests(batch["text"].to_pylist())
+        if not per_doc:
+            return pa.table(
+                {
+                    "h1": pa.array([], pa.int64()),
+                    "h2": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                }
+            )
+        # one row per (chunk, doc): distinct within each doc first
+        rows = np.vstack(
+            [np.unique(d, axis=0) for d in per_doc]
+        )
+        uk, cnt = np.unique(rows, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "h1": pa.array(uk[:, 0], pa.int64()),
+                "h2": pa.array(uk[:, 1], pa.int64()),
+                "nd": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    dup = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .aggregate(Sum("nd", alias_name="n_docs"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_docs"], 2)).select(
+                ["h1", "h2"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if len(dup):
+        d1 = dup["h1"].to_numpy().astype(np.int64)
+        d2 = dup["h2"].to_numpy().astype(np.int64)
+        order = np.lexsort((d2, d1))
+        d1, d2 = d1[order], d2[order]
+    else:
+        d1 = np.empty(0, dtype=np.int64)
+        d2 = np.empty(0, dtype=np.int64)
+    dup_ref = ray.put((d1, d2))
+
+    def member(h: np.ndarray, k1: np.ndarray, k2: np.ndarray) -> np.ndarray:
+        """Exact 128-bit membership of (h[:,0], h[:,1]) rows in the sorted
+        (k1, k2) set: searchsorted on the first half, then scan the (almost
+        always length-1) equal-h1 run confirming the second half."""
+        out = np.zeros(len(h), dtype=bool)
+        if k1.size == 0:
+            return out
+        pos = np.searchsorted(k1, h[:, 0])
+        for i in range(len(h)):
+            p = pos[i]
+            while p < k1.size and k1[p] == h[i, 0]:
+                if k2[p] == h[i, 1]:
+                    out[i] = True
+                    break
+                p += 1
+        return out
+
+    def stats(batch: pa.Table) -> pa.Table:
+        k1, k2 = ray.get(dup_ref)
+        dids = batch["doc_id"].to_numpy().astype(np.int64)
+        texts = batch["text"].to_pylist()
+        n_chunks = np.zeros(len(dids), dtype=np.int64)
+        n_dup = np.zeros(len(dids), dtype=np.int64)
+        dup_bytes = np.zeros(len(dids), dtype=np.int64)
+        for j, t in enumerate(texts):
+            chunks = cdc_chunks(t, modulus)
+            digs = np.vstack(
+                [
+                    np.frombuffer(hashlib.md5(c).digest(), dtype=np.int64)
+                    for c in chunks
+                ]
+            )
+            m = member(digs, k1, k2)
+            n_chunks[j] = len(chunks)
+            n_dup[j] = int(m.sum())
+            dup_bytes[j] = int(sum(len(c) for c, keep in zip(chunks, m) if keep))
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "n_chunks": pa.array(n_chunks, pa.int64()),
+                "n_dup_chunks": pa.array(n_dup, pa.int64()),
+                "dup_bytes": pa.array(dup_bytes, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                c: pd.Series(dtype="int64")
+                for c in ("doc_id", "n_chunks", "n_dup_chunks", "dup_bytes")
+            }
+        )
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q_near_dup_triangles(sf_dir: str):
     """Per-node triangle counts over the verified near-dup graph
     (stages/cluster.triangles_per_node — wedge generation at the minimum

@@ -305,3 +305,51 @@ def test_batched_window_hashing_bit_identical():
         got = batched_run_window_hashes(texts, w)
         for t, g in zip(texts, got):
             np.testing.assert_array_equal(g, run_window_hashes(t, w))
+
+
+def test_cdc_boundary_shift_invariance():
+    """The CDC property: chunks inside a shared span are identical no
+    matter what precedes it — an edit before the span changes at most the
+    chunks up to the first in-span cut point."""
+    import random
+
+    from fuzzysearch_ray.functions.hashing import cdc_chunks
+
+    rng = random.Random(3)
+    span = "".join(rng.choice("abcdefgh ") for _ in range(400))
+    a = "PREFIX-ONE-" + span
+    b = "x" + span
+    ca, cb = cdc_chunks(a), cdc_chunks(b)
+    # both docs must share a long common suffix of chunks
+    shared = 0
+    while (
+        shared < min(len(ca), len(cb)) and ca[-1 - shared] == cb[-1 - shared]
+    ):
+        shared += 1
+    assert shared >= 3, (len(ca), len(cb), shared)
+
+
+def test_cdc_chunks_reassemble_and_match_rule():
+    import random
+
+    import numpy as np
+
+    from fuzzysearch_ray.functions.hashing import cdc_chunks, cdc_cut_points
+
+    rng = random.Random(9)
+    for n in (0, 3, 7, 8, 9, 64, 500):
+        text = "".join(rng.choice("abcdefghij ") for _ in range(n))
+        chunks = cdc_chunks(text)
+        assert b"".join(chunks).decode() == text
+        data = np.frombuffer(text.encode(), np.uint8)
+        cuts = cdc_cut_points(data)
+        # brute-force rule check
+        want = [
+            i
+            for i in range(1, max(0, n - 7))
+            if int.from_bytes(text.encode()[i : i + 8], "big") % 61 == 0
+        ]
+        assert cuts.tolist() == want
+        # no empty chunks except the whole-empty-text case
+        if n:
+            assert all(len(c) > 0 for c in chunks)
