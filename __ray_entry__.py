@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": Q.q_near_dup_clusters,
         "near_dup_triangles": Q.q_near_dup_triangles,
         "cdc_dedup_chunks": Q.q_cdc_dedup_chunks,
+        "bottomk_sample": Q.q_bottomk_sample,
         "jsonl_gz_ingest_stats": Q.q_jsonl_gz_ingest_stats,
         "funnel_conversion": Q.q_funnel_conversion,
         "decontaminate_docs_join": Q.q_decontaminate_docs_join,
@@ -1610,6 +1611,15 @@ def oracle_sql() -> dict[str, str]:
         "CAST(COALESCE(SUM(length(c)) FILTER (WHERE md5(c) IN "
         "(SELECT h FROM dup)), 0) AS BIGINT) AS dup_bytes "
         "FROM chunks GROUP BY doc_id"
+    )
+    sqls["bottomk_sample"] = (
+        # exact-k bottom-k priority sample per language; priority =
+        # md5(doc_id-as-string), the stratified_sample hash convention
+        "WITH r AS (SELECT lang, doc_id, ROW_NUMBER() OVER "
+        "(PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) "
+        "AS sample_rank FROM documents) "
+        "SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank "
+        "FROM r WHERE sample_rank <= 10"
     )
     sqls["near_dup_triangles"] = (
         # triangles {x<y<z} need all three edges in the ground-truth pair

@@ -158,6 +158,7 @@ def run_bench() -> dict:
     timed("long_run_pairs_join", lambda: Q.q_long_run_pairs_join(SF_DIR))
     timed("near_dup_triangles", lambda: Q.q_near_dup_triangles(SF_DIR))
     timed("cdc_dedup_chunks", lambda: Q.q_cdc_dedup_chunks(SF_DIR))
+    timed("bottomk_sample", lambda: Q.q_bottomk_sample(SF_DIR))
 
     # headline: flagship dedup over the synthetic source-code corpus,
     # measured as ALTERNATING broadcast/join runs within one window. The

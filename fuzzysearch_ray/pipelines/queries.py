@@ -899,6 +899,58 @@ def q_near_dup_clusters_join(sf_dir: str):
     return clusters_to_pandas(res).rename(columns={"id": "doc_id"})
 
 
+def q_bottomk_sample(sf_dir: str, k: int = 10):
+    """Exact-k deterministic sample per language via BOTTOM-K priority
+    sampling: each document's priority is md5(doc_id) (content-stable, the
+    stratified_sample convention), and the k smallest priorities per
+    language win. Bottom-k sketches are MERGEABLE — the union of two
+    groups' bottom-k is a superset of the union's bottom-k — so each batch
+    emits only its local per-language bottom-k (≤ k·langs rows ride the
+    shuffle regardless of batch size) and one tiny final reduce finishes
+    the job; retries and re-sharding cannot change the sample. This is the
+    exact-k sibling of the fixed-RATE stratified sampler."""
+    from ..functions.hashing import md5_hex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_numpy().astype(np.int64)
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        prios = np.asarray([md5_hex(str(i)) for i in dids], dtype=object)
+        keep_idx = []
+        for lg in np.unique(langs):
+            sel = np.flatnonzero(langs == lg)
+            # ties impossible (md5 of distinct ids); doc_id tiebreak anyway
+            order = sel[np.lexsort((dids[sel], prios[sel]))][:k]
+            keep_idx.append(order)
+        keep = np.sort(np.concatenate(keep_idx)) if keep_idx else []
+        return pa.table(
+            {
+                "lang": pa.array(langs[keep].tolist(), pa.string()),
+                "doc_id": pa.array(dids[keep], pa.int64()),
+                "prio": pa.array(prios[keep].tolist(), pa.string()),
+            }
+        )
+
+    # per-batch bottom-k rows are tiny; the final exact reduce is a single
+    # vectorized pass over ≤ k·langs·n_batches rows
+    part = ds.map_batches(local_bottomk, batch_format="pyarrow").to_pandas()
+    if part.empty:
+        return pd.DataFrame(
+            {
+                "lang": pd.Series(dtype=object),
+                "doc_id": pd.Series(dtype="int64"),
+                "sample_rank": pd.Series(dtype="int64"),
+            }
+        )
+    part = part.sort_values(["lang", "prio", "doc_id"], ignore_index=True)
+    part["sample_rank"] = part.groupby("lang").cumcount() + 1
+    out = part[part["sample_rank"] <= k][["lang", "doc_id", "sample_rank"]]
+    return out.sort_values(["lang", "sample_rank"], ignore_index=True).astype(
+        {"doc_id": "int64", "sample_rank": "int64"}
+    )
+
+
 def q_cdc_dedup_chunks(sf_dir: str, modulus: int = 61):
     """Content-defined chunking dedup (LBFS/Venti-style): documents are
     split at content-defined boundaries (8-byte window packing divisible
