@@ -241,50 +241,139 @@ def long_run_pairs(
             num_cpus=1,
         )
 
-    # join mode: hash-join the pruned content onto the pair table (content
-    # moves, but ONLY candidate rows and only through an id-keyed Arrow
-    # exchange) — the path for corpora whose candidate content exceeds the
-    # broadcast gate. Join inputs must be schema-stable (see stages/schema).
-    from .schema import schema_stable
+    # join mode: the raw-task all-Arrow hash exchange (the flagship verify
+    # stage's 100 TB shape, machinery reused from stages/verify): pairs
+    # land on partition p = hash(a, b); each candidate content row is
+    # replicated to exactly the partitions that request its id (one copy
+    # per partition, never broadcast, never re-shuffled with attached
+    # content); every reduce task confirms its pairs locally. An earlier
+    # two-Dataset.join formulation re-shuffled the pair stream WITH
+    # attached content bytes and cost ~2.5x the broadcast path at sf0.1;
+    # the exchange runs at parity.
+    import ray.data as rd
+
+    from .verify import (
+        _pair_partition,
+        _split_pairs_for_exchange,
+        _split_values_for_exchange,
+    )
 
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-    content_schema = pa.schema([("id", pa.int64()), ("content", pa.large_string())])
-    pairs_st = schema_stable(pairs, pair_schema)
-    if pairs_st.count() == 0:
-        import ray.data as rd
-
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return rd.from_arrow(pair_schema.empty_table())
-    cand_st = schema_stable(cand_src, content_schema)
-    # partition count sized to the session: the hash-join aggregator pool
-    # reserves CPU per partition, and a count far above the CPU budget
-    # stalls on a small local session (observed at num_cpus=4)
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    nparts = max(2, min(cfg.num_join_partitions, 2 * cpus))
-    hop1 = schema_stable(
-        pairs_st.join(
-            cand_st, join_type="inner", num_partitions=nparts, on=("a",),
-            right_on=("id",),
-        ).rename_columns({"content": "content_a"}),
-        pa.schema(
-            [("a", pa.int64()), ("b", pa.int64()), ("content_a", pa.large_string())]
-        ),
-    )
-    joined = hop1.join(
-        cand_st, join_type="inner", num_partitions=nparts, on=("b",),
-        right_on=("id",),
-    ).rename_columns({"content": "content_b"})
+    # ~2k pairs per reduce task (the measured verify sweet spot), floored
+    # at the CPU count so every core gets a partition
+    P = max(max(4, cpus), min(1024, -(-n_pairs // 2048)))
 
-    def confirm_joined(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy()
-        b = batch["b"].to_numpy()
-        keep = _confirm_keep(
-            batch["content_a"].to_pylist(), batch["content_b"].to_pylist(), min_run
-        )
+    def emit_requests(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        p = _pair_partition(a, b, P)
+        ids = np.concatenate([a, b])
+        ps = np.concatenate([p, p])
+        order = np.lexsort((ps, ids))
+        ids, ps = ids[order], ps[order]
+        keep = np.r_[True, (ids[1:] != ids[:-1]) | (ps[1:] != ps[:-1])]
         return pa.table(
             {
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
+                "id": pa.array(ids[keep], pa.int64()),
+                "p": pa.array(ps[keep], pa.int64()),
             }
         )
 
-    return joined.map_batches(confirm_joined, batch_format="pyarrow")
+    from .verify import _as_arrow_table
+
+    req_blocks = [
+        t
+        for t in (
+            _as_arrow_table(b)
+            for b in ray.get(
+                pairs.map_batches(emit_requests, batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
+            )
+        )
+        if t.num_rows
+    ]
+    if req_blocks:
+        req_tbl = pa.concat_tables(req_blocks)
+        rid = req_tbl["id"].to_numpy().astype(np.int64)
+        rp = req_tbl["p"].to_numpy().astype(np.int64)
+        order = np.lexsort((rp, rid))
+        rid, rp = rid[order], rp[order]
+        keep = np.r_[True, (rid[1:] != rid[:-1]) | (rp[1:] != rp[:-1])]
+        req_ref = ray.put((rid[keep], rp[keep]))
+    else:
+        req_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+
+    split_pairs = ray.remote(num_returns=P)(_split_pairs_for_exchange)
+    split_vals = ray.remote(num_returns=P)(_split_values_for_exchange)
+    confirm_part = ray.remote(_confirm_exchange_partition)
+    pair_shards = [split_pairs.remote(r, P) for r in pairs.to_arrow_refs()]
+    content_shards = [
+        split_vals.remote(r, P, req_ref, False, 0)
+        for r in cand_src.to_arrow_refs()
+    ]
+    out_refs = [
+        confirm_part.remote(
+            min_run,
+            [shard[i] for shard in pair_shards],
+            [shard[i] for shard in content_shards],
+        )
+        for i in range(P)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+def _confirm_exchange_partition(min_run: int, pair_refs, content_refs):
+    """Exchange reduce: concatenate this partition's pair / content shards
+    (zero-copy plasma reads), index content by id, byte-confirm the pairs.
+    Missing content ids raise loudly — a silent miss would drop a pair the
+    winnowing guarantee promised."""
+    import ray
+
+    from .verify import _as_arrow_table
+
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    pair_tbls = [
+        t for t in (_as_arrow_table(b) for b in ray.get(list(pair_refs))) if t.num_rows
+    ]
+    if not pair_tbls:
+        return empty
+    pairs = pa.concat_tables(pair_tbls)
+    content_tbls = [
+        t
+        for t in (_as_arrow_table(b) for b in ray.get(list(content_refs)))
+        if t.num_rows
+    ]
+    if not content_tbls:
+        raise KeyError("long-run exchange partition received pairs but no content")
+    ids = np.concatenate(
+        [t["id"].to_numpy().astype(np.int64) for t in content_tbls]
+    )
+    texts = []
+    for t in content_tbls:
+        texts.extend(t["content"].to_pylist())
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    texts = [texts[int(i)] for i in order]
+
+    def lookup(q: np.ndarray) -> list:
+        pos = np.searchsorted(ids, q)
+        if ids.size == 0 or not (
+            (pos < ids.size).all() and (ids[np.minimum(pos, ids.size - 1)] == q).all()
+        ):
+            raise KeyError("ids missing from long-run exchange content")
+        return [texts[int(i)] for i in pos]
+
+    a = pairs["a"].to_numpy().astype(np.int64)
+    b = pairs["b"].to_numpy().astype(np.int64)
+    keep = _confirm_keep(lookup(a), lookup(b), min_run)
+    return pa.table(
+        {
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+        }
+    )
