@@ -6,9 +6,12 @@ source-code corpus (input_hint shape), then prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, "corpus_files_per_sec": ...}
 
---scaling: runs the corpus dedup twice in FRESH processes at num_cpus=8 and
-num_cpus=32 on the same input and reports both throughputs + scaling
-efficiency (BASELINE.md criterion: (T8/T32)/4 >= 0.8).
+--scaling: runs the corpus dedup twice in FRESH processes at two
+parallelism levels (default GRAFT_SCALING_LO/HI = 4/16 vCPUs — the
+physical-core pair; 8/32 measurable via the env knobs) on the same input
+and reports both throughputs + the N→4N scaling efficiency
+(BASELINE.md criterion: (T_lo/T_hi)/4 >= 0.8) plus same-run CPU and
+DRAM-bandwidth hardware controls.
 """
 
 from __future__ import annotations
