@@ -272,6 +272,14 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        # accurate keys (the measured pair is lo/hi, default 4/16) ...
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "files_per_sec_lo": r_lo["corpus_files_per_sec"],
+        "files_per_sec_hi": r_hi["corpus_files_per_sec"],
+        # ... plus the historical key names every prior-round BENCH/BASELINE
+        # entry uses (always lo/hi values despite the names; num_cpus states
+        # the actual pair) — kept so cross-round JSON comparisons line up
         "sec_8": t_lo,
         "sec_32": t_hi,
         "files_per_sec_8": r_lo["corpus_files_per_sec"],

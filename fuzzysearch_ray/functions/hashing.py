@@ -563,25 +563,33 @@ def longest_common_run_at_least(a: str, b: str, min_run: int) -> bool:
     return False
 
 
-# content-defined chunking (CDC): 8-byte window packed big-endian (exact in
-# int64, < 2^56 for byte input) — the SAME integer a SQL oracle can build
-# from ascii()*256^k terms, so the boundary rule crosses the gate exactly
-_CDC_WEIGHTS = (np.int64(256) ** np.arange(7, -1, -1, dtype=np.int64))
+# content-defined chunking (CDC): 7-byte window packed big-endian. SEVEN
+# bytes, not eight: the packed value is then < 2^56 for ARBITRARY byte
+# values, exact in int64 — an 8-byte window overflows int64 whenever the
+# leading byte is >= 0x80 and numpy would wrap silently, diverging from
+# the SQL oracle's true-integer arithmetic. The oracle builds the SAME
+# integer from ascii()*256^k terms (codepoint == byte on ASCII corpora;
+# on non-ASCII text the engine is still well-defined over UTF-8 bytes,
+# but byte-vs-codepoint packing diverges — SQL parity is ASCII-only).
+_CDC_WINDOW = 7
+_CDC_WEIGHTS = (np.int64(256) ** np.arange(_CDC_WINDOW - 1, -1, -1, dtype=np.int64))
 
 
 def cdc_cut_points(data: np.ndarray, modulus: int = 61) -> np.ndarray:
     """Content-defined cut positions for a uint8 byte array (LBFS-style
-    chunking, window 8): cut BEFORE 0-based position i (i >= 1) whenever
-    the big-endian packing of bytes [i, i+8) is divisible by ``modulus``.
+    chunking, window 7): cut BEFORE 0-based position i (i >= 1) whenever
+    the big-endian packing of bytes [i, i+7) is divisible by ``modulus``.
     Expected chunk length ~= modulus. Boundaries are a pure function of
     local content, so documents sharing a long identical span produce
     identical chunks inside it regardless of surrounding edits — the
     property block/storage dedup relies on. Vectorized: one
     sliding-window view + one matmul + one flatnonzero."""
     n = data.size
-    if n < 8:
+    if n < _CDC_WINDOW:
         return np.empty(0, dtype=np.int64)
-    sw = np.lib.stride_tricks.sliding_window_view(data, 8).astype(np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(data, _CDC_WINDOW).astype(
+        np.int64
+    )
     packed = sw @ _CDC_WEIGHTS
     idx = np.flatnonzero(packed % modulus == 0)
     return idx[idx >= 1]

@@ -187,6 +187,20 @@ def near_dup_pipeline(
     # exact long-run stage among itself; its (a, b) edges join the
     # clustering input. ``edges`` in the result stays the LSH-verified set
     # (it carries jaccard); oversize edges ride separately + in stats.
+    #
+    # SEMANTIC NOTE (deliberate, oracle-relevant): the dup criterion for
+    # an OVERSIZE pair is "shares a run of >= oversize_min_run bytes" —
+    # NOT the gram-Jaccard >= threshold the normal-size verify applies.
+    # Two >1 MiB files sharing only a 4 KiB vendored blob therefore
+    # cluster together here while a whole-text Jaccard test would not;
+    # that is the intended signal for giant files (full-text Jaccard of
+    # megabyte pairs is dominated by the non-shared bulk and the
+    # truncated signatures cannot see past the prefix anyway). Corpora
+    # whose gate oracle encodes pure gram-Jaccard semantics (the
+    # _REP_GRAM_PAIRS_CTE family) must not contain oversize rows — the
+    # pinned sf testdata doesn't; set oversize_min_run above the corpus
+    # max byte size to disable the arm where pure-Jaccard parity is
+    # required at any size.
     n_long_edges = 0
     cluster_edges = verified
     if rep_max_bytes > config.max_content_bytes_for_lsh:

@@ -4750,11 +4750,13 @@ def q_shipping_priority(sf_dir: str):
     dimension-side broadcast that removes a whole join hop — while the
     fact×fact hop hash-partitions on orderkey with per-batch revenue
     partials (combiner) riding the shuffle instead of per-line rows."""
-    import ray
+    import ray as _ray
+    import ray.data as _rd
     from ray.data.aggregate import Sum
 
-    cutoff = pa.scalar(pd.Timestamp("1998-06-01"), pa.timestamp("us"))
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cpus = (
+        int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    )
     nparts = max(2, min(16, cpus))
 
     # dimension side: the filtered customer keys are tiny, so broadcast
@@ -4764,9 +4766,6 @@ def q_shipping_priority(sf_dir: str):
     # Every date/segment predicate is pushed INTO the parquet fragment
     # scan (read_parquet filter=) so filtered-out rows never materialize
     # as Arrow batches, and the filter columns drop out of the projection.
-    import ray as _ray
-    import ray.data as _rd
-
     cutoff64 = pd.Timestamp("1998-06-01").to_datetime64()
 
     cust_keys = np.sort(

@@ -155,7 +155,48 @@ def long_run_pairs(
     fp = src.map_batches(
         lambda b: fingerprint_table(b, window, stride),
         batch_format="pyarrow",
+    ).materialize()
+
+    # LOUD cap accounting (the heavy-hitter discipline: bounded work may
+    # approximate, but never silently): when any fingerprint bucket
+    # exceeds the cap, its pairs collapse to the sorted chain — family
+    # connectivity survives (tests/test_long_run_modes.py) but the PAIR
+    # SET is no longer the exhaustive shared-window enumeration the SQL
+    # oracle computes. One integer combiner pass over the materialized
+    # fingerprint rows detects it; callers needing the full clique at
+    # known-small scale pass a config with a larger bucket_cap.
+    import warnings
+
+    from ray.data.aggregate import Sum
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        h = t["band_hash"].to_numpy()
+        uk, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(uk, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    n_over = (
+        fp.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("c", alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["n"], cfg.bucket_cap)),
+            batch_format="pyarrow",
+        )
+        .count()
     )
+    if n_over:
+        warnings.warn(
+            "long_run_pairs: %d fingerprint bucket(s) exceed bucket_cap=%d; "
+            "over-cap buckets emit chain-window pairs (connectivity kept, "
+            "exhaustive pair set NOT) — raise config.bucket_cap for the "
+            "full clique at small scale" % (n_over, cfg.bucket_cap)
+        )
+
     # pairs are integer-only and small relative to content; materialize once
     # so the candidate id set can semi-join-prune the content pull
     pairs = candidate_pairs(fp, cfg).materialize()
@@ -299,6 +340,17 @@ def long_run_pairs(
     ]
     if req_blocks:
         req_tbl = pa.concat_tables(req_blocks)
+        # 16 B/row driver object, like verify's broadcast-assignment path;
+        # past verify's 20M-row budget this needs the join-assignment
+        # variant (stages/verify.py else-branch) — refuse LOUDLY rather
+        # than silently building a multi-GB driver array
+        if req_tbl.num_rows > 20_000_000:
+            raise NotImplementedError(
+                "long-run exchange request map exceeds the broadcast budget "
+                "(%d rows); use content_mode='broadcast' with a sharded "
+                "lookup, or port verify_pairs_join's join-assignment branch"
+                % req_tbl.num_rows
+            )
         rid = req_tbl["id"].to_numpy().astype(np.int64)
         rp = req_tbl["p"].to_numpy().astype(np.int64)
         order = np.lexsort((rp, rid))
@@ -308,13 +360,23 @@ def long_run_pairs(
     else:
         req_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
 
+    def _spread(m):
+        # block count in [~cpus, ~4x cpus]: one coarse block serializes the
+        # exchange behind a single split task; fragmentation multiplies the
+        # object count (blocks x P returns) — same law as verify's _spread
+        if not cpus <= m.num_blocks() <= cpus * 4:
+            m = m.repartition(cpus * 2).materialize()
+        return m
+
     split_pairs = ray.remote(num_returns=P)(_split_pairs_for_exchange)
     split_vals = ray.remote(num_returns=P)(_split_values_for_exchange)
     confirm_part = ray.remote(_confirm_exchange_partition)
-    pair_shards = [split_pairs.remote(r, P) for r in pairs.to_arrow_refs()]
+    pair_shards = [
+        split_pairs.remote(r, P) for r in _spread(pairs).to_arrow_refs()
+    ]
     content_shards = [
         split_vals.remote(r, P, req_ref, False, 0)
-        for r in cand_src.to_arrow_refs()
+        for r in _spread(cand_src).to_arrow_refs()
     ]
     out_refs = [
         confirm_part.remote(

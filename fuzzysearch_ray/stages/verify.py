@@ -713,6 +713,21 @@ def _split_values_for_exchange(tbl, num_parts: int, req, as_sketch: bool, num_pe
     before they ever hit the wire."""
     t = _as_arrow_table(tbl)
     rid, rp = req
+    # 0-row blocks can arrive SCHEMA-LESS (Ray passes empty partitions
+    # through map_batches untouched at high parallelism — stages/schema.py
+    # documents the failure mode); bail before touching columns. The typed
+    # empties returned here never reach a concat: the reduce side filters
+    # out 0-row shards first.
+    if t.num_rows == 0 or "id" not in t.column_names:
+        if as_sketch:
+            empty = pa.table(
+                {"id": pa.array([], pa.int64()), "sig": pa.array([], pa.large_binary())}
+            )
+        else:
+            empty = pa.table(
+                {"id": pa.array([], pa.int64()), "content": pa.array([], pa.string())}
+            )
+        return [empty] * num_parts
     if as_sketch:
         sig = t["sig"].combine_chunks()
         vals = sig.flatten().to_numpy().view(np.uint64)

@@ -343,13 +343,31 @@ def test_cdc_chunks_reassemble_and_match_rule():
         assert b"".join(chunks).decode() == text
         data = np.frombuffer(text.encode(), np.uint8)
         cuts = cdc_cut_points(data)
-        # brute-force rule check
+        # brute-force rule check (7-byte window: int64-exact packing)
         want = [
             i
-            for i in range(1, max(0, n - 7))
-            if int.from_bytes(text.encode()[i : i + 8], "big") % 61 == 0
+            for i in range(1, max(0, n - 6))
+            if int.from_bytes(text.encode()[i : i + 7], "big") % 61 == 0
         ]
         assert cuts.tolist() == want
         # no empty chunks except the whole-empty-text case
         if n:
             assert all(len(c) > 0 for c in chunks)
+
+
+def test_cdc_high_bytes_exact():
+    """Windows with leading byte >= 0x80 must pack EXACTLY (the reason the
+    window is 7 bytes: an 8-byte pack wraps int64 and silently diverges
+    from true-integer arithmetic)."""
+    import numpy as np
+
+    from fuzzysearch_ray.functions.hashing import cdc_cut_points
+
+    data = np.frombuffer(bytes([0xFF] * 40 + list(range(200, 256)) * 2), np.uint8)
+    cuts = cdc_cut_points(data)
+    want = [
+        i
+        for i in range(1, data.size - 6)
+        if int.from_bytes(data.tobytes()[i : i + 7], "big") % 61 == 0
+    ]
+    assert cuts.tolist() == want

@@ -78,7 +78,8 @@ def test_overcap_bucket_chain_preserves_connectivity():
         docs.append(body[:10] + run + body[10:])
     ds = rd.from_arrow(pa.table({"id": list(range(40)), "content": docs}))
     cfg = DedupConfig(bucket_cap=8, chain_window=3)
-    out = long_run_pairs(ds, 64, config=cfg).to_pandas()
+    with pytest.warns(UserWarning, match="exceed bucket_cap"):
+        out = long_run_pairs(ds, 64, config=cfg).to_pandas()
     # capped: fewer than the full clique, but non-empty
     assert 0 < len(out) < 40 * 39 // 2
     parent = list(range(40))
